@@ -1,0 +1,334 @@
+"""Distributed inverted-index build: the Spark-first re-expression of the
+reference's sharded index-build dataflow.
+
+Reference lifecycle (SURVEY.md §3.1): validate -> partition -> per-reduce-task
+embedded-Solr index build with 500-doc micro-batches -> commit + optimize ->
+copy local index dir to HDFS (hadoop/SolrOutputFormat.java:46-114,
+core/SolrWriter.java:59-128).  Our lifecycle:
+
+1. plan-time ``validate_schema`` (core/SolrSchemeUtil.java:87-101 analogue);
+2. deterministic dense ``doc_id`` assignment — distributed global-sort rank,
+   never a single-partition window;
+3. docs + stats tables (doc store with per-row sha256 invariant);
+4. tokenize JVM-side (analyzer.analyze_col) -> explode -> partial+final hash
+   aggregation for (term, doc_id, tf).  Catalyst's map-side partial agg IS the
+   SPIMI in-memory dictionary: each input partition builds term->tf counts
+   locally and only distinct (term, doc_id) pairs cross the wire;
+5. exact df pre-pass marks hot terms (df > hot_term_df_ratio * N, the
+   stopword-grade ``import``/``return`` tokens); hot terms get a
+   doc-derived salt so no single reducer owns a full hot posting list;
+6. salted repartition-and-sort shuffle on (shard, term, salt) + a streaming
+   mapInPandas assembler producing delta+varint-compressed posting rows with
+   per-block max metadata (codec.py) — the commit/optimize analogue
+   (core/SolrWriter.java:110-113);
+7. atomic publish via Spark's task-commit protocol into
+   ``postings/shard=N/`` dirs — one logical shard per document bucket,
+   exactly the reference's "N shards for N reducers" (README.md:7-8) — plus a
+   per-shard lineage table (terms, postings, bytes, skew_ratio, status) that
+   doubles as the resume checkpoint.
+
+Resume: ``build_index(..., resume=True)`` reads the lineage table, skips
+shards already committed, and appends only the missing ones — idempotent,
+the analogue of Hadoop task retry + idempotent task output dirs
+(hadoop/SolrOutputFormat.java:57).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cascading_solr_spark.analyzer import analyze_col
+from cascading_solr_spark.codec import block_maxes, encode_doc_ids, encode_varint
+from cascading_solr_spark.spec import IndexSpec, validate_schema
+
+POSTINGS_SCHEMA = (
+    "shard int, term string, salt int, n_docs long, doc_ids binary, "
+    "tfs binary, dls binary, block_maxes array<double>, n_blocks int, "
+    "n_bytes long"
+)
+
+
+def assign_doc_ids(df: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """Dense deterministic doc_id = global sort rank over unique ``keys``.
+
+    Scale-safe: a bare ``row_number().over(Window.orderBy(...))`` collapses
+    to ONE partition; instead we range-partition + sort (Spark's distributed
+    sort), count rows per partition (tiny driver collect), and add the
+    partition prefix offsets to a per-partition row_number.  The result is
+    the global rank, independent of the sampled range boundaries, so it is
+    deterministic for a deterministic input.
+    """
+    sorted_df = df.orderBy(*keys).withColumn("_pid", F.spark_partition_id())
+    sorted_df = sorted_df.persist()
+    counts = dict(
+        (r["_pid"], r["cnt"])
+        for r in sorted_df.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    out = (
+        sorted_df.join(off_df, "_pid")
+        .withColumn("doc_id", F.row_number().over(w) - 1 + F.col("_offset"))
+        .drop("_pid", "_offset")
+    )
+    return out
+
+
+@dataclass
+class Index:
+    """Handle to a built index directory (postings/docs/stats/lineage)."""
+
+    path: str
+    spec: IndexSpec
+    n_docs: int
+    avgdl: float
+
+    @classmethod
+    def load(cls, path: str) -> "Index":
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        spec = IndexSpec(**meta["spec"])
+        return cls(path=path, spec=spec, n_docs=meta["n_docs"], avgdl=meta["avgdl"])
+
+    def postings(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path, "postings"))
+
+    def docs(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path, "docs"))
+
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path, "lineage"))
+
+
+def _assembler(avgdl: float, spec: IndexSpec):
+    """mapInPandas posting assembler over a partition sorted by
+    (shard, term, salt, doc_id).  Groups may span Arrow batches, so the tail
+    group of each batch is carried into the next — the streaming analogue of
+    the reference's flush-on-500-docs micro-batching (SolrWriter.java:101-122).
+    """
+    k1, b, block = spec.k1, spec.b, spec.block_size
+
+    def encode_group(shard: int, term: str, salt: int, g: pd.DataFrame) -> tuple:
+        order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
+        ids = g["doc_id"].to_numpy()[order]
+        tfs = g["tf"].to_numpy()[order].astype(np.uint64)
+        dls = g["dl"].to_numpy()[order].astype(np.uint64)
+        ids_b = encode_doc_ids(ids)
+        tfs_b = encode_varint(tfs)
+        dls_b = encode_varint(dls)
+        bmax = block_maxes(tfs, dls, avgdl, k1, b, block)
+        nb = len(ids_b) + len(tfs_b) + len(dls_b)
+        return (
+            shard, term, salt, len(ids), ids_b, tfs_b, dls_b,
+            bmax.tolist(), len(bmax), nb,
+        )
+
+    cols = [
+        "shard", "term", "salt", "n_docs", "doc_ids", "tfs", "dls",
+        "block_maxes", "n_blocks", "n_bytes",
+    ]
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        # boundaries where (shard, term, salt) changes
+        key_change = (
+            pdf["term"].ne(pdf["term"].shift())
+            | pdf["salt"].ne(pdf["salt"].shift())
+            | pdf["shard"].ne(pdf["shard"].shift())
+        )
+        key_change.iloc[0] = True
+        starts = np.flatnonzero(key_change.to_numpy())
+        ends = np.append(starts[1:], len(pdf))
+        for s, e in zip(starts, ends):
+            g = pdf.iloc[s:e]
+            rows.append(
+                encode_group(
+                    int(g["shard"].iat[0]), g["term"].iat[0], int(g["salt"].iat[0]), g
+                )
+            )
+        return pd.DataFrame(rows, columns=cols)
+
+    def assemble(iterator):
+        carry: pd.DataFrame | None = None
+        for pdf in iterator:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # hold back the final (possibly incomplete) group
+            last = pdf.iloc[-1]
+            tail_mask = (
+                (pdf["term"] == last["term"])
+                & (pdf["salt"] == last["salt"])
+                & (pdf["shard"] == last["shard"])
+            )
+            # tail group start = first index from the end where mask is contiguous
+            rev = tail_mask.to_numpy()[::-1]
+            tail_len = int(np.argmin(rev)) if not rev.all() else len(rev)
+            cut = len(pdf) - tail_len
+            carry = pdf.iloc[cut:]
+            head = pdf.iloc[:cut]
+            if len(head):
+                yield emit(head)
+        if carry is not None and len(carry):
+            yield emit(carry)
+
+    return assemble
+
+
+def build_index(
+    spark: SparkSession,
+    source: DataFrame,
+    spec: IndexSpec,
+    out_dir: str,
+    resume: bool = False,
+) -> Index:
+    """Build (or resume) a sharded compressed inverted index at ``out_dir``."""
+    validate_schema(source.schema, spec)
+    os.makedirs(out_dir, exist_ok=True)
+    docs_path = os.path.join(out_dir, "docs")
+    postings_path = os.path.join(out_dir, "postings")
+    lineage_path = os.path.join(out_dir, "lineage")
+    meta_path = os.path.join(out_dir, "meta.json")
+
+    committed: set[int] = set()
+    if resume and os.path.exists(lineage_path):
+        committed = {
+            r["shard"]
+            for r in spark.read.parquet(lineage_path)
+            .filter(F.col("status") == "committed")
+            .select("shard")
+            .collect()
+        }
+
+    # ---- docs + stats (skip when resuming a partial postings build) ----
+    if resume and os.path.exists(meta_path) and os.path.exists(docs_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+    else:
+        if spec.doc_id_field:
+            based = source.withColumn("doc_id", F.col(spec.doc_id_field).cast("long"))
+        else:
+            based = assign_doc_ids(source, spec.key_fields)
+        analyzed = based.withColumn("tokens", analyze_col(spec.content_field))
+        docs = analyzed.select(
+            "doc_id",
+            *[c for c in spec.stored_fields],
+            F.size("tokens").alias("dl"),
+            F.sha2(F.col(spec.content_field), 256).alias("sha256"),
+            F.pmod(F.col("doc_id"), F.lit(spec.num_shards)).cast("int").alias("shard"),
+        )
+        docs.write.mode("overwrite").partitionBy("shard").parquet(docs_path)
+        row = (
+            spark.read.parquet(docs_path)
+            .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+            .collect()[0]
+        )
+        n_docs, avgdl = int(row["n"]), float(row["avgdl"])
+        meta = {
+            "spec": {
+                k: (list(v) if isinstance(v, tuple) else v)
+                for k, v in spec.__dict__.items()
+            },
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+        }
+        # tuples serialize as lists; IndexSpec accepts both
+        meta["spec"]["key_fields"] = list(spec.key_fields)
+        meta["spec"]["stored_fields"] = list(spec.stored_fields)
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh)
+
+    # ---- postings ----
+    missing = [s for s in range(spec.num_shards) if s not in committed]
+    if missing:
+        if spec.doc_id_field:
+            based = source.withColumn("doc_id", F.col(spec.doc_id_field).cast("long"))
+        else:
+            based = assign_doc_ids(source, spec.key_fields)
+        analyzed = based.select(
+            "doc_id", analyze_col(spec.content_field).alias("tokens")
+        ).withColumn("dl", F.size("tokens"))
+
+        # SPIMI via Catalyst: explode + hash-agg; the partial (map-side) agg
+        # builds per-partition term->tf dictionaries, the exchange only moves
+        # distinct (term, doc_id) pairs.
+        tf_long = (
+            analyzed.select("doc_id", "dl", F.explode("tokens").alias("term"))
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        tf_long = tf_long.withColumn(
+            "shard", F.pmod(F.col("doc_id"), F.lit(spec.num_shards)).cast("int")
+        ).filter(F.col("shard").isin(missing))
+
+        # exact df pre-pass -> hot-term list (stopword-grade code tokens)
+        hot_threshold = max(2.0, spec.hot_term_df_ratio * n_docs)
+        hot_terms = (
+            tf_long.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > hot_threshold)
+            .select("term", F.lit(True).alias("_hot"))
+        )
+        salted = (
+            tf_long.join(F.broadcast(hot_terms), "term", "left")
+            .withColumn(
+                "salt",
+                F.when(
+                    F.col("_hot").isNotNull(),
+                    F.pmod(
+                        F.floor(F.col("doc_id") / spec.num_shards),
+                        F.lit(spec.salt_buckets),
+                    ).cast("int"),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_hot")
+        )
+
+        shuffle_parts = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+        )
+        n_parts = max(spec.num_shards, shuffle_parts)
+        arranged = salted.repartition(
+            n_parts, "shard", "term", "salt"
+        ).sortWithinPartitions("shard", "term", "salt", "doc_id")
+
+        postings = arranged.mapInPandas(
+            _assembler(avgdl, spec), schema=POSTINGS_SCHEMA
+        )
+        (
+            postings.sortWithinPartitions("term")
+            .write.mode("append")
+            .partitionBy("shard")
+            .parquet(postings_path)
+        )
+
+        # ---- lineage / checkpoint commit ----
+        built = spark.read.parquet(postings_path).filter(F.col("shard").isin(missing))
+        lineage = built.groupBy("shard").agg(
+            F.count("*").alias("terms"),
+            F.sum("n_docs").alias("postings"),
+            F.sum("n_bytes").alias("bytes"),
+            (F.max("n_docs") / F.avg("n_docs")).alias("skew_ratio"),
+            F.lit("committed").alias("status"),
+        )
+        lineage.write.mode("append").parquet(lineage_path)
+
+    return Index(path=out_dir, spec=spec, n_docs=n_docs, avgdl=avgdl)

@@ -1,0 +1,90 @@
+"""Pure-DataFrame BM25 scoring — the declarative twin of the compressed path.
+
+Everything is built-in Catalyst ops (analyze_col expression tree, explode,
+partial+final hash aggregation, broadcast joins): no Python crosses the hot
+path.  Used three ways:
+
+1. the "minimum slice" end-to-end query path (SURVEY.md §7.4);
+2. the oracle twin for the driver's DuckDB correctness gate — the same
+   algebra is expressible in ANSI SQL (see __spark_entry__.oracle_sql);
+3. a cross-check for the compressed/WAND path in tests (rank-identity).
+
+Scoring matches query/search.py exactly: BM25 k1=1.2 b=0.75,
+idf = ln(1+(N-df+0.5)/(df+0.5)), tie-break (score desc, doc_id asc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cascading_solr_spark.analyzer import analyze_col, analyze_query
+
+
+def tokens_long(
+    docs: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, dl, term, tf) — analyzed term frequencies, all JVM-side."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), analyze_col(content_col).alias("toks")
+    ).withColumn("dl", F.size("toks"))
+    return (
+        toks.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def corpus_stats(
+    docs: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(n, avgdl) over ALL docs (zero-token docs included) — must match the
+    compressed index's stats (docs-table count/avg) for rank-identity."""
+    return docs.select(F.size(analyze_col(content_col)).alias("dl")).agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    )
+
+
+def _bm25_contrib(k1: float, b: float) -> Column:
+    idf = F.log1p((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf = F.col("tf").cast("double")
+    tf_norm = (tf * (k1 + 1.0)) / (
+        tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return idf * tf_norm
+
+
+def bm25_topk_df(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Top-k BM25 over a document DataFrame, pure Catalyst ops.
+
+    Returns (doc_id, score) ordered (score desc, doc_id asc).  ``round_to``
+    rounds the emitted score (NOT the internal math) so cross-engine
+    float-sum ordering noise cannot flip the driver's value-hash.
+    """
+    terms = analyze_query(query)
+    tf = tokens_long(docs, content_col, id_col)
+    stats = corpus_stats(docs, content_col, id_col)
+    matched = tf.filter(F.col("term").isin(terms)) if terms else tf.limit(0)
+    dfreq = matched.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        matched.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", _bm25_contrib(k1, b))
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    score = F.round(F.col("score"), round_to) if round_to else F.col("score")
+    return (
+        scored.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1,0 +1,119 @@
+"""Top-k BM25 search over the compressed sharded index.
+
+Reproduces the reference's query semantics (SURVEY.md §2.2, defined by the
+embedded Solr config it targets and exercised in
+AbstractSolrSchemeTest.java:148-176):
+
+* Q1/Q2 default-field keyword search, query analyzed with the SAME chain as
+  the index (analyzer.analyze_query);
+* Q4 boolean-OR multi-term combination (solrconfig.xml:766-774 default OR);
+* Q5 top-k ranked retrieval (default rows=10, solrconfig.xml:772);
+* Q6 BM25 scoring k1=1.2 b=0.75 (north_star mandate; the reference schema
+  defers to Lucene's default similarity, schema.xml:1097-1105);
+* Q7 zero-hit short-circuit (term absent -> empty result);
+* Q8 stored-field retrieval via doc-store join, sha256 round-trip invariant.
+
+Execution mirrors Solr's distributed query fan-out over document shards:
+each shard partition scores its local postings in one Arrow-vectorized kernel
+(term-at-a-time exact, or block-max MaxScore with pruning — query/wand.py),
+emits a local top-k, and a global order-merge takes the final k.  Ties broken
+(score desc, doc_id asc) for deterministic rank-identity.
+
+Scale notes: the postings scan is filtered term IN (...) — row-group pruning
+works because postings files are sorted by term; all shards scan in parallel;
+only ``shards × salts × terms`` tiny top-k rows reach the global merge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cascading_solr_spark.analyzer import analyze_query
+from cascading_solr_spark.codec import bm25_idf, bm25_tf_norm, decode_doc_ids, decode_varint
+from cascading_solr_spark.indexing.build import Index
+from cascading_solr_spark.query.wand import maxscore_kernel
+
+_RESULT_SCHEMA = "doc_id long, score double"
+
+
+def _taat_kernel(idf: dict[str, float], avgdl: float, k1: float, b: float, k: int):
+    """Exact term-at-a-time scorer for one shard (numpy accumulate)."""
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        all_ids: list[np.ndarray] = []
+        all_contrib: list[np.ndarray] = []
+        for row in pdf.itertuples(index=False):
+            n = int(row.n_docs)
+            ids = decode_doc_ids(row.doc_ids, n)
+            tfs = decode_varint(row.tfs, n)
+            dls = decode_varint(row.dls, n)
+            contrib = idf[row.term] * bm25_tf_norm(tfs, dls, avgdl, k1, b)
+            all_ids.append(ids)
+            all_contrib.append(contrib)
+        if not all_ids:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
+        ids = np.concatenate(all_ids)
+        contrib = np.concatenate(all_contrib)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(acc, inv, contrib)
+        if len(uniq) > k:
+            part = np.argpartition(-acc, k)[:k]
+            uniq, acc = uniq[part], acc[part]
+        order = np.lexsort((uniq, -acc))
+        return pd.DataFrame({"doc_id": uniq[order], "score": acc[order]})
+
+    return score
+
+
+def term_dfs(postings: DataFrame, terms: list[str]) -> dict[str, int]:
+    """Global document frequency per query term (sum of per-row n_docs across
+    shards and salts).  One tiny Spark job per query — the analogue of the
+    distributed-IDF fetch a sharded Solr performs."""
+    rows = (
+        postings.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("n_docs").alias("df"))
+        .collect()
+    )
+    return {r["term"]: int(r["df"]) for r in rows}
+
+
+def search(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    k: int = 10,
+    mode: str = "maxscore",
+    with_stored: bool = True,
+) -> DataFrame:
+    """Top-k BM25 keyword search; returns (doc_id, score[, stored fields, sha256])."""
+    terms = analyze_query(query)
+    postings = index.postings(spark)
+    dfs = term_dfs(postings, terms) if terms else {}
+    if not dfs:  # Q7 zero-hit short-circuit (schema stays stable below)
+        top = spark.createDataFrame([], _RESULT_SCHEMA)
+    else:
+        idf = {t: bm25_idf(df, index.n_docs) for t, df in dfs.items()}
+        spec = index.spec
+        if mode == "taat":
+            kernel = _taat_kernel(idf, index.avgdl, spec.k1, spec.b, k)
+        else:
+            kernel = maxscore_kernel(
+                idf, index.avgdl, spec.k1, spec.b, k, spec.block_size
+            )
+        matched = postings.filter(F.col("term").isin(list(dfs)))
+        local_topk = matched.groupBy("shard").applyInPandas(kernel, _RESULT_SCHEMA)
+        top = local_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if not with_stored:
+        return top
+    docs = index.docs(spark).drop("shard")
+    return (
+        docs.join(F.broadcast(top), "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
