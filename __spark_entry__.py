@@ -1,38 +1,521 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Engine: cascading_solr_spark — PySpark-native inverted-index build + BM25
+top-k query engine re-expressing ScaleUnlimited/cascading.solr (SURVEY.md),
+plus training-data pipeline operators (dedup, similarity, text analysis,
+multimodal plumbing).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cascading_solr_spark.indexing.build import Index, build_index
+from cascading_solr_spark.operators import dedup, multimodal, similarity, textstats
+from cascading_solr_spark.query.naive import bm25_topk_df, corpus_stats, tokens_long
+from cascading_solr_spark.query.search import search
+from cascading_solr_spark.spec import IndexSpec
+from cascading_solr_spark.streaming.refresh import windowed_event_counts
+
+# ---------------------------------------------------------------- helpers
+
+SIMPLE = "[a-z0-9]+"  # oracle-side tokenizer (== full analyzer on this corpus)
+
+Q_MAIN = "spark join"          # 2 terms: FP-commutative cross-engine
+Q_MULTI = "merge sort window batch"
+DF_TERMS = ("spark", "join", "scan", "stream")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+_DOC_SPEC = IndexSpec(
+    content_field="text",
+    key_fields=("doc_id",),
+    stored_fields=("lang", "source"),
+    doc_id_field="doc_id",
+    num_shards=8,
+    salt_buckets=4,
+)
+
+
+def _index_for(spark: SparkSession, sf_dir: str) -> Index:
+    """Build (once, cached on disk keyed by corpus dir) the compressed index."""
+    key = os.path.abspath(sf_dir).replace(os.sep, "_")
+    out = os.path.join(tempfile.gettempdir(), f"css_index{key}")
+    if not os.path.exists(os.path.join(out, "meta.json")):
+        shutil.rmtree(out, ignore_errors=True)
+        build_index(spark, _docs(spark, sf_dir), _DOC_SPEC, out)
+    return Index.load(out)
+
+
+def _toks_cte(table: str = "documents") -> str:
+    return (
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+        f"'{SIMPLE}')) AS term FROM {table})"
+    )
+
+
+def _bm25_sql(terms: tuple[str, ...], k: int) -> str:
+    tl = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH {_toks_cte()},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+q(term) AS (VALUES {tl}),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+          WHERE term IN (SELECT term FROM q) GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY 1)
+SELECT doc_id, round(score, 4) AS score
+FROM scores ORDER BY round(score, 4) DESC, doc_id ASC LIMIT {k}
+"""
+
+
+# ------------------------------------------------------------ entry point
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: compressed-index BM25 top-10 with stored fields on sf0.001."""
+    ix = _index_for(spark, "/root/testdata/sf0.001")
+    return search(spark, ix, "merge sort stream", k=10)
+
+
+# ----------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- full-text engine (SURVEY.md §2.2 Q1-Q10) ---
+    q["ft_bm25_topk"] = lambda s, d: bm25_topk_df(_docs(s, d), Q_MAIN, k=10)
+    q["ft_bm25_multiterm"] = lambda s, d: bm25_topk_df(_docs(s, d), Q_MULTI, k=10)
+    q["ix_search_compressed"] = lambda s, d: search(
+        s, _index_for(s, d), Q_MAIN, k=10, with_stored=False
+    ).select("doc_id", F.round("score", 4).alias("score"))
+    q["ix_search_taat"] = lambda s, d: search(
+        s, _index_for(s, d), Q_MULTI, k=10, mode="taat", with_stored=False
+    ).select("doc_id", F.round("score", 4).alias("score"))
+    q["ft_keyword_hits"] = lambda s, d: _docs(s, d).agg(
+        F.sum(
+            F.array_contains(textstats.simple_tokens("text"), "stream").cast("long")
+        ).alias("n_hits")
+    )
+    q["ft_zero_hit"] = lambda s, d: _docs(s, d).agg(
+        F.sum(
+            F.array_contains(textstats.simple_tokens("text"), "zzqxv").cast("long")
+        ).alias("n_hits")
+    )
+    q["ft_field_scoped"] = lambda s, d: (
+        _docs(s, d)
+        .filter(
+            (F.col("lang") == "es")
+            & F.array_contains(textstats.simple_tokens("text"), "join")
+        )
+        .select("doc_id", "lang")
+    )
+    q["ft_and_query"] = lambda s, d: (
+        _docs(s, d)
+        .filter(
+            F.array_contains(textstats.simple_tokens("text"), "spark")
+            & F.array_contains(textstats.simple_tokens("text"), "join")
+        )
+        .select("doc_id")
+    )
+    q["ft_df_stats"] = lambda s, d: (
+        tokens_long(_docs(s, d), "text", "doc_id")
+        .filter(F.col("term").isin(list(DF_TERMS)))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    q["ft_corpus_stats"] = lambda s, d: corpus_stats(_docs(s, d), "text").select(
+        "n", F.round("avgdl", 4).alias("avgdl")
+    )
+    q["ft_postings_long"] = lambda s, d: (
+        tokens_long(_docs(s, d), "text", "doc_id")
+        .filter(F.col("term").isin(["spark", "join", "scan"]))
+        .select("doc_id", "term", "tf")
+    )
+    q["ft_stored_roundtrip"] = lambda s, d: (
+        bm25_topk_df(_docs(s, d), Q_MAIN, k=5)
+        .join(_docs(s, d), "doc_id")
+        .select(
+            "doc_id", "score", "lang", "source",
+            F.sha2(F.col("text"), 256).alias("sha"),
+        )
+    )
+
+    # --- dedup ---
+    def _docs_with_dups(s, d):
+        docs = _docs(s, d).select("doc_id", "text")
+        clones = (
+            _docs(s, d)
+            .filter(F.col("doc_id") < 50)
+            .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        )
+        return docs.union(clones)
+
+    q["dd_exact"] = lambda s, d: dedup.exact_duplicates(
+        _docs_with_dups(s, d), "text"
+    ).select("content_sha", "n_dups", "keep_doc_id")
+    q["dd_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _docs(s, d), "text", n=3, threshold=0.1
+    ).select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
+    q["dd_minhash_sigs"] = lambda s, d: dedup.minhash_signatures(
+        _docs(s, d), "text"
+    ).select("doc_id", F.col("h").cast("long").alias("h"), "minhash")
+    q["dd_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
+        _docs_with_dups(s, d), "text", threshold=0.5
+    ).select("doc_a", "doc_b", "jaccard")
+    q["dd_simhash"] = lambda s, d: dedup.simhash(_docs(s, d), "text")
+
+    # --- similarity / ANN ---
+    q["sim_cosine_topk"] = lambda s, d: similarity.cosine_topk_to_row(
+        _emb(s, d), query_id=0, k=10
+    )
+    q["sim_near_pairs"] = lambda s, d: similarity.embedding_near_pairs(
+        _emb(s, d).withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        ),
+        threshold=0.8,
+    )
+    q["sim_lsh_buckets"] = lambda s, d: (
+        similarity.lsh_buckets(_emb(s, d))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+    # --- text analysis ---
+    q["ts_token_count"] = lambda s, d: _docs(s, d).select(
+        "doc_id", textstats.token_count("text").cast("long").alias("n_tokens")
+    )
+    q["ts_quality"] = lambda s, d: textstats.quality_features(
+        _docs(s, d), "text"
+    ).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_token_len", "alnum_ratio", "stopword_ratio", "quality_score",
+    )
+    q["ts_langid"] = lambda s, d: textstats.language_id(_docs(s, d), "text").select(
+        "doc_id", "pred_lang",
+        F.col("n_en").cast("long").alias("n_en"),
+        F.col("n_es").cast("long").alias("n_es"),
+        F.col("n_fr").cast("long").alias("n_fr"),
+    )
+    q["ts_fingerprint"] = lambda s, d: textstats.fingerprint(_docs(s, d), "text")
+
+    # --- multimodal plumbing ---
+    q["mm_binary_meta"] = lambda s, d: multimodal.as_media(_docs(s, d), "text").select(
+        "doc_id", "media_type", F.col("byte_len").cast("long").alias("byte_len")
+    )
+    q["mm_features"] = lambda s, d: multimodal.extract_features(
+        multimodal.as_media(_docs(s, d), "text")
+    )
+
+    # --- events (batch windowed aggregation; streaming twin in streaming/) ---
+    q["ev_windowed_counts"] = lambda s, d: (
+        windowed_event_counts(_events(s, d), "1 hour").select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+    # --- index internals (rows-only checks; binary/non-SQL) ---
+    q["ix_lineage"] = lambda s, d: _index_for(s, d).lineage(s).select(
+        "shard", "terms", "postings", "status"
+    )
+    return q
+
+
+# ------------------------------------------------------------- oracle SQL
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o["ft_bm25_topk"] = _bm25_sql(tuple(Q_MAIN.split()), 10)
+    o["ft_bm25_multiterm"] = _bm25_sql(tuple(Q_MULTI.split()), 10)
+    o["ix_search_compressed"] = _bm25_sql(tuple(Q_MAIN.split()), 10)
+    o["ix_search_taat"] = _bm25_sql(tuple(Q_MULTI.split()), 10)
+    o["ft_keyword_hits"] = f"""
+WITH {_toks_cte()}
+SELECT count(DISTINCT doc_id)::BIGINT AS n_hits FROM toks WHERE term = 'stream'
+"""
+    o["ft_zero_hit"] = f"""
+WITH {_toks_cte()}
+SELECT count(DISTINCT doc_id)::BIGINT AS n_hits FROM toks WHERE term = 'zzqxv'
+"""
+    o["ft_field_scoped"] = f"""
+WITH {_toks_cte()}
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.lang = 'es'
+  AND EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.term = 'join')
+"""
+    o["ft_and_query"] = f"""
+WITH {_toks_cte()}
+SELECT doc_id FROM toks WHERE term IN ('spark', 'join')
+GROUP BY doc_id HAVING count(DISTINCT term) = 2
+"""
+    terms_in = ", ".join(f"'{t}'" for t in DF_TERMS)
+    o["ft_df_stats"] = f"""
+WITH {_toks_cte()}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+FROM toks WHERE term IN ({terms_in}) GROUP BY term
+"""
+    o["ft_corpus_stats"] = f"""
+SELECT count(*)::BIGINT AS n,
+       round(avg(len(regexp_extract_all(lower(text), '{SIMPLE}'))), 4) AS avgdl
+FROM documents
+"""
+    o["ft_postings_long"] = f"""
+WITH {_toks_cte()}
+SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+WHERE term IN ('spark', 'join', 'scan') GROUP BY doc_id, term
+"""
+    o["ft_stored_roundtrip"] = f"""
+WITH top AS ({_bm25_sql(tuple(Q_MAIN.split()), 5)})
+SELECT top.doc_id, top.score, d.lang, d.source, sha256(d.text) AS sha
+FROM top JOIN documents d USING (doc_id)
+"""
+
+    o["dd_exact"] = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+)
+SELECT sha256(text) AS content_sha, count(*)::BIGINT AS n_dups,
+       min(doc_id) AS keep_doc_id
+FROM all_docs GROUP BY 1 HAVING count(*) > 1
+"""
+    _sh = f"""
+docs_l AS (SELECT doc_id, regexp_extract_all(lower(text), '{SIMPLE}') AS l
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest([array_to_string(l[i:i+2], ' ') for i in range(1, len(l)-1)]) AS shingle
+       FROM docs_l WHERE len(l) >= 3)
+"""
+    o["dd_ngram_jaccard"] = f"""
+WITH {_sh},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS ns FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b, c.common, sa.ns AS na, sb.ns AS nb,
+       round(c.common / (sa.ns + sb.ns - c.common), 4) AS jaccard
+FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a
+              JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE round(c.common / (sa.ns + sb.ns - c.common), 4) >= 0.1
+"""
+    _mh = f"""
+{_sh},
+vocab AS (SELECT shingle, dense_rank() OVER (ORDER BY shingle) AS sid
+          FROM (SELECT DISTINCT shingle FROM sh)),
+ids AS (SELECT doc_id, sid FROM sh JOIN vocab USING (shingle)),
+hv AS (SELECT doc_id, j.h, ((2 * j.h + 1) * sid + 13 * j.h + 7) % 2147483647 AS hv
+       FROM ids, (SELECT unnest(range(0, 16)) AS h) j),
+mh AS (SELECT doc_id, h, min(hv)::BIGINT AS minhash FROM hv GROUP BY 1, 2)
+"""
+    o["dd_minhash_sigs"] = f"WITH {_mh} SELECT doc_id, h::BIGINT AS h, minhash FROM mh"
+    _sh_dup = _sh.replace("FROM documents", "FROM all_docs")
+    o["dd_minhash_lsh"] = f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+),
+{_sh_dup},
+vocab AS (SELECT shingle, dense_rank() OVER (ORDER BY shingle) AS sid
+          FROM (SELECT DISTINCT shingle FROM sh)),
+ids AS (SELECT doc_id, sid FROM sh JOIN vocab USING (shingle)),
+hv AS (SELECT doc_id, j.h, ((2 * j.h + 1) * sid + 13 * j.h + 7) % 2147483647 AS hv
+       FROM ids, (SELECT unnest(range(0, 16)) AS h) j),
+mh AS (SELECT doc_id, h, min(hv)::BIGINT AS minhash FROM hv GROUP BY 1, 2),
+bands AS (SELECT doc_id, CAST(floor(h / 4) AS INT) AS band,
+                 string_agg(h || '=' || minhash, ':' ORDER BY h) AS bucket_key
+          FROM mh GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket_key = b.bucket_key
+          AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS ns FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b,
+       round(cm.common / (sa.ns + sb.ns - cm.common), 4) AS jaccard
+FROM cand c JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+            JOIN sizes sa ON sa.doc_id = c.doc_a
+            JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE round(cm.common / (sa.ns + sb.ns - cm.common), 4) >= 0.5
+"""
+    o["dd_simhash"] = f"""
+WITH dtoks AS (SELECT DISTINCT doc_id,
+                unnest(regexp_extract_all(lower(text), '{SIMPLE}')) AS term
+               FROM documents),
+vocab AS (SELECT term, dense_rank() OVER (ORDER BY term) AS term_id
+          FROM (SELECT DISTINCT term FROM dtoks)),
+contrib AS (SELECT t.doc_id, j.bit,
+                   ((v.term_id * (2 * j.bit + 17)) % 97 - 48) AS w
+            FROM dtoks t JOIN vocab v USING (term),
+                 (SELECT unnest(range(0, 16)) AS bit) j),
+bits AS (SELECT doc_id, bit, sum(w) AS s FROM contrib GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+    _cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    o["sim_cosine_topk"] = f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT e.vec_id,
+       round({_cos.format(a="e.v", b="q.qv")}, 4) AS cos_sim
+FROM e, q
+ORDER BY round({_cos.format(a="e.v", b="q.qv")}, 4) DESC, e.vec_id ASC LIMIT 10
+"""
+    o["sim_near_pairs"] = f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cos.format(a="a.v", b="b.v")}, 4) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round({_cos.format(a="a.v", b="b.v")}, 4) >= 0.8
+"""
+    o["sim_lsh_buckets"] = """
+WITH dims AS (SELECT vec_id, unnest(embedding) AS x,
+                     unnest(range(0, len(embedding))) AS d
+              FROM embeddings),
+proj AS (SELECT vec_id, p.plane,
+                sum(CAST(x AS DOUBLE)
+                    * ((((p.plane * 131 + d * 31 + 7) % 97) - 48))) AS s
+         FROM dims, (SELECT unnest(range(0, 8)) AS plane) p
+         GROUP BY 1, 2),
+buckets AS (SELECT vec_id,
+                   CAST(sum(CASE WHEN s > 0
+                            THEN CAST(power(2, plane) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS bucket
+            FROM proj GROUP BY 1)
+SELECT bucket, count(*)::BIGINT AS n FROM buckets GROUP BY 1
+"""
+
+    o["ts_token_count"] = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{SIMPLE}'))::BIGINT AS n_tokens
+FROM documents
+"""
+    stop_list = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
+    o["ts_quality"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         coalesce(text, '') AS t,
+         regexp_extract_all(lower(coalesce(text, '')), '{SIMPLE}') AS toks
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+         length(t)::BIGINT AS n_chars,
+         len(toks)::BIGINT AS n_tokens,
+         length(regexp_replace(t, '[^a-zA-Z0-9 ]', '', 'g')) AS alnum_chars,
+         len(list_filter(toks, x -> x IN ({stop_list}))) AS n_stop,
+         list_sum(list_transform(toks, x -> length(x))) AS tok_chars
+  FROM base)
+SELECT doc_id, n_chars, n_tokens,
+       round(CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens ELSE 0.0 END, 4)
+         AS avg_token_len,
+       round(CASE WHEN n_chars > 0 THEN alnum_chars / n_chars ELSE 0.0 END, 4)
+         AS alnum_ratio,
+       round(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END, 4)
+         AS stopword_ratio,
+       round((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 0.5
+             + (CASE WHEN n_chars > 0 THEN alnum_chars / n_chars ELSE 0.0 END) * 0.3
+             + least(n_tokens, 100) / 100.0 * 0.2, 4) AS quality_score
+FROM feat
+"""
+    marker_sql = {
+        lang: ", ".join(f"'{w}'" for w in words)
+        for lang, words in textstats.LANG_MARKERS.items()
+    }
+    o["ts_langid"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '{SIMPLE}') AS toks
+  FROM documents),
+counts AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x IN ({marker_sql['en']})))::BIGINT AS n_en,
+         len(list_filter(toks, x -> x IN ({marker_sql['es']})))::BIGINT AS n_es,
+         len(list_filter(toks, x -> x IN ({marker_sql['fr']})))::BIGINT AS n_fr
+  FROM base)
+SELECT doc_id,
+       CASE WHEN greatest(n_en, n_es, n_fr) = 0 THEN 'und'
+            WHEN n_en = greatest(n_en, n_es, n_fr) THEN 'en'
+            WHEN n_es = greatest(n_en, n_es, n_fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       n_en, n_es, n_fr
+FROM counts
+"""
+    o["ts_fingerprint"] = f"""
+WITH base AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '{SIMPLE}') AS l
+              FROM documents),
+ptoks AS (SELECT doc_id, unnest(l) AS term,
+                 unnest(range(1, len(l) + 1)) AS pos
+          FROM base),
+vocab AS (SELECT term, dense_rank() OVER (ORDER BY term) AS term_id
+          FROM (SELECT DISTINCT term FROM ptoks))
+SELECT doc_id,
+       CAST(sum(term_id * ((pos % 31) + 1)) % 1000003 AS BIGINT) AS fingerprint,
+       count(*)::BIGINT AS n_tokens
+FROM ptoks JOIN vocab USING (term) GROUP BY doc_id
+"""
+
+    o["mm_binary_meta"] = """
+SELECT doc_id, 'application/octet-stream' AS media_type,
+       octet_length(encode(text))::BIGINT AS byte_len
+FROM documents
+"""
+
+    o["ev_windowed_counts"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+       event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+    # mm_features, ix_lineage: non-SQL-expressible (binary payload plumbing /
+    # compressed index internals) -> rows-only checks.
+    return o

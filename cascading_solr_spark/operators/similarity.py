@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the exact baseline: JVM-side dot products via
+  zip_with + aggregate (no Python in the row path), global top-k.
+* LSH-bucketed ANN — random-hyperplane signatures with DETERMINISTIC
+  integer-arithmetic hyperplanes (reproducible in any engine, no RNG at
+  query time); candidates restricted to the query's bucket, then exact
+  cosine re-rank.  The scale path: bucket cardinality bounds the scan.
+* all-pairs near-duplicate detection by embedding cosine >= threshold.
+
+At 100 TB scale the brute-force path is a single narrow scan + top-k
+(no shuffle but the k-row merge); the LSH path prunes the scan by bucket
+partition pruning when the signatures are materialized as a partition column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LSH_MOD = 97  # hyperplane weights in [-48, 48] via modular arithmetic
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_to_row(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against the embedding of an existing row
+    (broadcast single-row cross join; float32 cast to float64 first so the
+    arithmetic is engine-portable)."""
+    as_double = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        as_double(F.col(vec_col)).alias("qv")
+    )
+    e = embeddings.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col("v"), F.col("qv")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_weight(plane: Column | int, dim: Column) -> Column:
+    """Deterministic pseudo-random weight in [-48, 48]:
+    ((plane*131 + dim*31 + 7) mod 97) - 48.  Pure integer arithmetic so the
+    DuckDB oracle reproduces the same hyperplanes exactly."""
+    p = F.lit(plane) if isinstance(plane, int) else plane
+    return ((p * 131 + dim * 31 + 7) % LSH_MOD - 48).cast("double")
+
+
+def lsh_signature(vec: Column, n_planes: int = 8) -> Column:
+    """Bit i set iff dot(vec, hyperplane_i) > 0 -> integer bucket in [0, 2^n)."""
+    def plane_bit(i: Column) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, d: x * hyperplane_weight(i, d),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(proj > 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    bits = F.transform(F.sequence(F.lit(0), F.lit(n_planes - 1)), plane_bit)
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col), lsh_signature(F.col(vec_col), n_planes).alias("bucket")
+    )
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: restrict to the query's LSH bucket, exact-cosine re-rank.
+
+    Approximate by construction (a bucket miss is a recall miss) — tested
+    for plumbing + determinism, benchmarked for recall vs brute force."""
+    import math
+
+    # compute the query's bucket driver-side with the same arithmetic
+    bucket = 0
+    for i in range(n_planes):
+        proj = sum(
+            x * (((i * 131 + d * 31 + 7) % LSH_MOD) - 48)
+            for d, x in enumerate(query_vec)
+        )
+        if proj > 0:
+            bucket += 1 << i
+    del math
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    with_buckets = embeddings.withColumn(
+        "bucket", lsh_signature(F.col(vec_col), n_planes)
+    )
+    return (
+        with_buckets.filter(F.col("bucket") == bucket)
+        .select(
+            F.col(id_col),
+            F.lit(bucket).alias("bucket"),
+            F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs embedding near-dups: cosine >= threshold (exact, quadratic —
+    small-scale oracle baseline; at scale route through lsh_buckets first)."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

