@@ -1,0 +1,153 @@
+"""Headline benchmark: index-build throughput + query latency.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+plus informative extras (build throughput in files/sec, query p95).
+
+The build benchmark indexes BOTH the driver-provided `documents` table and a
+deterministic synthetic source-code corpus (BASELINE.json input_hint shape) —
+the latter is the north-rule workload (code-aware analyzer, hot keywords,
+salted shuffle actually exercised).  bench_scaling.py reuses this module at
+two parallelism levels for the N-vs-4N efficiency figure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cascading_solr_spark.corpus import synth_corpus
+from cascading_solr_spark.indexing.build import build_index
+from cascading_solr_spark.operators import dedup, similarity
+from cascading_solr_spark.query.naive import bm25_topk_df
+from cascading_solr_spark.query.search import search
+from cascading_solr_spark.spec import IndexSpec
+
+QUERY_SET = [
+    "parse buffer",
+    "import",
+    "httpClient retry",
+    "readJson batch",
+    "merge sort stream count",
+]
+
+
+def make_spark(cpus: str) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("cascading_solr_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "32g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
+    cpus = spark.sparkContext.defaultParallelism
+    timings: dict[str, float] = {}
+    work = tempfile.mkdtemp(prefix="css_bench_")
+
+    # ---- 1. synthetic source-code corpus (input_hint shape), build timed ----
+    corpus_path = os.path.join(work, "corpus")
+    synth_corpus(spark, n_code_files, partitions=max(cpus, 8)).write.parquet(
+        corpus_path
+    )
+    corpus = spark.read.parquet(corpus_path)
+    spec = IndexSpec(num_shards=max(cpus, 8), salt_buckets=8)
+    ix_dir = os.path.join(work, "ix_code")
+    timings["build_code_corpus"] = timed(
+        lambda: build_index(spark, corpus, spec, ix_dir)
+    )
+    files_per_sec = n_code_files / timings["build_code_corpus"]
+
+    # ---- 2. documents-table index build ----
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    doc_spec = IndexSpec(
+        content_field="text", key_fields=("doc_id",), doc_id_field="doc_id",
+        stored_fields=("lang", "source"), num_shards=max(cpus // 4, 4),
+    )
+    ix_docs_dir = os.path.join(work, "ix_docs")
+    timings["build_documents"] = timed(
+        lambda: build_index(spark, docs, doc_spec, ix_docs_dir)
+    )
+
+    # ---- 3. query latency over the compressed code index ----
+    from cascading_solr_spark.indexing.build import Index
+
+    ix = Index.load(ix_dir)
+    lat: list[float] = []
+    for mode in ("maxscore", "taat"):
+        for q in QUERY_SET:
+            t = timed(
+                lambda: search(spark, ix, q, k=10, mode=mode, with_stored=False)
+                .collect()
+            )
+            lat.append(t)
+            timings[f"q_{mode}_{q.split()[0]}"] = t
+    timings["query_p95"] = (
+        statistics.quantiles(lat, n=20)[18] if len(lat) >= 2 else lat[0]
+    )
+
+    # ---- 4. operator headliners on the driver tables ----
+    timings["naive_bm25_documents"] = timed(
+        lambda: bm25_topk_df(docs, "spark join stream", k=10, content_col="text")
+        .collect()
+    )
+    timings["dedup_minhash_lsh"] = timed(
+        lambda: dedup.minhash_lsh_pairs(docs, "text", threshold=0.5).count()
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    timings["sim_cosine_topk"] = timed(
+        lambda: similarity.cosine_topk_to_row(emb, query_id=0, k=10).collect()
+    )
+
+    shutil.rmtree(work, ignore_errors=True)
+    total = sum(v for v in timings.values() if not v != v)
+    return {
+        "metric": "headline suite wall time (index builds + query set + operators)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cpus": cpus,
+        "code_corpus_files": n_code_files,
+        "build_files_per_sec": round(files_per_sec, 2),
+        "documents_rows": n_docs,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_files = int(os.environ.get("BENCH_CORPUS_ROWS", "20000"))
+    spark = make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    result = run_bench(spark, sf_dir, n_files)
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

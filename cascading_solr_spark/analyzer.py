@@ -84,14 +84,28 @@ def analyze_col(col: Column | str) -> Column:
     c = F.coalesce(c, F.lit(""))
     primaries = F.filter(F.split(c, _SPLIT_PATTERN), lambda x: x != F.lit(""))
 
-    def expand(word: Column) -> Column:
-        parts = F.regexp_extract_all(word, F.lit(SUB_PATTERN), F.lit(0))
-        lowered = F.transform(parts, F.lower)
-        return F.when(
-            F.size(parts) > 1, F.concat(lowered, F.array(F.lower(word)))
-        ).otherwise(F.array(F.lower(word)))
-
-    return F.flatten(F.transform(primaries, expand))
+    # Stage 1: run the word-delimiter regex ONCE per word, stashing the
+    # lowered word + lowered parts in a struct (Catalyst does not CSE inside
+    # higher-order-function lambdas, so naive re-use would re-run the regex).
+    staged = F.transform(
+        primaries,
+        lambda w: F.struct(
+            F.lower(w).alias("lw"),
+            F.transform(
+                F.regexp_extract_all(w, F.lit(SUB_PATTERN), F.lit(0)), F.lower
+            ).alias("parts"),
+        ),
+    )
+    # Stage 2: emit parts + catenated whole for multi-part identifiers.
+    return F.flatten(
+        F.transform(
+            staged,
+            lambda s: F.when(
+                F.size(s["parts"]) > 1,
+                F.concat(s["parts"], F.array(s["lw"])),
+            ).otherwise(F.array(s["lw"])),
+        )
+    )
 
 
 def analyze_query(query: str) -> list[str]:

@@ -26,11 +26,12 @@ _SEVEN = np.uint64(7)
 _LOW7 = np.uint64(0x7F)
 
 
-def encode_varint(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array (vectorized over byte positions)."""
+def encode_varint_counts(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array; also return the per-value byte counts
+    (lets callers split one global encode into per-group slices)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # bytes needed per value: 1 + floor(bit_length-1 / 7)
     nb = np.ones(v.shape, dtype=np.int64)
     x = v >> _SEVEN
@@ -47,7 +48,12 @@ def encode_varint(values: np.ndarray) -> bytes:
         more = (nb[mask] - 1 > g).astype(np.uint8)
         out[starts[mask] + g] = byte | (more << 7)
         cur >>= _SEVEN
-    return out.tobytes()
+    return out.tobytes(), nb
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (vectorized over byte positions)."""
+    return encode_varint_counts(values)[0]
 
 
 def decode_varint(buf: bytes, n: int | None = None) -> np.ndarray:

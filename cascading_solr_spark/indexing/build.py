@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cascading_solr_spark.analyzer import analyze_col
-from cascading_solr_spark.codec import block_maxes, encode_doc_ids, encode_varint
+from cascading_solr_spark.codec import bm25_tf_norm, encode_varint_counts
 from cascading_solr_spark.spec import IndexSpec, validate_schema
 
 POSTINGS_SCHEMA = (
@@ -124,45 +124,84 @@ def _assembler(avgdl: float, spec: IndexSpec):
     """
     k1, b, block = spec.k1, spec.b, spec.block_size
 
-    def encode_group(shard: int, term: str, salt: int, g: pd.DataFrame) -> tuple:
-        order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
-        ids = g["doc_id"].to_numpy()[order]
-        tfs = g["tf"].to_numpy()[order].astype(np.uint64)
-        dls = g["dl"].to_numpy()[order].astype(np.uint64)
-        ids_b = encode_doc_ids(ids)
-        tfs_b = encode_varint(tfs)
-        dls_b = encode_varint(dls)
-        bmax = block_maxes(tfs, dls, avgdl, k1, b, block)
-        nb = len(ids_b) + len(tfs_b) + len(dls_b)
-        return (
-            shard, term, salt, len(ids), ids_b, tfs_b, dls_b,
-            bmax.tolist(), len(bmax), nb,
-        )
-
     cols = [
         "shard", "term", "salt", "n_docs", "doc_ids", "tfs", "dls",
         "block_maxes", "n_blocks", "n_bytes",
     ]
 
     def emit(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        # boundaries where (shard, term, salt) changes
-        key_change = (
-            pdf["term"].ne(pdf["term"].shift())
-            | pdf["salt"].ne(pdf["salt"].shift())
-            | pdf["shard"].ne(pdf["shard"].shift())
+        """Batch-vectorized group assembly: ONE global varint encode per
+        column, split into per-group byte slices via the per-value byte
+        counts; block maxes via maximum.reduceat on global block starts.
+        The only per-group Python is bytes slicing."""
+        n = len(pdf)
+        shard = pdf["shard"].to_numpy(dtype=np.int32)
+        salt = pdf["salt"].to_numpy(dtype=np.int32)
+        term = pdf["term"].to_numpy()
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (
+            (term[1:] != term[:-1])
+            | (salt[1:] != salt[:-1])
+            | (shard[1:] != shard[:-1])
         )
-        key_change.iloc[0] = True
-        starts = np.flatnonzero(key_change.to_numpy())
-        ends = np.append(starts[1:], len(pdf))
-        for s, e in zip(starts, ends):
-            g = pdf.iloc[s:e]
-            rows.append(
-                encode_group(
-                    int(g["shard"].iat[0]), g["term"].iat[0], int(g["salt"].iat[0]), g
-                )
-            )
-        return pd.DataFrame(rows, columns=cols)
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, n))
+        n_groups = len(starts)
+
+        # delta-encode doc ids globally; group-leading values stay absolute
+        deltas = np.empty(n, dtype=np.int64)
+        deltas[0] = ids[0]
+        np.subtract(ids[1:], ids[:-1], out=deltas[1:])
+        deltas[starts] = ids[starts]
+        if n > 1:
+            inner = deltas[~change]
+            if inner.size and inner.min() <= 0:
+                raise ValueError("doc_ids not strictly increasing within group")
+        ids_b, nb_ids = encode_varint_counts(deltas.astype(np.uint64))
+        tfs_b, nb_tfs = encode_varint_counts(tfs.astype(np.uint64))
+        dls_b, nb_dls = encode_varint_counts(dls.astype(np.uint64))
+        off_ids = np.zeros(n_groups + 1, dtype=np.int64)
+        off_tfs = np.zeros(n_groups + 1, dtype=np.int64)
+        off_dls = np.zeros(n_groups + 1, dtype=np.int64)
+        np.cumsum(np.add.reduceat(nb_ids, starts), out=off_ids[1:])
+        np.cumsum(np.add.reduceat(nb_tfs, starts), out=off_tfs[1:])
+        np.cumsum(np.add.reduceat(nb_dls, starts), out=off_dls[1:])
+
+        # per-group per-block maxima of the BM25 tf-norm
+        norms = bm25_tf_norm(tfs, dls, avgdl, k1, b)
+        pos_in_group = np.arange(n) - np.repeat(starts, sizes)
+        bstarts = np.flatnonzero(pos_in_group % block == 0)
+        bmax_all = np.maximum.reduceat(norms, bstarts)
+        nblocks = -(-sizes // block)
+        boff = np.zeros(n_groups + 1, dtype=np.int64)
+        np.cumsum(nblocks, out=boff[1:])
+
+        return pd.DataFrame(
+            {
+                "shard": shard[starts],
+                "term": term[starts],
+                "salt": salt[starts],
+                "n_docs": sizes.astype(np.int64),
+                "doc_ids": [
+                    ids_b[off_ids[i] : off_ids[i + 1]] for i in range(n_groups)
+                ],
+                "tfs": [tfs_b[off_tfs[i] : off_tfs[i + 1]] for i in range(n_groups)],
+                "dls": [dls_b[off_dls[i] : off_dls[i + 1]] for i in range(n_groups)],
+                "block_maxes": [
+                    bmax_all[boff[i] : boff[i + 1]].tolist() for i in range(n_groups)
+                ],
+                "n_blocks": nblocks.astype(np.int32),
+                "n_bytes": (
+                    np.diff(off_ids) + np.diff(off_tfs) + np.diff(off_dls)
+                ).astype(np.int64),
+            },
+            columns=cols,
+        )
 
     def assemble(iterator):
         carry: pd.DataFrame | None = None
@@ -216,6 +255,26 @@ def build_index(
             .select("shard")
             .collect()
         }
+    missing = [s for s in range(spec.num_shards) if s not in committed]
+
+    # ---- single tokenize pass, materialized once, feeding docs AND postings
+    analyzed = None
+    if not (resume and os.path.exists(meta_path) and os.path.exists(docs_path)) or (
+        missing
+    ):
+        if spec.doc_id_field:
+            based = source.withColumn("doc_id", F.col(spec.doc_id_field).cast("long"))
+        else:
+            based = assign_doc_ids(source, spec.key_fields)
+        analyzed = (
+            based.withColumn("tokens", analyze_col(spec.content_field))
+            .withColumn("dl", F.size("tokens"))
+            .withColumn(
+                "shard",
+                F.pmod(F.col("doc_id"), F.lit(spec.num_shards)).cast("int"),
+            )
+            .persist()
+        )
 
     # ---- docs + stats (skip when resuming a partial postings build) ----
     if resume and os.path.exists(meta_path) and os.path.exists(docs_path):
@@ -223,24 +282,24 @@ def build_index(
             meta = json.load(fh)
         n_docs, avgdl = meta["n_docs"], meta["avgdl"]
     else:
-        if spec.doc_id_field:
-            based = source.withColumn("doc_id", F.col(spec.doc_id_field).cast("long"))
-        else:
-            based = assign_doc_ids(source, spec.key_fields)
-        analyzed = based.withColumn("tokens", analyze_col(spec.content_field))
         docs = analyzed.select(
             "doc_id",
             *[c for c in spec.stored_fields],
-            F.size("tokens").alias("dl"),
+            "dl",
             F.sha2(F.col(spec.content_field), 256).alias("sha256"),
-            F.pmod(F.col("doc_id"), F.lit(spec.num_shards)).cast("int").alias("shard"),
+            "shard",
         )
-        docs.write.mode("overwrite").partitionBy("shard").parquet(docs_path)
-        row = (
-            spark.read.parquet(docs_path)
-            .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
-            .collect()[0]
+        # one file per shard dir (not shards x tasks tiny files)
+        (
+            docs.repartition(spec.num_shards, "shard")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(docs_path)
         )
+        row = analyzed.agg(
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
         n_docs, avgdl = int(row["n"]), float(row["avgdl"])
         meta = {
             "spec": {
@@ -257,27 +316,21 @@ def build_index(
             json.dump(meta, fh)
 
     # ---- postings ----
-    missing = [s for s in range(spec.num_shards) if s not in committed]
     if missing:
-        if spec.doc_id_field:
-            based = source.withColumn("doc_id", F.col(spec.doc_id_field).cast("long"))
-        else:
-            based = assign_doc_ids(source, spec.key_fields)
-        analyzed = based.select(
-            "doc_id", analyze_col(spec.content_field).alias("tokens")
-        ).withColumn("dl", F.size("tokens"))
-
         # SPIMI via Catalyst: explode + hash-agg; the partial (map-side) agg
         # builds per-partition term->tf dictionaries, the exchange only moves
         # distinct (term, doc_id) pairs.
+        # NOTE: tf + hot-term df are computed over ALL shards (not just the
+        # missing ones) so the hot-term set — and therefore the salting — is
+        # identical between a fresh build and a resumed one.
         tf_long = (
-            analyzed.select("doc_id", "dl", F.explode("tokens").alias("term"))
-            .groupBy("doc_id", "dl", "term")
+            analyzed.select(
+                "doc_id", "dl", "shard", F.explode("tokens").alias("term")
+            )
+            .groupBy("doc_id", "dl", "shard", "term")
             .agg(F.count("*").alias("tf"))
+            .persist()
         )
-        tf_long = tf_long.withColumn(
-            "shard", F.pmod(F.col("doc_id"), F.lit(spec.num_shards)).cast("int")
-        ).filter(F.col("shard").isin(missing))
 
         # exact df pre-pass -> hot-term list (stopword-grade code tokens)
         hot_threshold = max(2.0, spec.hot_term_df_ratio * n_docs)
@@ -306,6 +359,8 @@ def build_index(
             spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
         )
         n_parts = max(spec.num_shards, shuffle_parts)
+        if len(missing) < spec.num_shards:
+            salted = salted.filter(F.col("shard").isin(missing))
         arranged = salted.repartition(
             n_parts, "shard", "term", "salt"
         ).sortWithinPartitions("shard", "term", "salt", "doc_id")
@@ -313,8 +368,15 @@ def build_index(
         postings = arranged.mapInPandas(
             _assembler(avgdl, spec), schema=POSTINGS_SCHEMA
         )
+        # "segment merge": re-shuffle the already-COMPRESSED posting rows so
+        # each shard lands in one term-sorted file — the analogue of the
+        # reference's optimize(maxSegments) at close (core/SolrWriter.java:112,
+        # hadoop/SolrOutputFormat.java:35).  Cheap: rows are compact binaries.
+        # Term-sorted files maximize parquet row-group min/max pruning for the
+        # query-side term IN (...) filter.
         (
-            postings.sortWithinPartitions("term")
+            postings.repartition(spec.num_shards, "shard")
+            .sortWithinPartitions("term", "salt")
             .write.mode("append")
             .partitionBy("shard")
             .parquet(postings_path)
@@ -330,5 +392,8 @@ def build_index(
             F.lit("committed").alias("status"),
         )
         lineage.write.mode("append").parquet(lineage_path)
+        tf_long.unpersist()
 
+    if analyzed is not None:
+        analyzed.unpersist()
     return Index(path=out_dir, spec=spec, n_docs=n_docs, avgdl=avgdl)
