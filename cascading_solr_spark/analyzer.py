@@ -108,6 +108,33 @@ def analyze_col(col: Column | str) -> Column:
     )
 
 
+def make_cached_tokenizer():
+    """Word-memoized tokenizer for batch kernels: code identifiers repeat
+    heavily, so word->tokens memoization turns the per-word regex into a dict
+    hit.  One cache per kernel invocation (bounded by batch vocabulary)."""
+    cache: dict[str, tuple[str, ...]] = {}
+    findall = _WORD_RE.findall
+    sub_findall = _SUB_RE.findall
+
+    def tokenize_fast(text: str | None) -> list[str]:
+        if not text:
+            return []
+        out: list[str] = []
+        for word in findall(text):
+            toks = cache.get(word)
+            if toks is None:
+                parts = sub_findall(word)
+                if len(parts) <= 1:
+                    toks = (word.lower(),)
+                else:
+                    toks = tuple(p.lower() for p in parts) + (word.lower(),)
+                cache[word] = toks
+            out.extend(toks)
+        return out
+
+    return tokenize_fast
+
+
 def analyze_query(query: str) -> list[str]:
     """Analyze a query string with the same chain as the index (schema.xml:432).
 

@@ -10,10 +10,12 @@ core/SolrWriter.java:59-128).  Our lifecycle:
 2. deterministic dense ``doc_id`` assignment — distributed global-sort rank,
    never a single-partition window;
 3. docs + stats tables (doc store with per-row sha256 invariant);
-4. tokenize JVM-side (analyzer.analyze_col) -> explode -> partial+final hash
-   aggregation for (term, doc_id, tf).  Catalyst's map-side partial agg IS the
-   SPIMI in-memory dictionary: each input partition builds term->tf counts
-   locally and only distinct (term, doc_id) pairs cross the wire;
+4. SPIMI inversion in Arrow-batched Python workers (_spimi_tf_kernel):
+   memoized code-aware tokenization + per-doc Counter build the in-memory
+   term dictionary per partition; only distinct (term, doc_id, tf) pairs
+   cross the wire.  (A pure-Catalyst explode+hash-agg variant was measured
+   and ANTI-scaled with thread count at local[32] — allocation pressure on
+   the single shared JVM heap; separate Python worker processes scale.);
 5. exact df pre-pass marks hot terms (df > hot_term_df_ratio * N, the
    stopword-grade ``import``/``return`` tokens); hot terms get a
    doc-derived salt so no single reducer owns a full hot posting list;
@@ -44,9 +46,52 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cascading_solr_spark.analyzer import analyze_col
+from cascading_solr_spark.analyzer import make_cached_tokenizer
 from cascading_solr_spark.codec import bm25_tf_norm, encode_varint_counts
 from cascading_solr_spark.spec import IndexSpec, validate_schema
+
+TF_SCHEMA = "doc_id long, dl int, shard int, term string, tf int"
+
+
+def _spimi_tf_kernel(content_field: str, num_shards: int):
+    """SPIMI in-memory inversion, Arrow-batched: tokenize (memoized per-word
+    cache — code identifiers repeat heavily) + per-doc Counter -> distinct
+    (doc, term, tf) rows.  This runs in separate Python worker processes, so
+    it scales with cores without sharing one JVM heap (the Catalyst
+    expression analyzer measurably anti-scaled under allocation pressure at
+    local[32]).  The per-doc dict IS the SPIMI dictionary; only distinct
+    (term, doc) pairs ever reach the shuffle."""
+    from collections import Counter
+
+    def kernel(batches):
+        tokenize_fast = make_cached_tokenizer()
+        for pdf in batches:
+            doc_ids: list[int] = []
+            dls: list[int] = []
+            terms: list[str] = []
+            tfs: list[int] = []
+            for doc_id, content in zip(
+                pdf["doc_id"].to_numpy(), pdf[content_field]
+            ):
+                toks = tokenize_fast(content)
+                counts = Counter(toks)
+                k = len(counts)
+                doc_ids.extend([doc_id] * k)
+                dls.extend([len(toks)] * k)
+                terms.extend(counts.keys())
+                tfs.extend(counts.values())
+            ids = np.asarray(doc_ids, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "dl": np.asarray(dls, dtype=np.int32),
+                    "shard": (ids % num_shards).astype(np.int32),
+                    "term": terms,
+                    "tf": np.asarray(tfs, dtype=np.int32),
+                }
+            )
+
+    return kernel
 
 POSTINGS_SCHEMA = (
     "shard int, term string, salt int, n_docs long, doc_ids binary, "
@@ -55,17 +100,38 @@ POSTINGS_SCHEMA = (
 )
 
 
+def _make_dl_udf():
+    """Arrow-vectorized token-count UDF (doc length for the BM25 norm), using
+    the same memoized tokenizer as the SPIMI kernel."""
+
+    @F.pandas_udf("int")
+    def dl(s: pd.Series) -> pd.Series:
+        tokenize_fast = make_cached_tokenizer()
+        return s.map(lambda t: len(tokenize_fast(t))).astype("int32")
+
+    return dl
+
+
 def assign_doc_ids(df: DataFrame, keys: tuple[str, ...]) -> DataFrame:
     """Dense deterministic doc_id = global sort rank over unique ``keys``.
 
-    Scale-safe: a bare ``row_number().over(Window.orderBy(...))`` collapses
-    to ONE partition; instead we range-partition + sort (Spark's distributed
-    sort), count rows per partition (tiny driver collect), and add the
-    partition prefix offsets to a per-partition row_number.  The result is
-    the global rank, independent of the sampled range boundaries, so it is
-    deterministic for a deterministic input.
+    Scale-safe on two axes:
+
+    * a bare ``row_number().over(Window.orderBy(...))`` collapses to ONE
+      partition; instead we range-partition + sort (Spark's distributed
+      sort), count rows per partition (tiny driver collect), and add the
+      partition prefix offsets to a per-partition row_number — the global
+      rank, independent of the sampled range boundaries;
+    * the sort/window/persist runs on a KEYS-ONLY projection (measured: a
+      content-carrying sorted persist anti-scales badly with thread count —
+      35s at local[32] vs 3s at local[8] for 200k 4KB docs), then the ids
+      hash-join back to the full rows WITHOUT sorting the payload (hint
+      shuffle_hash so the planner doesn't pick a sort-merge join that would
+      re-sort content).
     """
-    sorted_df = df.orderBy(*keys).withColumn("_pid", F.spark_partition_id())
+    keys_l = list(keys)
+    slim = df.select(*keys_l)
+    sorted_df = slim.orderBy(*keys_l).withColumn("_pid", F.spark_partition_id())
     sorted_df = sorted_df.persist()
     counts = dict(
         (r["_pid"], r["cnt"])
@@ -81,13 +147,13 @@ def assign_doc_ids(df: DataFrame, keys: tuple[str, ...]) -> DataFrame:
             [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
         )
     )
-    w = Window.partitionBy("_pid").orderBy(*keys)
-    out = (
+    w = Window.partitionBy("_pid").orderBy(*keys_l)
+    ids = (
         sorted_df.join(off_df, "_pid")
         .withColumn("doc_id", F.row_number().over(w) - 1 + F.col("_offset"))
         .drop("_pid", "_offset")
     )
-    return out
+    return df.join(ids.hint("shuffle_hash"), keys_l)
 
 
 @dataclass
@@ -257,24 +323,19 @@ def build_index(
         }
     missing = [s for s in range(spec.num_shards) if s not in committed]
 
-    # ---- single tokenize pass, materialized once, feeding docs AND postings
-    analyzed = None
+    # ---- doc-id pass, materialized once, feeding docs AND postings ----
+    based = None
     if not (resume and os.path.exists(meta_path) and os.path.exists(docs_path)) or (
         missing
     ):
         if spec.doc_id_field:
             based = source.withColumn("doc_id", F.col(spec.doc_id_field).cast("long"))
         else:
+            # NOT persisted: each consumer re-runs the cheap shuffle-hash
+            # join against the cached keys-only id ranking.  Caching the
+            # content-carrying rows was measured to anti-scale with thread
+            # count (memory-store churn at local[32]).
             based = assign_doc_ids(source, spec.key_fields)
-        analyzed = (
-            based.withColumn("tokens", analyze_col(spec.content_field))
-            .withColumn("dl", F.size("tokens"))
-            .withColumn(
-                "shard",
-                F.pmod(F.col("doc_id"), F.lit(spec.num_shards)).cast("int"),
-            )
-            .persist()
-        )
 
     # ---- docs + stats (skip when resuming a partial postings build) ----
     if resume and os.path.exists(meta_path) and os.path.exists(docs_path):
@@ -282,12 +343,15 @@ def build_index(
             meta = json.load(fh)
         n_docs, avgdl = meta["n_docs"], meta["avgdl"]
     else:
-        docs = analyzed.select(
+        dl_udf = _make_dl_udf()
+        docs = based.select(
             "doc_id",
             *[c for c in spec.stored_fields],
-            "dl",
+            dl_udf(F.col(spec.content_field)).alias("dl"),
             F.sha2(F.col(spec.content_field), 256).alias("sha256"),
-            "shard",
+            F.pmod(F.col("doc_id"), F.lit(spec.num_shards)).cast("int").alias(
+                "shard"
+            ),
         )
         # one file per shard dir (not shards x tasks tiny files)
         (
@@ -297,9 +361,11 @@ def build_index(
             .partitionBy("shard")
             .parquet(docs_path)
         )
-        row = analyzed.agg(
-            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-        ).collect()[0]
+        row = (
+            spark.read.parquet(docs_path)
+            .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+            .collect()[0]
+        )
         n_docs, avgdl = int(row["n"]), float(row["avgdl"])
         meta = {
             "spec": {
@@ -317,28 +383,34 @@ def build_index(
 
     # ---- postings ----
     if missing:
-        # SPIMI via Catalyst: explode + hash-agg; the partial (map-side) agg
-        # builds per-partition term->tf dictionaries, the exchange only moves
-        # distinct (term, doc_id) pairs.
-        # NOTE: tf + hot-term df are computed over ALL shards (not just the
-        # missing ones) so the hot-term set — and therefore the salting — is
-        # identical between a fresh build and a resumed one.
-        tf_long = (
-            analyzed.select(
-                "doc_id", "dl", "shard", F.explode("tokens").alias("term")
-            )
-            .groupBy("doc_id", "dl", "shard", "term")
-            .agg(F.count("*").alias("tf"))
-            .persist()
+        # Hot-term detection on a SEEDED SAMPLE of the raw source (not of
+        # `based`, so the sample is independent of join row order and thus
+        # identical between a fresh build and a resumed one).  When the
+        # corpus is small the sample is the full corpus and the threshold
+        # reduces to the exact df > ratio * N rule.
+        frac = min(1.0, spec.hot_sample_docs / max(1, n_docs))
+        sampled = source.select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col(spec.content_field),
         )
-
-        # exact df pre-pass -> hot-term list (stopword-grade code tokens)
-        hot_threshold = max(2.0, spec.hot_term_df_ratio * n_docs)
+        if frac < 1.0:
+            sampled = sampled.sample(fraction=frac, seed=42)
+        sample_tf = sampled.mapInPandas(
+            _spimi_tf_kernel(spec.content_field, 1), TF_SCHEMA
+        )
+        hot_threshold = max(2.0, spec.hot_term_df_ratio * n_docs * frac)
         hot_terms = (
-            tf_long.groupBy("term")
+            sample_tf.groupBy("term")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > hot_threshold)
             .select("term", F.lit(True).alias("_hot"))
+        )
+
+        # SPIMI inversion in Arrow-batched Python workers (_spimi_tf_kernel):
+        # only distinct (term, doc_id, tf) pairs reach the shuffle — ONE
+        # streaming pass straight into the salted repartition (no cache).
+        tf_long = based.select("doc_id", spec.content_field).mapInPandas(
+            _spimi_tf_kernel(spec.content_field, spec.num_shards), TF_SCHEMA
         )
         salted = (
             tf_long.join(F.broadcast(hot_terms), "term", "left")
@@ -392,8 +464,5 @@ def build_index(
             F.lit("committed").alias("status"),
         )
         lineage.write.mode("append").parquet(lineage_path)
-        tf_long.unpersist()
 
-    if analyzed is not None:
-        analyzed.unpersist()
     return Index(path=out_dir, spec=spec, n_docs=n_docs, avgdl=avgdl)

@@ -51,6 +51,11 @@ class IndexSpec:
     # terms whose df exceeds this fraction of N get salted in the build
     # shuffle (stopword-grade code tokens: import/return/def/...).
     hot_term_df_ratio: float = 0.05
+    # hot-term detection runs on a seeded sample of ~this many docs (full
+    # corpus when it is smaller): the hot SET only steers salting, so an
+    # estimate is sufficient — and it avoids materializing the full
+    # (term, doc) pass twice at 10^12-file scale.
+    hot_sample_docs: int = 20_000
     salt_buckets: int = 8
     # SPIMI in-partition flush threshold, the analogue of the reference's
     # 500-doc micro-batch (core/SolrWriter.java:20 MAX_DOCS_PER_ADD).

@@ -32,6 +32,9 @@ def windowed_event_counts(
 ) -> DataFrame:
     """Watermarked tumbling-window counts per event_type (works on both a
     streaming and a batch DataFrame — batch ignores the watermark)."""
+    # parquet event times may load as TIMESTAMP_NTZ; watermarks require
+    # TIMESTAMP (session tz is pinned UTC, so the cast is value-preserving)
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window(ts_col, window), "event_type")
