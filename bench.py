@@ -109,6 +109,13 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
     timings["query_p95"] = (
         statistics.quantiles(lat, n=20)[18] if len(lat) >= 2 else lat[0]
     )
+    # batch path: all queries in one distributed pass
+    from cascading_solr_spark.query.search import search_many
+
+    qset = {f"q{i}": q for i, q in enumerate(QUERY_SET)}
+    timings["qbatch_all"] = timed(
+        lambda: search_many(spark, ix, qset, k=10).collect()
+    )
 
     # ---- 4. operator headliners on the driver tables ----
     timings["naive_bm25_documents"] = timed(

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -98,6 +99,20 @@ POSTINGS_SCHEMA = (
     "tfs binary, dls binary, block_maxes array<double>, n_blocks int, "
     "n_bytes long"
 )
+
+
+class _Prof:
+    """Opt-in build phase timing (CSS_BUILD_PROFILE=1) for scaling work."""
+
+    def __init__(self) -> None:
+        self.on = os.environ.get("CSS_BUILD_PROFILE") == "1"
+        self.t0 = time.perf_counter()
+
+    def mark(self, label: str) -> None:
+        if self.on:
+            t1 = time.perf_counter()
+            print(f"[build-prof] {label:18s} {t1 - self.t0:6.1f}s", flush=True)
+            self.t0 = t1
 
 
 def _make_dl_udf():
@@ -180,6 +195,13 @@ class Index:
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.path, "lineage"))
+
+    def term_dict(self, spark: SparkSession) -> DataFrame | None:
+        """Global term -> df dictionary (None for pre-dict indexes)."""
+        p = os.path.join(self.path, "dict")
+        if not os.path.exists(p):
+            return None
+        return spark.read.parquet(p)
 
 
 def _assembler(avgdl: float, spec: IndexSpec):
@@ -305,6 +327,7 @@ def build_index(
     resume: bool = False,
 ) -> Index:
     """Build (or resume) a sharded compressed inverted index at ``out_dir``."""
+    prof = _Prof()
     validate_schema(source.schema, spec)
     os.makedirs(out_dir, exist_ok=True)
     docs_path = os.path.join(out_dir, "docs")
@@ -361,12 +384,14 @@ def build_index(
             .partitionBy("shard")
             .parquet(docs_path)
         )
+        prof.mark("docs_write")
         row = (
             spark.read.parquet(docs_path)
             .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
             .collect()[0]
         )
         n_docs, avgdl = int(row["n"]), float(row["avgdl"])
+        prof.mark("stats")
         meta = {
             "spec": {
                 k: (list(v) if isinstance(v, tuple) else v)
@@ -406,6 +431,7 @@ def build_index(
             .select("term", F.lit(True).alias("_hot"))
         )
 
+        prof.mark("hot_plan")
         # SPIMI inversion in Arrow-batched Python workers (_spimi_tf_kernel):
         # only distinct (term, doc_id, tf) pairs reach the shuffle — ONE
         # streaming pass straight into the salted repartition (no cache).
@@ -453,6 +479,7 @@ def build_index(
             .partitionBy("shard")
             .parquet(postings_path)
         )
+        prof.mark("postings_write")
 
         # ---- lineage / checkpoint commit ----
         built = spark.read.parquet(postings_path).filter(F.col("shard").isin(missing))
@@ -464,5 +491,19 @@ def build_index(
             F.lit("committed").alias("status"),
         )
         lineage.write.mode("append").parquet(lineage_path)
+
+        # ---- term dictionary: global df per term (the idf source) ----
+        # Rebuilt from ALL postings whenever shards changed, term-sorted for
+        # row-group pruning on the query side's term IN (...) lookup.
+        all_built = spark.read.parquet(postings_path)
+        (
+            all_built.groupBy("term")
+            .agg(F.sum("n_docs").alias("df"))
+            .repartitionByRange(max(1, spec.num_shards // 4), "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "dict"))
+        )
+        prof.mark("lineage+dict")
 
     return Index(path=out_dir, spec=spec, n_docs=n_docs, avgdl=avgdl)

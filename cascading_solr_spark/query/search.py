@@ -71,12 +71,20 @@ def _taat_kernel(idf: dict[str, float], avgdl: float, k1: float, b: float, k: in
     return score
 
 
-def term_dfs(postings: DataFrame, terms: list[str]) -> dict[str, int]:
-    """Global document frequency per query term (sum of per-row n_docs across
-    shards and salts).  One tiny Spark job per query — the analogue of the
-    distributed-IDF fetch a sharded Solr performs."""
+def term_dfs(
+    spark: SparkSession, index: Index, terms: list[str]
+) -> dict[str, int]:
+    """Global document frequency per query term — the analogue of the
+    distributed-IDF fetch a sharded Solr performs.  Served from the build's
+    term-sorted ``dict`` table (a tiny pruned scan); falls back to
+    aggregating posting rows for pre-dict indexes."""
+    d = index.term_dict(spark)
+    if d is not None:
+        rows = d.filter(F.col("term").isin(terms)).collect()
+        return {r["term"]: int(r["df"]) for r in rows}
     rows = (
-        postings.filter(F.col("term").isin(terms))
+        index.postings(spark)
+        .filter(F.col("term").isin(terms))
         .groupBy("term")
         .agg(F.sum("n_docs").alias("df"))
         .collect()
@@ -95,7 +103,7 @@ def search(
     """Top-k BM25 keyword search; returns (doc_id, score[, stored fields, sha256])."""
     terms = analyze_query(query)
     postings = index.postings(spark)
-    dfs = term_dfs(postings, terms) if terms else {}
+    dfs = term_dfs(spark, index, terms) if terms else {}
     if not dfs:  # Q7 zero-hit short-circuit (schema stays stable below)
         top = spark.createDataFrame([], _RESULT_SCHEMA)
     else:
@@ -116,4 +124,92 @@ def search(
     return (
         docs.join(F.broadcast(top), "doc_id")
         .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def search_many(
+    spark: SparkSession,
+    index: Index,
+    queries: dict[str, str],
+    k: int = 10,
+) -> DataFrame:
+    """Answer MANY queries in ONE distributed pass (the batch-query path:
+    one postings scan filtered to the union of all query terms, one kernel
+    run per shard scoring every query, one global per-query top-k window).
+
+    Returns (query_id, doc_id, score) with per-query rank order
+    (score desc, doc_id asc), at most k rows per query.
+    """
+    from pyspark.sql import Window
+
+    plans = {qid: analyze_query(q) for qid, q in queries.items()}
+    all_terms = sorted({t for ts in plans.values() for t in ts})
+    empty = spark.createDataFrame([], "query_id string, doc_id long, score double")
+    if not all_terms:
+        return empty
+    dfs = term_dfs(spark, index, all_terms)
+    if not dfs:
+        return empty
+    n, avgdl = index.n_docs, index.avgdl
+    spec = index.spec
+    idf = {t: bm25_idf(df, n) for t, df in dfs.items()}
+    # per-query scorers share one decode: decode each posting row once,
+    # then accumulate into each query that contains the term
+    term_queries: dict[str, list[str]] = {}
+    for qid, ts in plans.items():
+        for t in ts:
+            if t in idf:
+                term_queries.setdefault(t, []).append(qid)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+        for row in pdf.itertuples(index=False):
+            m = int(row.n_docs)
+            ids = decode_doc_ids(row.doc_ids, m)
+            tfs = decode_varint(row.tfs, m)
+            dls = decode_varint(row.dls, m)
+            contrib = idf[row.term] * bm25_tf_norm(
+                tfs, dls, avgdl, spec.k1, spec.b
+            )
+            decoded.setdefault(row.term, []).append((ids, contrib))
+        out_q: list[str] = []
+        out_ids: list[np.ndarray] = []
+        out_scores: list[np.ndarray] = []
+        for qid, ts in plans.items():
+            segs = [seg for t in ts for seg in decoded.get(t, [])]
+            if not segs:
+                continue
+            ids = np.concatenate([s[0] for s in segs])
+            contrib = np.concatenate([s[1] for s in segs])
+            uniq, inv = np.unique(ids, return_inverse=True)
+            acc = np.zeros(len(uniq))
+            np.add.at(acc, inv, contrib)
+            if len(uniq) > k:
+                part = np.argpartition(-acc, k)[:k]
+                uniq, acc = uniq[part], acc[part]
+            order = np.lexsort((uniq, -acc))
+            out_q.extend([qid] * len(uniq))
+            out_ids.append(uniq[order])
+            out_scores.append(acc[order])
+        if not out_q:
+            return pd.DataFrame(
+                {"query_id": [], "doc_id": [], "score": []}
+            ).astype({"query_id": "object", "doc_id": "int64", "score": "float64"})
+        return pd.DataFrame(
+            {
+                "query_id": out_q,
+                "doc_id": np.concatenate(out_ids),
+                "score": np.concatenate(out_scores),
+            }
+        )
+
+    matched = index.postings(spark).filter(F.col("term").isin(list(idf)))
+    local = matched.groupBy("shard").applyInPandas(
+        kernel, "query_id string, doc_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )

@@ -159,6 +159,32 @@ def test_zero_hit_returns_empty(spark, index):
     assert search(spark, index, "", k=10).count() == 0
 
 
+def test_search_many_matches_single_query_path(spark, index, keyed_rows):
+    from cascading_solr_spark.query.search import search_many
+
+    qset = {f"q{i}": q for i, q in enumerate(QUERIES)}
+    got = search_many(spark, index, qset, k=10).collect()
+    by_q: dict[str, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in qset.items():
+        expected = oracle_bm25(keyed_rows, q, k=10)
+        rows = by_q.get(qid, [])
+        assert [d for d, _ in rows] == [d for d, _ in expected], (qid, q)
+        for (_, s_got), (_, s_exp) in zip(rows, expected):
+            assert s_got == pytest.approx(s_exp, rel=1e-9)
+
+
+def test_term_dict_table(spark, index, keyed_rows):
+    d = index.term_dict(spark)
+    assert d is not None
+    got = {r["term"]: r["df"] for r in d.filter(d.term.isin(["import", "parse"])).collect()}
+    from collections import Counter
+
+    expect_import = sum(1 for _, c in keyed_rows if "import" in tokenize(c))
+    assert got.get("import") == expect_import
+
+
 def test_resume_rebuilds_only_missing_shards(spark, corpus, spec, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("resume") / "ix")
     full = build_index(spark, corpus, spec, out)
