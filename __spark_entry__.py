@@ -76,7 +76,7 @@ def _toks_cte(table: str = "documents") -> str:
     )
 
 
-def _bm25_sql(terms: tuple[str, ...], k: int) -> str:
+def _bm25_sql(terms: tuple[str, ...], k: int | None) -> str:
     tl = ", ".join(f"('{t}')" for t in terms)
     return f"""
 WITH {_toks_cte()},
@@ -95,7 +95,8 @@ scores AS (
   FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
   GROUP BY 1)
 SELECT doc_id, round(score, 4) AS score
-FROM scores ORDER BY round(score, 4) DESC, doc_id ASC LIMIT {k}
+FROM scores ORDER BY round(score, 4) DESC, doc_id ASC
+{f'LIMIT {k}' if k is not None else ''}
 """
 
 
@@ -247,6 +248,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_type", "n", "total_value",
         )
     )
+
+    # --- batched multi-query search (one distributed pass for N queries) ---
+    def _batch(s, d):
+        from cascading_solr_spark.query.search import search_many
+
+        return search_many(
+            s, _index_for(s, d), {"q0": Q_MAIN, "q1": Q_MULTI}, k=10
+        ).select("query_id", "doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_batch_search"] = _batch
+
+    # --- top-k per group (window over BM25 scores) ---
+    def _topk_per_lang(s, d):
+        from pyspark.sql import Window
+
+        scores = bm25_topk_df(_docs(s, d), Q_MAIN, k=None)
+        joined = scores.join(_docs(s, d).select("doc_id", "lang"), "doc_id")
+        w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            joined.withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= 3)
+            .select("lang", "doc_id", "score", "rn")
+        )
+
+    q["ft_topk_per_lang"] = _topk_per_lang
+
+    # --- sessionization (gap-based, window functions) ---
+    def _sessions(s, d):
+        from cascading_solr_spark.operators.sessions import sessionize
+
+        return sessionize(_events(s, d), gap_seconds=1800)
+
+    q["ev_sessionize"] = _sessions
 
     # --- index internals (rows-only checks; binary/non-SQL) ---
     q["ix_lineage"] = lambda s, d: _index_for(s, d).lineage(s).select(
@@ -511,6 +545,38 @@ SELECT doc_id, 'application/octet-stream' AS media_type,
 FROM documents
 """
 
+    o["ft_batch_search"] = f"""
+SELECT 'q0' AS query_id, doc_id, score FROM ({_bm25_sql(tuple(Q_MAIN.split()), 10)}) a
+UNION ALL
+SELECT 'q1' AS query_id, doc_id, score FROM ({_bm25_sql(tuple(Q_MULTI.split()), 10)}) b
+"""
+    o["ft_topk_per_lang"] = f"""
+WITH scores AS ({_bm25_sql(tuple(Q_MAIN.split()), None)}),
+ranked AS (
+  SELECT d.lang, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM scores s JOIN documents d USING (doc_id))
+SELECT lang, doc_id, score, rn::BIGINT AS rn FROM ranked WHERE rn <= 3
+"""
+    o["ev_sessionize"] = """
+WITH e AS (SELECT user_id, event_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+f AS (SELECT user_id, event_id, ts,
+             CASE WHEN prev IS NULL
+                       OR floor(epoch(ts)) - floor(epoch(prev)) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e),
+s AS (SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM f)
+SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS n_events,
+       min(floor(epoch(ts)))::BIGINT AS start_s,
+       max(floor(epoch(ts)))::BIGINT AS end_s
+FROM s GROUP BY user_id, session_id
+"""
     o["ev_windowed_counts"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
        event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS total_value

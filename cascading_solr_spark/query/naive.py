@@ -57,7 +57,7 @@ def _bm25_contrib(k1: float, b: float) -> Column:
 def bm25_topk_df(
     docs: DataFrame,
     query: str,
-    k: int = 10,
+    k: int | None = 10,
     content_col: str = "text",
     id_col: str = "doc_id",
     k1: float = 1.2,
@@ -83,8 +83,9 @@ def bm25_topk_df(
         .agg(F.sum("contrib").alias("score"))
     )
     score = F.round(F.col("score"), round_to) if round_to else F.col("score")
-    return (
-        scored.select("doc_id", score.alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
+    out = scored.select("doc_id", score.alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
     )
+    # k=None -> all matches (a huge .limit() would make Spark build a
+    # TakeOrderedAndProject heap of that size -> OOM)
+    return out if k is None else out.limit(k)
