@@ -378,8 +378,11 @@ def build_index(
         )
         # one file per shard dir (not shards x tasks tiny files)
         (
+            # leading "shard" satisfies FileFormatWriter's required ordering
+            # (else it inserts its own non-stable sort by the partition col,
+            # destroying the doc_id clustering)
             docs.repartition(spec.num_shards, "shard")
-            .sortWithinPartitions("doc_id")
+            .sortWithinPartitions("shard", "doc_id")
             .write.mode("overwrite")
             .partitionBy("shard")
             .parquet(docs_path)
@@ -474,7 +477,7 @@ def build_index(
         # query-side term IN (...) filter.
         (
             postings.repartition(spec.num_shards, "shard")
-            .sortWithinPartitions("term", "salt")
+            .sortWithinPartitions("shard", "term", "salt")
             .write.mode("append")
             .partitionBy("shard")
             .parquet(postings_path)
