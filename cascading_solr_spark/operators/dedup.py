@@ -115,7 +115,10 @@ def minhash_signatures(
 
     h_j(x) = ((2j+1)*x + 13j + 7) mod (2^31-1) over dense shingle ids —
     explicit arithmetic, reproducible in any SQL engine."""
-    s = _shingled(docs, text_col, n)
+    return _signatures_from_shingled(_shingled(docs, text_col, n), num_hashes)
+
+
+def _signatures_from_shingled(s: DataFrame, num_hashes: int = 16) -> DataFrame:
     ids = s.join(shingle_ids(s), "shingle").select("doc_id", "shingle_id")
     hashes = F.explode(
         F.transform(
@@ -147,7 +150,11 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate pairs from LSH band-bucket collisions, verified with exact
     Jaccard.  Scale path: pair generation is bounded by bucket collisions."""
-    sigs = minhash_signatures(docs, text_col, n, num_hashes)
+    # shingle once: signatures, candidate generation, and exact verification
+    # all reuse the materialized shingle set (re-deriving it 4x dominated the
+    # runtime otherwise)
+    shingled = _shingled(docs, text_col, n).persist()
+    sigs = _signatures_from_shingled(shingled, num_hashes)
     bands = (
         sigs.withColumn("band", F.floor(F.col("h") / band_size).cast("int"))
         .groupBy("doc_id", "band")
@@ -179,12 +186,34 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, text_col, n, threshold=0.0).select(
-        "doc_a", "doc_b", "jaccard"
+    # exact-Jaccard verification restricted to candidate pairs (the point of
+    # LSH: never materialize the quadratic pair space)
+    sh = shingled
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
+    ca = F.broadcast(candidates)
+    sh_b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle")
     )
+    common = (
+        sh.join(ca, sh["doc_id"] == ca["doc_a"])
+        .select("doc_a", "doc_b", "shingle")
+        .join(sh_b, ["doc_b", "shingle"])  # equi-join on (doc, shingle)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("nb"))
     return (
-        candidates.join(exact, ["doc_a", "doc_b"])
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 4
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
 

@@ -1,0 +1,59 @@
+"""Compaction (optimize analogue): posting content and query results are
+invariant under compact_index; file count per shard collapses to one."""
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from cascading_solr_spark.corpus import synth_corpus
+from cascading_solr_spark.indexing.build import build_index
+from cascading_solr_spark.indexing.compact import compact_index
+from cascading_solr_spark.query.search import search
+from cascading_solr_spark.spec import IndexSpec
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cx") / "ix")
+    corpus = synth_corpus(spark, 150, partitions=4)
+    ix = build_index(
+        spark, corpus, IndexSpec(num_shards=3, salt_buckets=2), out
+    )
+    before = search(spark, ix, "parse buffer retry", k=10, with_stored=False).collect()
+    postings_before = sorted(
+        map(
+            tuple,
+            ix.postings(spark)
+            .select("shard", "term", "salt", "n_docs", "doc_ids", "tfs", "dls")
+            .collect(),
+        )
+    )
+    return ix, before, postings_before
+
+
+def test_compact_preserves_postings_and_results(spark, built):
+    ix, before, postings_before = built
+    compact_index(spark, ix)
+    postings_after = sorted(
+        map(
+            tuple,
+            ix.postings(spark)
+            .select("shard", "term", "salt", "n_docs", "doc_ids", "tfs", "dls")
+            .collect(),
+        )
+    )
+    assert postings_after == postings_before
+    after = search(spark, ix, "parse buffer retry", k=10, with_stored=False).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+
+
+def test_compact_one_file_per_shard(spark, built):
+    ix, _, _ = built
+    for shard_dir in glob.glob(f"{ix.path}/postings/shard=*"):
+        files = [f for f in glob.glob(f"{shard_dir}/*.parquet")]
+        assert len(files) == 1, shard_dir
+    # still term-sorted after compaction
+    pdf = ix.postings(spark).filter(F.col("shard") == 0).select("term").toPandas()
+    terms = pdf["term"].tolist()
+    assert terms == sorted(terms)
