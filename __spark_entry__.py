@@ -59,10 +59,16 @@ _DOC_SPEC = IndexSpec(
 )
 
 
+_INDEX_FORMAT_VERSION = 2  # bump on any postings/dict layout change
+
+
 def _index_for(spark: SparkSession, sf_dir: str) -> Index:
-    """Build (once, cached on disk keyed by corpus dir) the compressed index."""
+    """Build (once, cached on disk keyed by corpus dir + format version) the
+    compressed index."""
     key = os.path.abspath(sf_dir).replace(os.sep, "_")
-    out = os.path.join(tempfile.gettempdir(), f"css_index{key}")
+    out = os.path.join(
+        tempfile.gettempdir(), f"css_index_v{_INDEX_FORMAT_VERSION}{key}"
+    )
     if not os.path.exists(os.path.join(out, "meta.json")):
         shutil.rmtree(out, ignore_errors=True)
         build_index(spark, _docs(spark, sf_dir), _DOC_SPEC, out)

@@ -52,6 +52,11 @@ def inner(cpus: int) -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # shuffle/spill on tmpfs: this sandbox's virtual disk has noisy
+        # shared bandwidth (identical samples varied 119s..311s while a pure
+        # CPU burn test was stable); a real cluster has local NVMe per
+        # executor.  RAM-backed local dirs make samples reproducible.
+        .config("spark.local.dir", os.environ.get("SCALING_LOCAL_DIR", "/dev/shm/css-spark"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -61,6 +66,13 @@ def inner(cpus: int) -> None:
         ).parquet(CORPUS)
     corpus = spark.read.parquet(CORPUS)
     spec = IndexSpec(num_shards=NUM_SHARDS, salt_buckets=8)
+
+    # page-cache pre-warm: the first-ever cold read of the corpus from this
+    # VM's disk once added >250s to a sample; a throwaway full-content scan
+    # makes every sample measure compute, not first-touch disk
+    from pyspark.sql import functions as F
+
+    corpus.agg(F.sum(F.length("content"))).collect()
 
     # warm-up: JIT + codegen + python worker pools on a small slice
     warm = corpus.limit(WARMUP_FILES)
