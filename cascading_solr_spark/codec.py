@@ -75,8 +75,13 @@ def decode_varint(buf: bytes, n: int | None = None) -> np.ndarray:
     return vals
 
 
-def encode_doc_ids(doc_ids: np.ndarray) -> bytes:
-    """Delta+varint encode a strictly-increasing int64 doc-id array."""
+def encode_doc_ids(doc_ids: np.ndarray, block_size: int | None = None) -> bytes:
+    """Delta+varint encode a strictly-increasing int64 doc-id array.
+
+    With ``block_size``, the delta chain RESTARTS (absolute value) at every
+    block boundary — the property that lets the query kernel decode only the
+    blocks that survive block-max pruning, without touching earlier blocks.
+    """
     ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     if ids.size == 0:
         return b""
@@ -85,13 +90,62 @@ def encode_doc_ids(doc_ids: np.ndarray) -> bytes:
     np.subtract(ids[1:], ids[:-1], out=deltas[1:])
     if ids.size > 1 and deltas[1:].min() <= 0:
         raise ValueError("doc_ids must be strictly increasing")
+    if block_size is not None:
+        starts = np.arange(0, ids.size, block_size)
+        deltas[starts] = ids[starts]
     return encode_varint(deltas.astype(np.uint64))
 
 
-def decode_doc_ids(buf: bytes, n: int | None = None) -> np.ndarray:
+def restart_cumsum(deltas: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Cumulative sum with restarts: values at ``starts`` are absolute, the
+    rest are gaps.  Vectorized (one cumsum + one repeat)."""
+    c = np.cumsum(deltas)
+    sizes = np.diff(np.append(starts, len(deltas)))
+    adj = np.repeat(c[starts] - deltas[starts], sizes)
+    return c - adj
+
+
+def decode_doc_ids(buf: bytes, n: int | None = None,
+                   block_size: int | None = None) -> np.ndarray:
     """Inverse of :func:`encode_doc_ids` -> int64 array."""
-    deltas = decode_varint(buf, n)
-    return np.cumsum(deltas.astype(np.int64))
+    deltas = decode_varint(buf, n).astype(np.int64)
+    if block_size is None:
+        return np.cumsum(deltas)
+    return restart_cumsum(deltas, np.arange(0, len(deltas), block_size))
+
+
+def block_value_counts(n_values: int, n_blocks: int, block_size: int) -> np.ndarray:
+    """Values per block: block_size everywhere, remainder in the last block."""
+    counts = np.full(n_blocks, block_size, dtype=np.int64)
+    if n_blocks:
+        counts[-1] = n_values - (n_blocks - 1) * block_size
+    return counts
+
+
+def decode_selected_blocks(
+    buf: bytes,
+    boffs: np.ndarray,
+    n_values: int,
+    block_size: int,
+    keep: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode ONLY the blocks flagged in ``keep`` (bool mask over blocks).
+
+    ``boffs`` holds the per-block byte start offsets within ``buf`` (written
+    by the build assembler).  Returns ``(values, kept_block_indices)`` where
+    values concatenates the kept blocks in order.  This is the point of the
+    block layout: pruned blocks are never varint-decoded.
+    """
+    boffs = np.asarray(boffs, dtype=np.int64)
+    n_blocks = len(boffs)
+    kept = np.flatnonzero(np.asarray(keep, dtype=bool))
+    if not len(kept):
+        return np.empty(0, dtype=np.uint64), kept
+    ends = np.append(boffs[1:], len(buf))
+    parts = b"".join(buf[boffs[j]: ends[j]] for j in kept)
+    counts = block_value_counts(n_values, n_blocks, block_size)[kept]
+    vals = decode_varint(parts, int(counts.sum()))
+    return vals, kept
 
 
 def bm25_tf_norm(

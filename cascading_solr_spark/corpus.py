@@ -40,29 +40,47 @@ _HOT = {
 }
 
 
+_VOCAB_SIZE = 5000  # Zipfian identifier vocabulary (heavy tail, like real code)
+_ZIPF_A = 1.35
+
+
+def _ident(v: int) -> str:
+    """Identifier #v: the 32 stems are the head of the distribution, the
+    long tail derives numbered variants (buffer417, parse88, ...)."""
+    s = _STEMS[v % len(_STEMS)]
+    return s if v < len(_STEMS) else f"{s}{v}"
+
+
+def _pick(rng: np.random.Generator, n: int) -> list[str]:
+    """n identifiers with Zipf-distributed frequency: a few stopword-grade
+    stems dominate (the salted-shuffle workload) while most identifiers are
+    rare (selective high-idf terms — what real queries hit)."""
+    vs = np.minimum(rng.zipf(_ZIPF_A, size=n) - 1, _VOCAB_SIZE - 1)
+    return [_ident(int(v)) for v in vs]
+
+
 def _gen_rows(start: int, stop: int) -> pd.DataFrame:
     rows = []
     for i in range(start, stop):
         rng = np.random.default_rng(42 + i)  # per-row seed: order-independent
         lang = LANGS[i % len(LANGS)]
         repo = f"org{i % 7}/proj{i % 23}"
-        stem_ids = rng.integers(0, len(_STEMS), size=8)
-        a, b_, c, d = (_STEMS[j] for j in stem_ids[:4])
+        a, b_, c, d = _pick(rng, 4)
         name = f"{a}_{b_}"
-        path = f"src/{c}/{name}.{EXT[lang]}"
+        path = f"src/{c}/{name}.{i}.{EXT[lang]}"
         commit = hashlib.sha256(f"commit-{i}".encode()).hexdigest()[:12]
         n_funcs = int(rng.integers(2, 9))
         hot = _HOT[lang]
         lines = [f"{hot[0]} {c}.{d}"]
         for f_i in range(n_funcs):
-            s = [_STEMS[j] for j in rng.integers(0, len(_STEMS), size=5)]
+            s = _pick(rng, 5)
             camel = s[0] + s[1].capitalize() + s[2].capitalize()
             snake = f"{s[3]}_{s[4]}"
             kw = hot[int(rng.integers(0, len(hot)))]
             lines.append(f"{hot[2]} {camel}({snake}, {s[1]}_count):")
             body_n = int(rng.integers(2, 40))
             for k in range(body_n):
-                t = [_STEMS[j] for j in rng.integers(0, len(_STEMS), size=3)]
+                t = _pick(rng, 3)
                 lines.append(
                     f"    {t[0]}_{t[1]} = {t[2]}{(k % 10)}.{s[k % 5]}() "
                     f"{kw} {hot[int(rng.integers(0, len(hot)))]}"

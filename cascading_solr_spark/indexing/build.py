@@ -8,50 +8,72 @@ core/SolrWriter.java:59-128).  Our lifecycle:
 
 1. plan-time ``validate_schema`` (core/SolrSchemeUtil.java:87-101 analogue);
 2. deterministic dense ``doc_id`` assignment — distributed global-sort rank,
-   never a single-partition window;
-3. docs + stats tables (doc store with per-row sha256 invariant);
-4. SPIMI inversion in Arrow-batched Python workers (_spimi_tf_kernel):
-   memoized code-aware tokenization + per-doc Counter build the in-memory
-   term dictionary per partition; only distinct (term, doc_id, tf) pairs
-   cross the wire.  (A pure-Catalyst explode+hash-agg variant was measured
-   and ANTI-scaled with thread count at local[32] — allocation pressure on
-   the single shared JVM heap; separate Python worker processes scale.);
-5. exact df pre-pass marks hot terms (df > hot_term_df_ratio * N, the
-   stopword-grade ``import``/``return`` tokens); hot terms get a
-   doc-derived salt so no single reducer owns a full hot posting list;
+   never a single-partition window; duplicate keys fail fast (the analogue of
+   Solr's uniqueKey constraint, schema.xml:224);
+3. ONE Python tokenize pass over the corpus: SPIMI inversion in Arrow-batched
+   workers (_spimi_tf_kernel) produces the distinct (term, doc_id, tf) rows
+   that feed EVERYTHING downstream — per-term stats (exact df -> hot-term
+   set + the dict table), corpus stats (total tokens -> avgdl), and the
+   postings shuffle.  (Round 1 scanned the content three times: a dl-UDF
+   docs pass, a sampled hot-term pass, and the SPIMI pass.  Folding them
+   into one pass + a cached tf table cut the serial component and a full
+   Python pass — the round-2 scaling work.);
+4. keyword fields (untokenized StrField analogue, schema.xml:288; multi-valued
+   membership per schema.xml:104 + SolrWriter.java:67-71 tuple-explode) are
+   indexed as ``field:value`` terms in the SAME postings layout, so exact
+   filters compose with BM25 ranking index-side;
+5. exact hot terms (df > hot_term_df_ratio * N — the stopword-grade
+   ``import``/``return`` tokens) get a doc-derived salt so no single reducer
+   owns a full hot posting list; the hot SET is persisted in meta.json so
+   resumed / appended builds salt identically;
 6. salted repartition-and-sort shuffle on (shard, term, salt) + a streaming
    mapInPandas assembler producing delta+varint-compressed posting rows with
-   per-block max metadata (codec.py) — the commit/optimize analogue
-   (core/SolrWriter.java:110-113);
+   per-block (max_tf, min_dl) pruning metadata and per-block byte offsets
+   (codec.py) — block metadata is avgdl-INDEPENDENT so incremental appends
+   never invalidate it;
 7. atomic publish via Spark's task-commit protocol into
    ``postings/shard=N/`` dirs — one logical shard per document bucket,
    exactly the reference's "N shards for N reducers" (README.md:7-8) — plus a
    per-shard lineage table (terms, postings, bytes, skew_ratio, status) that
    doubles as the resume checkpoint.
 
-Resume: ``build_index(..., resume=True)`` reads the lineage table, skips
-shards already committed, and appends only the missing ones — idempotent,
-the analogue of Hadoop task retry + idempotent task output dirs
-(hadoop/SolrOutputFormat.java:57).
+Independent jobs overlap via driver threads (docs write ∥ the tokenize pass;
+dict write ∥ the postings shuffle): the python-worker-heavy stages and the
+JVM-heavy stages use complementary resources, and barrier serialization is
+the dominant fixed cost at small scale.
+
+Resume: ``build_index(..., resume=True)`` reads the lineage table, removes
+any partially-written uncommitted shard dirs, pre-filters the corpus to the
+missing shards (shard = doc_id % num_shards is derivable before tokenizing),
+and appends only those — idempotent, the analogue of Hadoop task retry +
+idempotent task output dirs (hadoop/SolrOutputFormat.java:57).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 from cascading_solr_spark.analyzer import make_cached_tokenizer
-from cascading_solr_spark.codec import bm25_tf_norm, encode_varint_counts
-from cascading_solr_spark.spec import IndexSpec, validate_schema
+from cascading_solr_spark.codec import encode_varint_counts
+from cascading_solr_spark.spec import IndexSpec, IndexSpecError, validate_schema
 
 TF_SCHEMA = "doc_id long, dl int, shard int, term string, tf int"
+
+# keyword-field terms are namespaced "<field>:<value>"; analyzed content terms
+# are [a-z0-9]+ so the ':' can never collide.
+KW_SEP = ":"
 
 
 def _spimi_tf_kernel(content_field: str, num_shards: int):
@@ -94,10 +116,13 @@ def _spimi_tf_kernel(content_field: str, num_shards: int):
 
     return kernel
 
+
 POSTINGS_SCHEMA = (
     "shard int, term string, salt int, n_docs long, doc_ids binary, "
-    "tfs binary, dls binary, block_maxes array<double>, n_blocks int, "
-    "n_bytes long"
+    "tfs binary, dls binary, block_max_tf array<int>, block_min_dl array<int>, "
+    "block_last_id array<long>, "
+    "boffs_ids array<long>, boffs_tfs array<long>, boffs_dls array<long>, "
+    "n_blocks int, n_bytes long"
 )
 
 
@@ -115,43 +140,50 @@ class _Prof:
             self.t0 = t1
 
 
-def _make_dl_udf():
-    """Arrow-vectorized token-count UDF (doc length for the BM25 norm), using
-    the same memoized tokenizer as the SPIMI kernel."""
+def _rank_ids(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    persist: bool = True,
+    check_unique: bool = True,
+) -> tuple[DataFrame, int]:
+    """Dense deterministic rank over unique ``keys`` -> (ids_df, n_rows).
 
-    @F.pandas_udf("int")
-    def dl(s: pd.Series) -> pd.Series:
-        tokenize_fast = make_cached_tokenizer()
-        return s.map(lambda t: len(tokenize_fast(t))).astype("int32")
+    ``ids_df`` has columns ``(*keys, doc_id)``.  Scale-safe: a bare
+    ``row_number().over(Window.orderBy(...))`` collapses to ONE partition;
+    instead we range-partition + sort (Spark's distributed sort), count rows
+    per partition (tiny driver collect), and add the partition prefix offsets
+    to a per-partition row_number — the global rank, independent of the
+    sampled range boundaries.  The sort runs on a KEYS-ONLY projection
+    (measured: a content-carrying sorted persist anti-scales badly with
+    thread count).
 
-    return dl
+    ``check_unique`` enforces the reference's uniqueKey contract
+    (schema.xml:224): duplicate key tuples would silently multiply rows at
+    the join-back, so they raise IndexSpecError.  The check rides the
+    existing per-partition count job (equal keys land in the same range
+    partition, so per-partition distinct counts sum to the global one).
 
-
-def assign_doc_ids(df: DataFrame, keys: tuple[str, ...]) -> DataFrame:
-    """Dense deterministic doc_id = global sort rank over unique ``keys``.
-
-    Scale-safe on two axes:
-
-    * a bare ``row_number().over(Window.orderBy(...))`` collapses to ONE
-      partition; instead we range-partition + sort (Spark's distributed
-      sort), count rows per partition (tiny driver collect), and add the
-      partition prefix offsets to a per-partition row_number — the global
-      rank, independent of the sampled range boundaries;
-    * the sort/window/persist runs on a KEYS-ONLY projection (measured: a
-      content-carrying sorted persist anti-scales badly with thread count —
-      35s at local[32] vs 3s at local[8] for 200k 4KB docs), then the ids
-      hash-join back to the full rows WITHOUT sorting the payload (hint
-      shuffle_hash so the planner doesn't pick a sort-merge join that would
-      re-sort content).
+    With ``persist`` the (small) ids frame is cached and eagerly
+    materialized so the sorted projection can be released immediately;
+    callers that consume the result exactly once can pass persist=False.
     """
     keys_l = list(keys)
     slim = df.select(*keys_l)
     sorted_df = slim.orderBy(*keys_l).withColumn("_pid", F.spark_partition_id())
-    sorted_df = sorted_df.persist()
-    counts = dict(
-        (r["_pid"], r["cnt"])
-        for r in sorted_df.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    )
+    sorted_df = sorted_df.persist(StorageLevel.MEMORY_AND_DISK)
+    aggs = [F.count("*").alias("cnt")]
+    if check_unique:
+        aggs.append(F.count_distinct(*keys_l).alias("dcnt"))
+    rows = sorted_df.groupBy("_pid").agg(*aggs).collect()
+    counts = {r["_pid"]: r["cnt"] for r in rows}
+    if check_unique:
+        dups = sum(r["cnt"] - r["dcnt"] for r in rows)
+        if dups:
+            sorted_df.unpersist()
+            raise IndexSpecError(
+                f"{dups} duplicate rows for key {tuple(keys_l)!r}; the key "
+                "must uniquely identify documents (uniqueKey analogue)"
+            )
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -168,7 +200,25 @@ def assign_doc_ids(df: DataFrame, keys: tuple[str, ...]) -> DataFrame:
         .withColumn("doc_id", F.row_number().over(w) - 1 + F.col("_offset"))
         .drop("_pid", "_offset")
     )
-    return df.join(ids.hint("shuffle_hash"), keys_l)
+    if persist:
+        ids = ids.persist(StorageLevel.MEMORY_AND_DISK)
+        ids.count()  # materialize so the sorted projection can be released
+    sorted_df.unpersist()
+    return ids, acc
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    persist: bool = True,
+    check_unique: bool = True,
+) -> DataFrame:
+    """Attach a dense deterministic ``doc_id`` = global sort rank over
+    ``keys``.  The ids hash-join back to the full rows WITHOUT sorting the
+    payload (hint shuffle_hash so the planner doesn't pick a sort-merge join
+    that would re-sort content)."""
+    ids, _ = _rank_ids(df, keys, persist=persist, check_unique=check_unique)
+    return df.join(ids.hint("shuffle_hash"), list(keys))
 
 
 @dataclass
@@ -179,16 +229,31 @@ class Index:
     spec: IndexSpec
     n_docs: int
     avgdl: float
+    total_tokens: int = 0
+    hot_terms: tuple[str, ...] = ()
+    postings_dirname: str = "postings"
 
     @classmethod
     def load(cls, path: str) -> "Index":
         with open(os.path.join(path, "meta.json")) as fh:
             meta = json.load(fh)
         spec = IndexSpec(**meta["spec"])
-        return cls(path=path, spec=spec, n_docs=meta["n_docs"], avgdl=meta["avgdl"])
+        return cls(
+            path=path,
+            spec=spec,
+            n_docs=meta["n_docs"],
+            avgdl=meta["avgdl"],
+            total_tokens=meta.get("total_tokens", 0),
+            hot_terms=tuple(meta.get("hot_terms", ())),
+            postings_dirname=meta.get("postings_dirname", "postings"),
+        )
+
+    @property
+    def postings_path(self) -> str:
+        return os.path.join(self.path, self.postings_dirname)
 
     def postings(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.path, "postings"))
+        return spark.read.parquet(self.postings_path)
 
     def docs(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.path, "docs"))
@@ -204,23 +269,33 @@ class Index:
         return spark.read.parquet(p)
 
 
-def _assembler(avgdl: float, spec: IndexSpec):
+def _assembler(spec: IndexSpec):
     """mapInPandas posting assembler over a partition sorted by
     (shard, term, salt, doc_id).  Groups may span Arrow batches, so the tail
     group of each batch is carried into the next — the streaming analogue of
     the reference's flush-on-500-docs micro-batching (SolrWriter.java:101-122).
+
+    Emits per-block pruning metadata as raw (max_tf, min_dl) ints — the BM25
+    tf-norm is monotone increasing in tf and decreasing in dl, so
+    tf_norm(max_tf, min_dl) bounds every posting in the block for ANY avgdl.
+    Storing the raw pair instead of a precomputed norm keeps block metadata
+    valid when incremental appends shift the corpus avgdl.  Per-block byte
+    offsets + block-local delta restarts let the query side decode only
+    surviving blocks (Block-Max WAND, Ding & Suel SIGIR 2011).
     """
-    k1, b, block = spec.k1, spec.b, spec.block_size
+    block = spec.block_size
 
     cols = [
         "shard", "term", "salt", "n_docs", "doc_ids", "tfs", "dls",
-        "block_maxes", "n_blocks", "n_bytes",
+        "block_max_tf", "block_min_dl", "block_last_id",
+        "boffs_ids", "boffs_tfs", "boffs_dls",
+        "n_blocks", "n_bytes",
     ]
 
     def emit(pdf: pd.DataFrame) -> pd.DataFrame:
         """Batch-vectorized group assembly: ONE global varint encode per
         column, split into per-group byte slices via the per-value byte
-        counts; block maxes via maximum.reduceat on global block starts.
+        counts; block metadata via reduceat on global block starts.
         The only per-group Python is bytes slicing."""
         n = len(pdf)
         shard = pdf["shard"].to_numpy(dtype=np.int32)
@@ -241,15 +316,23 @@ def _assembler(avgdl: float, spec: IndexSpec):
         sizes = np.diff(np.append(starts, n))
         n_groups = len(starts)
 
-        # delta-encode doc ids globally; group-leading values stay absolute
+        # global block starts: every `block` postings within each group
+        pos_in_group = np.arange(n) - np.repeat(starts, sizes)
+        bstarts = np.flatnonzero(pos_in_group % block == 0)
+        nblocks = -(-sizes // block)
+        boff = np.zeros(n_groups + 1, dtype=np.int64)
+        np.cumsum(nblocks, out=boff[1:])
+
+        # delta-encode doc ids; the chain restarts (absolute) at EVERY block
+        # start so blocks decode independently
         deltas = np.empty(n, dtype=np.int64)
         deltas[0] = ids[0]
         np.subtract(ids[1:], ids[:-1], out=deltas[1:])
-        deltas[starts] = ids[starts]
         if n > 1:
-            inner = deltas[~change]
+            inner = deltas[1:][~change[1:]]
             if inner.size and inner.min() <= 0:
                 raise ValueError("doc_ids not strictly increasing within group")
+        deltas[bstarts] = ids[bstarts]
         ids_b, nb_ids = encode_varint_counts(deltas.astype(np.uint64))
         tfs_b, nb_tfs = encode_varint_counts(tfs.astype(np.uint64))
         dls_b, nb_dls = encode_varint_counts(dls.astype(np.uint64))
@@ -260,14 +343,21 @@ def _assembler(avgdl: float, spec: IndexSpec):
         np.cumsum(np.add.reduceat(nb_tfs, starts), out=off_tfs[1:])
         np.cumsum(np.add.reduceat(nb_dls, starts), out=off_dls[1:])
 
-        # per-group per-block maxima of the BM25 tf-norm
-        norms = bm25_tf_norm(tfs, dls, avgdl, k1, b)
-        pos_in_group = np.arange(n) - np.repeat(starts, sizes)
-        bstarts = np.flatnonzero(pos_in_group % block == 0)
-        bmax_all = np.maximum.reduceat(norms, bstarts)
-        nblocks = -(-sizes // block)
-        boff = np.zeros(n_groups + 1, dtype=np.int64)
-        np.cumsum(nblocks, out=boff[1:])
+        # per-block byte offsets RELATIVE to the group's buffer start
+        def block_offs(nb: np.ndarray, group_off: np.ndarray) -> list:
+            pre = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(nb, out=pre[1:])
+            rel = pre[bstarts] - np.repeat(group_off[:-1], nblocks)
+            return [rel[boff[i]: boff[i + 1]].tolist() for i in range(n_groups)]
+
+        # per-block pruning metadata: raw max tf / min dl (avgdl-independent)
+        # + the block's LAST doc id (blocks partition the group's id range, so
+        # the query kernel locates accumulated docs per block by searchsorted
+        # and skips blocks holding none — without any decode)
+        bmax_tf = np.maximum.reduceat(tfs, bstarts)
+        bmin_dl = np.minimum.reduceat(dls, bstarts)
+        bends = np.append(bstarts[1:], n) - 1
+        blast = ids[bends]
 
         return pd.DataFrame(
             {
@@ -276,13 +366,24 @@ def _assembler(avgdl: float, spec: IndexSpec):
                 "salt": salt[starts],
                 "n_docs": sizes.astype(np.int64),
                 "doc_ids": [
-                    ids_b[off_ids[i] : off_ids[i + 1]] for i in range(n_groups)
+                    ids_b[off_ids[i]: off_ids[i + 1]] for i in range(n_groups)
                 ],
-                "tfs": [tfs_b[off_tfs[i] : off_tfs[i + 1]] for i in range(n_groups)],
-                "dls": [dls_b[off_dls[i] : off_dls[i + 1]] for i in range(n_groups)],
-                "block_maxes": [
-                    bmax_all[boff[i] : boff[i + 1]].tolist() for i in range(n_groups)
+                "tfs": [tfs_b[off_tfs[i]: off_tfs[i + 1]] for i in range(n_groups)],
+                "dls": [dls_b[off_dls[i]: off_dls[i + 1]] for i in range(n_groups)],
+                "block_max_tf": [
+                    bmax_tf[boff[i]: boff[i + 1]].astype(np.int32).tolist()
+                    for i in range(n_groups)
                 ],
+                "block_min_dl": [
+                    bmin_dl[boff[i]: boff[i + 1]].astype(np.int32).tolist()
+                    for i in range(n_groups)
+                ],
+                "block_last_id": [
+                    blast[boff[i]: boff[i + 1]].tolist() for i in range(n_groups)
+                ],
+                "boffs_ids": block_offs(nb_ids, off_ids),
+                "boffs_tfs": block_offs(nb_tfs, off_tfs),
+                "boffs_dls": block_offs(nb_dls, off_dls),
                 "n_blocks": nblocks.astype(np.int32),
                 "n_bytes": (
                     np.diff(off_ids) + np.diff(off_tfs) + np.diff(off_dls)
@@ -319,6 +420,121 @@ def _assembler(avgdl: float, spec: IndexSpec):
     return assemble
 
 
+def keyword_term(field: str, value: F.Column | str) -> F.Column:
+    """The index term for an exact (untokenized) keyword field value:
+    ``field:value`` — StrField analogue (schema.xml:288), case-preserving."""
+    v = F.lit(value) if isinstance(value, str) else value
+    return F.concat(F.lit(field + KW_SEP), v)
+
+
+def _keyword_tf_rows(based: DataFrame, spec: IndexSpec) -> DataFrame | None:
+    """(doc_id, dl=1, shard, term='field:value', tf=1) rows for every keyword
+    field value.  Multi-valued fields explode (SolrWriter.java:67-71
+    tuple-explode analogue); nulls are skipped (SolrWriter.java:65-66
+    null-skip).  Pure Catalyst — no Python in this path."""
+    if not spec.keyword_fields:
+        return None
+    schema = {f.name: f.dataType for f in based.schema.fields}
+    parts: list[DataFrame] = []
+    for field in spec.keyword_fields:
+        dt = schema[field]
+        if isinstance(dt, T.ArrayType):
+            vals = F.explode(F.array_distinct(F.col(field))).alias("_kw")
+        else:
+            vals = F.col(field).cast("string").alias("_kw")
+        part = based.select("doc_id", vals).filter(F.col("_kw").isNotNull())
+        parts.append(
+            part.select(
+                "doc_id",
+                F.lit(1).cast("int").alias("dl"),
+                F.pmod(F.col("doc_id"), F.lit(spec.num_shards))
+                .cast("int")
+                .alias("shard"),
+                keyword_term(field, F.col("_kw")).alias("term"),
+                F.lit(1).cast("int").alias("tf"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _salted(tf_long: DataFrame, hot_terms: list[str], spec: IndexSpec) -> DataFrame:
+    """Attach the shuffle salt: hot terms split by a doc-derived bucket so no
+    single reducer owns a full hot posting list; cold terms keep salt 0."""
+    spark = tf_long.sparkSession
+    if hot_terms:
+        hot_df = spark.createDataFrame(
+            [(t,) for t in hot_terms], "term string"
+        ).withColumn("_hot", F.lit(True))
+    else:
+        hot_df = spark.createDataFrame([], "term string, _hot boolean")
+    hot_df = F.broadcast(hot_df)
+    return (
+        tf_long.join(hot_df, "term", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.pmod(
+                    F.floor(F.col("doc_id") / spec.num_shards),
+                    F.lit(spec.salt_buckets),
+                ).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_hot")
+    )
+
+
+def _write_postings(
+    postings: DataFrame, postings_path: str, spec: IndexSpec, mode: str = "append"
+) -> None:
+    """"Segment merge": re-shuffle the already-COMPRESSED posting rows so each
+    shard lands in one term-sorted file — the analogue of the reference's
+    optimize(maxSegments) at close (core/SolrWriter.java:112,
+    hadoop/SolrOutputFormat.java:35).  Cheap: rows are compact binaries.
+    Term-sorted files maximize parquet row-group min/max pruning for the
+    query-side term IN (...) filter.  The leading "shard" sort key satisfies
+    FileFormatWriter's required ordering (else it inserts its own non-stable
+    sort by the partition column, destroying the term ordering)."""
+    (
+        postings.repartition(spec.num_shards, "shard")
+        .sortWithinPartitions("shard", "term", "salt")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(postings_path)
+    )
+
+
+def _write_lineage(
+    spark: SparkSession, postings_path: str, lineage_path: str, shards: list[int]
+) -> None:
+    built = spark.read.parquet(postings_path).filter(F.col("shard").isin(shards))
+    lineage = built.groupBy("shard").agg(
+        F.count("*").alias("terms"),
+        F.sum("n_docs").alias("postings"),
+        F.sum("n_bytes").alias("bytes"),
+        (F.max("n_docs") / F.avg("n_docs")).alias("skew_ratio"),
+        F.lit("committed").alias("status"),
+    )
+    lineage.write.mode("append").parquet(lineage_path)
+
+
+def write_meta(out_dir: str, meta: dict) -> None:
+    """Atomic meta.json replace (write tmp + os.replace)."""
+    tmp = os.path.join(out_dir, "meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(out_dir, "meta.json"))
+
+
+def _spec_meta(spec: IndexSpec) -> dict:
+    return {
+        k: (list(v) if isinstance(v, tuple) else v) for k, v in spec.__dict__.items()
+    }
+
+
 def build_index(
     spark: SparkSession,
     source: DataFrame,
@@ -335,178 +551,202 @@ def build_index(
     lineage_path = os.path.join(out_dir, "lineage")
     meta_path = os.path.join(out_dir, "meta.json")
 
+    # meta.json (written BEFORE the postings job, with the final stats + hot
+    # set) is the source of truth for resume: without it, salting decisions
+    # could not be reproduced, so any partial state is wiped.
     committed: set[int] = set()
-    if resume and os.path.exists(lineage_path):
-        committed = {
-            r["shard"]
-            for r in spark.read.parquet(lineage_path)
-            .filter(F.col("status") == "committed")
-            .select("shard")
-            .collect()
-        }
+    if not resume or not os.path.exists(meta_path):
+        # clean slate: a rebuild into an existing dir must never append onto
+        # stale postings (df inflation flips idf negative) — drop everything.
+        for sub in ("postings", "lineage", "dict", "docs"):
+            shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+        if os.path.exists(meta_path):
+            os.remove(meta_path)
+    else:
+        if os.path.exists(lineage_path):
+            committed = {
+                r["shard"]
+                for r in spark.read.parquet(lineage_path)
+                .filter(F.col("status") == "committed")
+                .select("shard")
+                .collect()
+            }
+        # reconcile: a crash after a postings task commit but before the
+        # lineage write leaves a partial uncommitted shard dir — appending
+        # onto it would duplicate rows, so drop it first.
+        for s in range(spec.num_shards):
+            if s not in committed:
+                shutil.rmtree(
+                    os.path.join(postings_path, f"shard={s}"), ignore_errors=True
+                )
     missing = [s for s in range(spec.num_shards) if s not in committed]
 
-    # ---- doc-id pass, materialized once, feeding docs AND postings ----
-    based = None
-    if not (resume and os.path.exists(meta_path) and os.path.exists(docs_path)) or (
-        missing
-    ):
-        if spec.doc_id_field:
-            based = source.withColumn("doc_id", F.col(spec.doc_id_field).cast("long"))
-        else:
-            # NOT persisted: each consumer re-runs the cheap shuffle-hash
-            # join against the cached keys-only id ranking.  Caching the
-            # content-carrying rows was measured to anti-scale with thread
-            # count (memory-store churn at local[32]).
-            based = assign_doc_ids(source, spec.key_fields)
+    have_meta = os.path.exists(meta_path)
+    have_docs = have_meta and os.path.exists(os.path.join(docs_path, "_SUCCESS"))
 
-    # ---- docs + stats (skip when resuming a partial postings build) ----
-    if resume and os.path.exists(meta_path) and os.path.exists(docs_path):
+    # ---- doc ids: dense deterministic rank (or a caller-provided id) ----
+    ids_handle: DataFrame | None = None
+    n_docs: int | None = None
+    if spec.doc_id_field:
+        based = source.withColumn("doc_id", F.col(spec.doc_id_field).cast("long"))
+    else:
+        ids_handle, n_docs = _rank_ids(source, spec.key_fields)
+        based = source.join(ids_handle.hint("shuffle_hash"), list(spec.key_fields))
+
+    meta: dict = {}
+    hot_terms: list[str] = []
+    avgdl = 0.0
+    total_tokens = 0
+    if have_meta:
         with open(meta_path) as fh:
             meta = json.load(fh)
-        n_docs, avgdl = meta["n_docs"], meta["avgdl"]
-    else:
-        dl_udf = _make_dl_udf()
-        docs = based.select(
-            "doc_id",
-            *[c for c in spec.stored_fields],
-            dl_udf(F.col(spec.content_field)).alias("dl"),
-            F.sha2(F.col(spec.content_field), 256).alias("sha256"),
-            F.pmod(F.col("doc_id"), F.lit(spec.num_shards)).cast("int").alias(
-                "shard"
-            ),
-        )
-        # one file per shard dir (not shards x tasks tiny files)
-        (
-            # leading "shard" satisfies FileFormatWriter's required ordering
-            # (else it inserts its own non-stable sort by the partition col,
-            # destroying the doc_id clustering)
-            docs.repartition(spec.num_shards, "shard")
-            .sortWithinPartitions("shard", "doc_id")
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(docs_path)
-        )
-        prof.mark("docs_write")
-        row = (
-            spark.read.parquet(docs_path)
-            .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
-            .collect()[0]
-        )
-        n_docs, avgdl = int(row["n"]), float(row["avgdl"])
-        prof.mark("stats")
-        meta = {
-            "spec": {
-                k: (list(v) if isinstance(v, tuple) else v)
-                for k, v in spec.__dict__.items()
-            },
-            "n_docs": n_docs,
-            "avgdl": avgdl,
-        }
-        # tuples serialize as lists; IndexSpec accepts both
-        meta["spec"]["key_fields"] = list(spec.key_fields)
-        meta["spec"]["stored_fields"] = list(spec.stored_fields)
-        with open(meta_path, "w") as fh:
-            json.dump(meta, fh)
+        n_docs = meta["n_docs"]
+        avgdl = meta["avgdl"]
+        total_tokens = meta.get("total_tokens", 0)
+        hot_terms = list(meta.get("hot_terms", ()))
+    elif n_docs is None:
+        # doc_id_field path: parquet sources answer count() from footers
+        n_docs = source.count()
 
-    # ---- postings ----
-    if missing:
-        # Hot-term detection on a SEEDED SAMPLE of the raw source (not of
-        # `based`, so the sample is independent of join row order and thus
-        # identical between a fresh build and a resumed one).  When the
-        # corpus is small the sample is the full corpus and the threshold
-        # reduces to the exact df > ratio * N rule.
-        frac = min(1.0, spec.hot_sample_docs / max(1, n_docs))
-        sampled = source.select(
-            F.monotonically_increasing_id().alias("doc_id"),
-            F.col(spec.content_field),
-        )
-        if frac < 1.0:
-            sampled = sampled.sample(fraction=frac, seed=42)
-        sample_tf = sampled.mapInPandas(
-            _spimi_tf_kernel(spec.content_field, 1), TF_SCHEMA
-        )
-        hot_threshold = max(2.0, spec.hot_term_df_ratio * n_docs * frac)
-        hot_terms = (
-            sample_tf.groupBy("term")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > hot_threshold)
-            .select("term", F.lit(True).alias("_hot"))
-        )
-
-        prof.mark("hot_plan")
-        # SPIMI inversion in Arrow-batched Python workers (_spimi_tf_kernel):
-        # only distinct (term, doc_id, tf) pairs reach the shuffle — ONE
-        # streaming pass straight into the salted repartition (no cache).
-        tf_long = based.select("doc_id", spec.content_field).mapInPandas(
-            _spimi_tf_kernel(spec.content_field, spec.num_shards), TF_SCHEMA
-        )
-        salted = (
-            tf_long.join(F.broadcast(hot_terms), "term", "left")
-            .withColumn(
-                "salt",
-                F.when(
-                    F.col("_hot").isNotNull(),
-                    F.pmod(
-                        F.floor(F.col("doc_id") / spec.num_shards),
-                        F.lit(spec.salt_buckets),
-                    ).cast("int"),
-                ).otherwise(F.lit(0)),
+    fresh_full = not have_meta
+    pool = ThreadPoolExecutor(max_workers=3)
+    tf_long: DataFrame | None = None
+    term_stats: DataFrame | None = None
+    try:
+        # ---- the ONE Python tokenize pass (SPIMI) + keyword rows ----
+        if missing:
+            src = based
+            if len(missing) < spec.num_shards:
+                # resume: shard = doc_id % num_shards is known pre-tokenize
+                src = based.filter(
+                    F.pmod(F.col("doc_id"), F.lit(spec.num_shards)).isin(missing)
+                )
+            tf_long = src.select("doc_id", spec.content_field).mapInPandas(
+                _spimi_tf_kernel(spec.content_field, spec.num_shards), TF_SCHEMA
             )
-            .drop("_hot")
-        )
+            kw_rows = _keyword_tf_rows(src, spec)
+            if kw_rows is not None:
+                tf_long = tf_long.unionByName(kw_rows)
+            if fresh_full:
+                tf_long = tf_long.persist(StorageLevel.MEMORY_AND_DISK)
 
-        shuffle_parts = int(
-            spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
-        )
-        n_parts = max(spec.num_shards, shuffle_parts)
-        if len(missing) < spec.num_shards:
-            salted = salted.filter(F.col("shard").isin(missing))
-        arranged = salted.repartition(
-            n_parts, "shard", "term", "salt"
-        ).sortWithinPartitions("shard", "term", "salt", "doc_id")
+        # ---- docs table write (concurrent: JVM-side sha256+parquet overlaps
+        # the python-worker tokenize pass) ----
+        def write_docs() -> None:
+            docs = based.select(
+                "doc_id",
+                *[c for c in spec.stored_fields],
+                F.sha2(F.col(spec.content_field), 256).alias("sha256"),
+                F.pmod(F.col("doc_id"), F.lit(spec.num_shards))
+                .cast("int")
+                .alias("shard"),
+            )
+            (
+                docs.repartition(spec.num_shards, "shard")
+                .sortWithinPartitions("shard", "doc_id")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(docs_path)
+            )
 
-        postings = arranged.mapInPandas(
-            _assembler(avgdl, spec), schema=POSTINGS_SCHEMA
-        )
-        # "segment merge": re-shuffle the already-COMPRESSED posting rows so
-        # each shard lands in one term-sorted file — the analogue of the
-        # reference's optimize(maxSegments) at close (core/SolrWriter.java:112,
-        # hadoop/SolrOutputFormat.java:35).  Cheap: rows are compact binaries.
-        # Term-sorted files maximize parquet row-group min/max pruning for the
-        # query-side term IN (...) filter.
-        (
-            postings.repartition(spec.num_shards, "shard")
-            .sortWithinPartitions("shard", "term", "salt")
-            .write.mode("append")
-            .partitionBy("shard")
-            .parquet(postings_path)
-        )
-        prof.mark("postings_write")
+        docs_future = None if have_docs else pool.submit(write_docs)
 
-        # ---- lineage / checkpoint commit ----
-        built = spark.read.parquet(postings_path).filter(F.col("shard").isin(missing))
-        lineage = built.groupBy("shard").agg(
-            F.count("*").alias("terms"),
-            F.sum("n_docs").alias("postings"),
-            F.sum("n_bytes").alias("bytes"),
-            (F.max("n_docs") / F.avg("n_docs")).alias("skew_ratio"),
-            F.lit("committed").alias("status"),
-        )
-        lineage.write.mode("append").parquet(lineage_path)
+        dict_future = None
+        if missing and fresh_full:
+            # exact per-term stats from the tokenize pass: df -> hot set +
+            # dict table; Σtf -> avgdl.  ONE aggregation job.
+            term_stats = (
+                tf_long.groupBy("term")
+                .agg(F.count("*").alias("df"), F.sum("tf").alias("ttf"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            threshold = max(2.0, spec.hot_term_df_ratio * n_docs)
+            hot_terms = sorted(
+                r["term"]
+                for r in term_stats.filter(F.col("df") > threshold)
+                .select("term")
+                .collect()
+            )
+            prof.mark("tokenize+stats")
+            # total CONTENT tokens (keyword rows are namespaced with ':')
+            total_tokens = int(
+                term_stats.filter(~F.col("term").contains(KW_SEP))
+                .agg(F.sum("ttf"))
+                .collect()[0][0]
+                or 0
+            )
+            avgdl = total_tokens / n_docs if n_docs else 0.0
 
-        # ---- term dictionary: global df per term (the idf source) ----
-        # Rebuilt from ALL postings whenever shards changed, term-sorted for
-        # row-group pruning on the query side's term IN (...) lookup.
-        all_built = spark.read.parquet(postings_path)
-        (
-            all_built.groupBy("term")
-            .agg(F.sum("n_docs").alias("df"))
-            .repartitionByRange(max(1, spec.num_shards // 4), "term")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .parquet(os.path.join(out_dir, "dict"))
-        )
-        prof.mark("lineage+dict")
+            def write_dict() -> None:
+                # term-sorted for row-group pruning on the query side's
+                # term IN (...) df lookup
+                (
+                    term_stats.select("term", "df")
+                    .repartition(max(1, spec.num_shards // 4), "term")
+                    .sortWithinPartitions("term")
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(out_dir, "dict"))
+                )
 
-    return Index(path=out_dir, spec=spec, n_docs=n_docs, avgdl=avgdl)
+            dict_future = pool.submit(write_dict)
+
+        # ---- meta (written before postings so a crash mid-postings resumes
+        # with identical salting decisions) ----
+        if not have_meta:
+            meta = {
+                "spec": _spec_meta(spec),
+                "n_docs": n_docs,
+                "avgdl": avgdl,
+                "total_tokens": total_tokens,
+                "next_doc_id": n_docs,
+                "hot_terms": hot_terms,
+                "postings_dirname": "postings",
+            }
+            write_meta(out_dir, meta)
+
+        # ---- postings: salted repartition-and-sort + streaming assembler ----
+        if missing:
+            shuffle_parts = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+            )
+            n_parts = max(spec.num_shards, shuffle_parts)
+            arranged = _salted(tf_long, hot_terms, spec).repartition(
+                n_parts, "shard", "term", "salt"
+            ).sortWithinPartitions("shard", "term", "salt", "doc_id")
+            postings = arranged.mapInPandas(_assembler(spec), schema=POSTINGS_SCHEMA)
+            _write_postings(postings, postings_path, spec, mode="append")
+            prof.mark("postings_write")
+            _write_lineage(spark, postings_path, lineage_path, missing)
+            if not fresh_full:
+                # partial rebuild: the tokenize pass only saw the missing
+                # shards, so the global dict must come from ALL postings
+                all_built = spark.read.parquet(postings_path)
+                (
+                    all_built.groupBy("term")
+                    .agg(F.sum("n_docs").alias("df"))
+                    .repartition(max(1, spec.num_shards // 4), "term")
+                    .sortWithinPartitions("term")
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(out_dir, "dict"))
+                )
+            prof.mark("lineage+dict")
+
+        if docs_future is not None:
+            docs_future.result()
+        if dict_future is not None:
+            dict_future.result()
+        prof.mark("docs_join")
+    finally:
+        pool.shutdown(wait=True)
+        for cached in (tf_long, term_stats, ids_handle):
+            if cached is not None:
+                cached.unpersist()
+
+    return Index(
+        path=out_dir,
+        spec=spec,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        total_tokens=total_tokens,
+        hot_terms=tuple(hot_terms),
+    )

@@ -1,17 +1,25 @@
 """Index compaction — the explicit ``optimize(maxSegments)`` analogue
 (reference: core/SolrWriter.java:112, hadoop/SolrOutputFormat.java:35,
-local/SolrScheme.java:27: hard commit then merge segments at close).
+local/SolrScheme.java:27: hard commit then merge segments at close;
+maxSegments is 10 on hadoop / 1 on local).
 
 After resume waves or streaming appends a shard dir can hold many files and
 a (shard, term, salt) key can be split across posting rows.  Compaction
 rebuilds the postings FROM THE COMPRESSED ROWS (decode -> merge -> re-encode
-via the same assembler), never re-tokenizing the corpus: one term-sorted
-file per shard, one row per (shard, term, salt), fresh dict + lineage.
-The swap is directory-atomic (write to .compact.tmp, rename).
-"""
+via the same assembler), never re-tokenizing the corpus: ``max_segments``
+files per shard (default 1), one row per (shard, term, salt), and a rebuilt
+lineage table (per-shard terms/postings/bytes go stale once split rows
+merge).  The dict table is unchanged — global df per term is
+segment-layout-independent.
+
+Crash safety: the new postings generation is written to a fresh
+``postings.genN`` directory, then meta.json is atomically replaced
+(os.replace) to point at it, then the old generation is deleted.  A crash at
+any step leaves a complete, queryable postings directory."""
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -26,81 +34,102 @@ from cascading_solr_spark.indexing.build import (
     TF_SCHEMA,
     Index,
     _assembler,
+    _salted,
+    write_meta,
 )
 
 
-def _decode_kernel(batches):
+def _decode_kernel(block_size: int):
     """posting rows -> (doc_id, dl, shard, term, tf) long rows (vectorized:
     one concat per batch, no per-posting Python)."""
-    for pdf in batches:
-        ids_l, tfs_l, dls_l, terms_l, shards_l = [], [], [], [], []
-        for row in pdf.itertuples(index=False):
-            n = int(row.n_docs)
-            ids_l.append(decode_doc_ids(row.doc_ids, n))
-            tfs_l.append(decode_varint(row.tfs, n))
-            dls_l.append(decode_varint(row.dls, n))
-            terms_l.append(np.repeat(row.term, n))
-            shards_l.append(np.full(n, row.shard, dtype=np.int32))
-        if not ids_l:
-            continue
-        yield pd.DataFrame(
-            {
-                "doc_id": np.concatenate(ids_l).astype(np.int64),
-                "dl": np.concatenate(dls_l).astype(np.int32),
-                "shard": np.concatenate(shards_l),
-                "term": np.concatenate(terms_l),
-                "tf": np.concatenate(tfs_l).astype(np.int32),
-            }
-        )
+
+    def decode(batches):
+        for pdf in batches:
+            ids_l, tfs_l, dls_l, terms_l, shards_l = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                n = int(row.n_docs)
+                ids_l.append(decode_doc_ids(row.doc_ids, n, block_size))
+                tfs_l.append(decode_varint(row.tfs, n))
+                dls_l.append(decode_varint(row.dls, n))
+                terms_l.append(np.repeat(row.term, n))
+                shards_l.append(np.full(n, row.shard, dtype=np.int32))
+            if not ids_l:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids_l).astype(np.int64),
+                    "dl": np.concatenate(dls_l).astype(np.int32),
+                    "shard": np.concatenate(shards_l),
+                    "term": np.concatenate(terms_l),
+                    "tf": np.concatenate(tfs_l).astype(np.int32),
+                }
+            )
+
+    return decode
 
 
-def compact_index(spark: SparkSession, index: Index) -> Index:
-    """Merge-rewrite the postings of ``index`` in place; returns the index."""
+def compact_index(
+    spark: SparkSession, index: Index, max_segments: int = 1
+) -> Index:
+    """Merge-rewrite the postings of ``index`` into a new generation dir;
+    returns a refreshed handle."""
     spec = index.spec
-    postings_path = os.path.join(index.path, "postings")
-    tmp_path = os.path.join(index.path, "postings.compact.tmp")
-    shutil.rmtree(tmp_path, ignore_errors=True)
+    old_dirname = index.postings_dirname
+    old_path = index.postings_path
+    gen = 0
+    if old_dirname.startswith("postings.gen"):
+        gen = int(old_dirname.rsplit("gen", 1)[1])
+    new_dirname = f"postings.gen{gen + 1}"
+    new_path = os.path.join(index.path, new_dirname)
+    shutil.rmtree(new_path, ignore_errors=True)
 
-    tf_long = index.postings(spark).mapInPandas(_decode_kernel, TF_SCHEMA)
-    # exact hot set, free from the dict table built at index time
-    d = index.term_dict(spark)
-    threshold = max(2.0, spec.hot_term_df_ratio * index.n_docs)
-    hot = (
-        d.filter(F.col("df") > threshold).select(
-            "term", F.lit(True).alias("_hot")
-        )
-        if d is not None
-        else spark.createDataFrame([], "term string, _hot boolean")
+    tf_long = index.postings(spark).mapInPandas(
+        _decode_kernel(spec.block_size), TF_SCHEMA
     )
-    salted = (
-        tf_long.join(F.broadcast(hot), "term", "left")
-        .withColumn(
-            "salt",
-            F.when(
-                F.col("_hot").isNotNull(),
-                F.pmod(
-                    F.floor(F.col("doc_id") / spec.num_shards),
-                    F.lit(spec.salt_buckets),
-                ).cast("int"),
-            ).otherwise(F.lit(0)),
-        )
-        .drop("_hot")
-    )
+    # the hot set persisted at build time keeps salting identical across
+    # generations (meta.json is the source of truth)
+    salted = _salted(tf_long, list(index.hot_terms), spec)
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or "32")
     arranged = salted.repartition(
         max(spec.num_shards, shuffle_parts), "shard", "term", "salt"
     ).sortWithinPartitions("shard", "term", "salt", "doc_id")
-    compacted = arranged.mapInPandas(_assembler(index.avgdl, spec), POSTINGS_SCHEMA)
+    compacted = arranged.mapInPandas(_assembler(spec), POSTINGS_SCHEMA)
+    if max_segments <= 1:
+        placed = compacted.repartition(spec.num_shards, "shard")
+    else:
+        # term-hash bucket caps files-per-shard at ~max_segments (an upper
+        # bound, like Lucene's maxSegments) while keeping files term-sorted
+        placed = compacted.withColumn(
+            "_seg", F.pmod(F.xxhash64("term"), F.lit(max_segments))
+        ).repartition(spec.num_shards * max_segments, "shard", "_seg")
     (
-        compacted.repartition(spec.num_shards, "shard")
-        .sortWithinPartitions("shard", "term", "salt")
+        placed.sortWithinPartitions("shard", "term", "salt")
+        .drop("_seg")
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(tmp_path)
+        .parquet(new_path)
     )
-    bak = postings_path + ".bak"
-    shutil.rmtree(bak, ignore_errors=True)
-    os.rename(postings_path, bak)
-    os.rename(tmp_path, postings_path)
-    shutil.rmtree(bak)
-    return index
+
+    # rebuilt lineage: per-shard stats change once split rows merge
+    lineage_path = os.path.join(index.path, "lineage")
+    built = spark.read.parquet(new_path)
+    lineage = built.groupBy("shard").agg(
+        F.count("*").alias("terms"),
+        F.sum("n_docs").alias("postings"),
+        F.sum("n_bytes").alias("bytes"),
+        (F.max("n_docs") / F.avg("n_docs")).alias("skew_ratio"),
+        F.lit("committed").alias("status"),
+    )
+    lineage_tmp = lineage_path + ".tmp"
+    shutil.rmtree(lineage_tmp, ignore_errors=True)
+    lineage.write.parquet(lineage_tmp)
+
+    # atomic publish: meta pointer flips to the new generation
+    with open(os.path.join(index.path, "meta.json")) as fh:
+        meta = json.load(fh)
+    meta["postings_dirname"] = new_dirname
+    write_meta(index.path, meta)
+    shutil.rmtree(lineage_path, ignore_errors=True)
+    os.rename(lineage_tmp, lineage_path)
+    shutil.rmtree(old_path, ignore_errors=True)
+    return Index.load(index.path)

@@ -29,15 +29,31 @@ from cascading_solr_spark.operators.textstats import simple_tokens
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1, Mersenne
 
 
-def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", max_ids: int = 100
+) -> DataFrame:
     """Groups of byte-identical docs: (content_sha, n_dups, keep_doc_id, doc_ids).
 
-    keep_doc_id = min doc_id (the canonical survivor)."""
+    keep_doc_id = min doc_id (the canonical survivor).  ``doc_ids`` holds at
+    most ``max_ids`` members (rank-filtered BEFORE the collect, so the
+    aggregation buffer is bounded — a pathological group of one boilerplate
+    file repeated 10^9 times would otherwise OOM an executor); n_dups always
+    carries the true count.  The window and the groupBy share the
+    content_sha partitioning: ONE shuffle total."""
+    from pyspark.sql import Window
+
+    hashed = docs.select(
+        "doc_id", F.sha2(F.col(text_col), 256).alias("content_sha")
+    )
+    w = Window.partitionBy("content_sha")
+    ranked = hashed.withColumn(
+        "_rn", F.row_number().over(w.orderBy("doc_id"))
+    ).withColumn("_total", F.count("*").over(w))
     return (
-        docs.select("doc_id", F.sha2(F.col(text_col), 256).alias("content_sha"))
+        ranked.filter(F.col("_rn") <= max_ids)
         .groupBy("content_sha")
         .agg(
-            F.count("*").alias("n_dups"),
+            F.first("_total").alias("n_dups"),
             F.min("doc_id").alias("keep_doc_id"),
             F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
         )
@@ -97,9 +113,25 @@ def ngram_jaccard_pairs(
     )
 
 
-def shingle_ids(shingled: DataFrame) -> DataFrame:
-    """Dense deterministic shingle ids (1-based, sorted order) — the
-    engine-portable substitute for a string hash function."""
+def shingle_ids(shingled: DataFrame, id_mode: str = "dense") -> DataFrame:
+    """Shingle -> integer id.
+
+    * ``dense`` (oracle mode): deterministic dense ids (1-based, sorted
+      order) — engine-portable, so the DuckDB oracle reproduces the minhash
+      arithmetic bit-for-bit.  Costs a distributed sort of the shingle
+      vocabulary per run.
+    * ``hash`` (production mode): xxhash64 of the shingle, folded into
+      [1, 2^31-1) — NO global sort/job, the 100 TB path.  Same LSH pair
+      output on clone-heavy corpora (identical docs collide in every band
+      under any id assignment); verified equal on the test fixture.
+    """
+    if id_mode == "hash":
+        return shingled.select("shingle").distinct().select(
+            "shingle",
+            (F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_PRIME - 1)) + 1).alias(
+                "shingle_id"
+            ),
+        )
     from cascading_solr_spark.indexing.build import assign_doc_ids
 
     vocab = shingled.select("shingle").distinct()
@@ -109,17 +141,25 @@ def shingle_ids(shingled: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", n: int = 3, num_hashes: int = 16
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    id_mode: str = "dense",
 ) -> DataFrame:
     """(doc_id, h, minhash): num_hashes universal-hash minima per doc.
 
-    h_j(x) = ((2j+1)*x + 13j + 7) mod (2^31-1) over dense shingle ids —
-    explicit arithmetic, reproducible in any SQL engine."""
-    return _signatures_from_shingled(_shingled(docs, text_col, n), num_hashes)
+    h_j(x) = ((2j+1)*x + 13j + 7) mod (2^31-1) over shingle ids —
+    explicit arithmetic, reproducible in any SQL engine (dense id_mode)."""
+    return _signatures_from_shingled(
+        _shingled(docs, text_col, n), num_hashes, id_mode
+    )
 
 
-def _signatures_from_shingled(s: DataFrame, num_hashes: int = 16) -> DataFrame:
-    ids = s.join(shingle_ids(s), "shingle").select("doc_id", "shingle_id")
+def _signatures_from_shingled(
+    s: DataFrame, num_hashes: int = 16, id_mode: str = "dense"
+) -> DataFrame:
+    ids = s.join(shingle_ids(s, id_mode), "shingle").select("doc_id", "shingle_id")
     hashes = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(num_hashes - 1)),
@@ -147,14 +187,16 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     band_size: int = 4,
     threshold: float = 0.5,
+    id_mode: str = "dense",
 ) -> DataFrame:
     """Candidate pairs from LSH band-bucket collisions, verified with exact
-    Jaccard.  Scale path: pair generation is bounded by bucket collisions."""
+    Jaccard.  Scale path: pair generation is bounded by bucket collisions;
+    pass id_mode='hash' to skip the dense-id vocabulary sort at scale."""
     # shingle once: signatures, candidate generation, and exact verification
     # all reuse the materialized shingle set (re-deriving it 4x dominated the
     # runtime otherwise)
     shingled = _shingled(docs, text_col, n).persist()
-    sigs = _signatures_from_shingled(shingled, num_hashes)
+    sigs = _signatures_from_shingled(shingled, num_hashes, id_mode)
     bands = (
         sigs.withColumn("band", F.floor(F.col("h") / band_size).cast("int"))
         .groupBy("doc_id", "band")
@@ -187,10 +229,12 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact-Jaccard verification restricted to candidate pairs (the point of
-    # LSH: never materialize the quadratic pair space)
+    # LSH: never materialize the quadratic pair space).  No broadcast hint:
+    # the candidate set is unbounded in the worst case (driver OOM risk at
+    # 100 TB); AQE picks broadcast when it actually fits.
     sh = shingled
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
-    ca = F.broadcast(candidates)
+    ca = candidates
     sh_b = sh.select(
         F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle")
     )
@@ -259,20 +303,55 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
 
 
 def simhash_near_pairs(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = 2
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 2, bits: int = 16
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming."""
-    s = simhash(docs, text_col)
-    a, b = s.alias("a"), s.alias("b")
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    LOSSLESS banded equi-join (pigeonhole): the signature splits into
+    ``max_hamming + 1`` disjoint bit bands; two signatures within
+    max_hamming MUST agree exactly on at least one band, so candidates come
+    from an equi-join on (band_idx, band_bits) — bounded shuffle, never a
+    BroadcastNestedLoopJoin — then the exact hamming verify.  Identical
+    results to the quadratic all-pairs formulation (the oracle)."""
+    s = simhash(docs, text_col, bits)
+    n_bands = max_hamming + 1
+    widths = [bits // n_bands + (1 if j < bits % n_bands else 0)
+              for j in range(n_bands)]
+    shifts, acc = [], 0
+    for w_ in widths:
+        shifts.append(acc)
+        acc += w_
+    bands = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(F.col("simhash"), shifts[j])
+                .bitwiseAND(F.lit((1 << widths[j]) - 1))
+                .alias("band_bits"),
+            )
+            for j in range(n_bands)
+        ])
+    )
+    banded = s.select("doc_id", "simhash", bands.alias("x")).select(
+        "doc_id", "simhash", F.col("x.band").alias("band"),
+        F.col("x.band_bits").alias("band_bits"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).cast("long")
     )
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -168,7 +168,7 @@ def embedding_near_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All-pairs embedding near-dups: cosine >= threshold (exact, quadratic —
-    small-scale oracle baseline; at scale route through lsh_buckets first)."""
+    small-scale oracle baseline; use embedding_near_pairs_lsh at scale)."""
     a = embeddings.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
@@ -183,4 +183,109 @@ def embedding_near_pairs(
             F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_near_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dups: candidates from LSH bucket
+    collisions (EQUI-join on the signature — bounded shuffle, no quadratic
+    pair space), verified with exact cosine.
+
+    Approximate by construction: a pair whose vectors straddle a hyperplane
+    lands in different buckets and is missed (recall < 1, reported in the
+    bench).  The same bucket computation is pure integer arithmetic, so the
+    DuckDB oracle reproduces the candidate set exactly."""
+    with_b = embeddings.select(
+        F.col(id_col), F.col(vec_col).alias("v"),
+        lsh_signature(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    a = with_b.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = with_b.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def build_ann_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the LSH-bucketed ANN index: one parquet table PARTITIONED
+    BY bucket.  Queries read exactly the probed bucket partitions (partition
+    pruning — verified in tests/test_plans) instead of recomputing
+    signatures over the whole table per query."""
+    (
+        embeddings.select(
+            F.col(id_col), F.col(vec_col),
+            lsh_signature(F.col(vec_col), n_planes).alias("bucket"),
+        )
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+
+
+def query_buckets(query_vec: list[float], n_planes: int = 8, probes: int = 1) -> list[int]:
+    """The query's LSH bucket (+ optional hamming-1 multiprobe neighbors),
+    computed driver-side with the same integer arithmetic as lsh_signature."""
+    bucket = 0
+    for i in range(n_planes):
+        proj = sum(
+            x * (((i * 131 + d * 31 + 7) % LSH_MOD) - 48)
+            for d, x in enumerate(query_vec)
+        )
+        if proj > 0:
+            bucket += 1 << i
+    out = [bucket]
+    if probes > 1:
+        out += [bucket ^ (1 << i) for i in range(n_planes)]
+    return out
+
+
+def ann_lsh_topk_indexed(
+    spark,
+    ann_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over the materialized bucket-partitioned index: reads ONLY
+    the probed partitions (hamming-1 multiprobe widens recall), exact-cosine
+    re-rank inside them."""
+    buckets = query_buckets(query_vec, n_planes, probes)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        spark.read.parquet(ann_dir)
+        .filter(F.col("bucket").isin(buckets))
+        .select(
+            F.col(id_col),
+            F.col("bucket"),
+            F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
     )

@@ -6,18 +6,28 @@ AbstractSolrSchemeTest.java:148-176):
 
 * Q1/Q2 default-field keyword search, query analyzed with the SAME chain as
   the index (analyzer.analyze_query);
+* Q3 field-scoped exact filters (``cat:Japanese``,
+  AbstractSolrSchemeTest.java:163-169) served INDEX-SIDE from keyword-field
+  postings (StrField / multi-valued membership, schema.xml:104,288) and
+  composable with ranking — Lucene/Solr fq semantics: filters restrict the
+  candidate set, scoring statistics stay global;
 * Q4 boolean-OR multi-term combination (solrconfig.xml:766-774 default OR);
 * Q5 top-k ranked retrieval (default rows=10, solrconfig.xml:772);
 * Q6 BM25 scoring k1=1.2 b=0.75 (north_star mandate; the reference schema
   defers to Lucene's default similarity, schema.xml:1097-1105);
 * Q7 zero-hit short-circuit (term absent -> empty result);
-* Q8 stored-field retrieval via doc-store join, sha256 round-trip invariant.
+* Q8 stored-field retrieval via doc-store join, sha256 round-trip invariant —
+  PARTITION-PRUNED: shard = doc_id % num_shards is derivable from the top-k
+  ids, so the stored fetch reads only the touched shard dirs (and row-group
+  prunes on doc_id inside them), never a full docs scan;
+* query-time synonym expansion (SynonymFilter expand=true analogue,
+  schema.xml:432-437): each expansion is scored as an additional OR term.
 
 Execution mirrors Solr's distributed query fan-out over document shards:
 each shard partition scores its local postings in one Arrow-vectorized kernel
-(term-at-a-time exact, or block-max MaxScore with pruning — query/wand.py),
-emits a local top-k, and a global order-merge takes the final k.  Ties broken
-(score desc, doc_id asc) for deterministic rank-identity.
+(term-at-a-time exact, or block-max MaxScore with decode-skipping pruning —
+query/wand.py), emits a local top-k, and a global order-merge takes the final
+k.  Ties broken (score desc, doc_id asc) for deterministic rank-identity.
 
 Scale notes: the postings scan is filtered term IN (...) — row-group pruning
 works because postings files are sorted by term; all shards scan in parallel;
@@ -32,25 +42,62 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cascading_solr_spark.analyzer import analyze_query
-from cascading_solr_spark.codec import bm25_idf, bm25_tf_norm, decode_doc_ids, decode_varint
-from cascading_solr_spark.indexing.build import Index
-from cascading_solr_spark.query.wand import maxscore_kernel
+from cascading_solr_spark.codec import (
+    bm25_idf,
+    bm25_tf_norm,
+    decode_doc_ids,
+    decode_varint,
+)
+from cascading_solr_spark.indexing.build import KW_SEP, Index
+from cascading_solr_spark.query.wand import (
+    RESULT_SCHEMA as _RESULT_SCHEMA,
+)
+from cascading_solr_spark.query.wand import (
+    allowed_ids,
+    maxscore_kernel,
+)
 
-_RESULT_SCHEMA = "doc_id long, score double"
+
+def filter_terms_of(filters: dict[str, str] | None) -> set[str]:
+    """``{"cat": "Japanese"}`` -> ``{"cat:Japanese"}`` (keyword_term format)."""
+    if not filters:
+        return set()
+    return {f"{field}{KW_SEP}{value}" for field, value in filters.items()}
 
 
-def _taat_kernel(idf: dict[str, float], avgdl: float, k1: float, b: float, k: int):
+def _taat_kernel(
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int | None,
+    block_size: int,
+    filter_terms: set[str] | None = None,
+):
     """Exact term-at-a-time scorer for one shard (numpy accumulate)."""
+    filter_terms = filter_terms or set()
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = list(pdf.itertuples(index=False))
+        allowed = allowed_ids(rows, filter_terms, block_size)
+        if allowed is not None and not len(allowed):
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
         all_ids: list[np.ndarray] = []
         all_contrib: list[np.ndarray] = []
-        for row in pdf.itertuples(index=False):
+        for row in rows:
+            if row.term not in idf:
+                continue
             n = int(row.n_docs)
-            ids = decode_doc_ids(row.doc_ids, n)
+            ids = decode_doc_ids(row.doc_ids, n, block_size)
             tfs = decode_varint(row.tfs, n)
             dls = decode_varint(row.dls, n)
             contrib = idf[row.term] * bm25_tf_norm(tfs, dls, avgdl, k1, b)
+            if allowed is not None:
+                pos = np.minimum(np.searchsorted(allowed, ids), len(allowed) - 1)
+                keep = allowed[pos] == ids
+                ids, contrib = ids[keep], contrib[keep]
             all_ids.append(ids)
             all_contrib.append(contrib)
         if not all_ids:
@@ -62,7 +109,7 @@ def _taat_kernel(idf: dict[str, float], avgdl: float, k1: float, b: float, k: in
         uniq, inv = np.unique(ids, return_inverse=True)
         acc = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(acc, inv, contrib)
-        if len(uniq) > k:
+        if k is not None and len(uniq) > k:
             part = np.argpartition(-acc, k)[:k]
             uniq, acc = uniq[part], acc[part]
         order = np.lexsort((uniq, -acc))
@@ -92,6 +139,86 @@ def term_dfs(
     return {r["term"]: int(r["df"]) for r in rows}
 
 
+def expand_terms(
+    query: str, synonyms: dict[str, list[str]] | None = None
+) -> list[str]:
+    """Analyzed query terms, optionally synonym-expanded (SynonymFilter
+    expand=true analogue, schema.xml:432-437): each synonym of an analyzed
+    term joins the OR term set."""
+    terms = analyze_query(query)
+    if not synonyms:
+        return terms
+    seen: dict[str, None] = {}
+    for t in terms:
+        seen.setdefault(t, None)
+        for s in synonyms.get(t, ()):  # synonyms are analyzed terms too
+            seen.setdefault(s, None)
+    return list(seen)
+
+
+def _fetch_stored(
+    spark: SparkSession, index: Index, top: DataFrame
+) -> DataFrame:
+    """Stored-field retrieval for a tiny ranked (doc_id, score) frame.
+
+    The top-k is collected (≤ k rows, and the caller is about to collect it
+    anyway), shard = doc_id % num_shards is derived driver-side, and the
+    docs read is pruned to exactly the touched shard partitions + doc_id
+    row groups — at 100 TB this is a k-row fetch, not a table scan."""
+    rows = top.collect()
+    docs = index.docs(spark)
+    if not rows:
+        return (
+            docs.drop("shard")
+            .join(F.broadcast(top), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+    ids = [int(r["doc_id"]) for r in rows]
+    shards = sorted({i % index.spec.num_shards for i in ids})
+    small = F.broadcast(
+        spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in rows],
+            _RESULT_SCHEMA,
+        )
+    )
+    pruned = docs.filter(F.col("shard").isin(shards) & F.col("doc_id").isin(ids))
+    return (
+        pruned.drop("shard")
+        .join(small, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def keyword_filter(
+    spark: SparkSession,
+    index: Index,
+    filters: dict[str, str],
+    k: int | None = None,
+) -> DataFrame:
+    """Pure keyword-field query (no ranking): doc_ids matching ALL filters,
+    served from the index postings (never a docs-table scan).  The reference
+    semantics target: ``cat:Japanese`` (AbstractSolrSchemeTest.java:163-169).
+    """
+    fterms = filter_terms_of(filters)
+    spec = index.spec
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        allowed = allowed_ids(
+            list(pdf.itertuples(index=False)), fterms, spec.block_size
+        )
+        if allowed is None or not len(allowed):
+            return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
+        return pd.DataFrame({"doc_id": allowed})
+
+    matched = index.postings(spark).filter(F.col("term").isin(list(fterms)))
+    out = (
+        matched.groupBy("shard")
+        .applyInPandas(kernel, "doc_id long")
+        .orderBy("doc_id")
+    )
+    return out if k is None else out.limit(k)
+
+
 def search(
     spark: SparkSession,
     index: Index,
@@ -99,32 +226,42 @@ def search(
     k: int = 10,
     mode: str = "maxscore",
     with_stored: bool = True,
+    filters: dict[str, str] | None = None,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
-    """Top-k BM25 keyword search; returns (doc_id, score[, stored fields, sha256])."""
-    terms = analyze_query(query)
+    """Top-k BM25 keyword search; returns (doc_id, score[, stored fields,
+    sha256]).  ``filters`` are exact keyword-field predicates composed
+    index-side with the ranked query (fq semantics: they restrict candidates
+    without changing the BM25 statistics)."""
+    terms = expand_terms(query, synonyms)
+    fterms = filter_terms_of(filters)
     postings = index.postings(spark)
     dfs = term_dfs(spark, index, terms) if terms else {}
     if not dfs:  # Q7 zero-hit short-circuit (schema stays stable below)
-        top = spark.createDataFrame([], _RESULT_SCHEMA)
+        if fterms and not terms:
+            # pure filter query: matching docs ranked by doc_id, score 0
+            top = keyword_filter(spark, index, filters, k=k).withColumn(
+                "score", F.lit(0.0)
+            )
+        else:
+            top = spark.createDataFrame([], _RESULT_SCHEMA)
     else:
         idf = {t: bm25_idf(df, index.n_docs) for t, df in dfs.items()}
         spec = index.spec
         if mode == "taat":
-            kernel = _taat_kernel(idf, index.avgdl, spec.k1, spec.b, k)
+            kernel = _taat_kernel(
+                idf, index.avgdl, spec.k1, spec.b, k, spec.block_size, fterms
+            )
         else:
             kernel = maxscore_kernel(
-                idf, index.avgdl, spec.k1, spec.b, k, spec.block_size
+                idf, index.avgdl, spec.k1, spec.b, k, spec.block_size, fterms
             )
-        matched = postings.filter(F.col("term").isin(list(dfs)))
+        matched = postings.filter(F.col("term").isin(list(dfs) + list(fterms)))
         local_topk = matched.groupBy("shard").applyInPandas(kernel, _RESULT_SCHEMA)
         top = local_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if not with_stored:
         return top
-    docs = index.docs(spark).drop("shard")
-    return (
-        docs.join(F.broadcast(top), "doc_id")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-    )
+    return _fetch_stored(spark, index, top)
 
 
 def search_many(
@@ -152,20 +289,16 @@ def search_many(
         return empty
     n, avgdl = index.n_docs, index.avgdl
     spec = index.spec
+    block_size = spec.block_size
     idf = {t: bm25_idf(df, n) for t, df in dfs.items()}
-    # per-query scorers share one decode: decode each posting row once,
-    # then accumulate into each query that contains the term
-    term_queries: dict[str, list[str]] = {}
-    for qid, ts in plans.items():
-        for t in ts:
-            if t in idf:
-                term_queries.setdefault(t, []).append(qid)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # decode each posting row ONCE, then accumulate into every query
+        # that contains the term
         decoded: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
         for row in pdf.itertuples(index=False):
             m = int(row.n_docs)
-            ids = decode_doc_ids(row.doc_ids, m)
+            ids = decode_doc_ids(row.doc_ids, m, block_size)
             tfs = decode_varint(row.tfs, m)
             dls = decode_varint(row.dls, m)
             contrib = idf[row.term] * bm25_tf_norm(

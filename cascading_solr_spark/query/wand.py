@@ -1,4 +1,4 @@
-"""Block-max MaxScore kernel: exact top-k BM25 with pruning.
+"""Block-max MaxScore kernel: exact top-k BM25 with decode-skipping pruning.
 
 Public-literature algorithms: MaxScore (Turtle & Flood 1995) with the
 block-max refinement of Block-Max WAND (Ding & Suel, SIGIR 2011) — see
@@ -6,21 +6,35 @@ PAPERS.md.  The reference relies on Lucene's internal scorers for this; we
 implement the same pruning ideas numpy-vectorized (term-at-a-time, so the
 inner loops are bulk array ops, not per-document Python).
 
+The build stores per-block (max_tf, min_dl) and per-block byte offsets with
+block-local delta restarts (indexing/build.py assembler), so pruning happens
+BEFORE decompression:
+
+* per-block upper bound ub_b = idf · tf_norm(max_tf_b, min_dl_b) is computed
+  from stored metadata only (tf_norm is monotone ↑ in tf and ↓ in dl);
+* a whole posting row of a non-essential term is skipped with ZERO decode
+  when max(acc) + max_b(ub_b) + rem_after < θ;
+* otherwise only candidate blocks are varint-decoded (doc ids first; tf/dl
+  buffers only for blocks that still hold surviving documents).
+
 Exactness argument (why pruning never changes the top-k):
 
 * terms are processed in descending max-contribution order
-  M_t = idf_t * max(block_max tf-norm);
+  M_t = idf_t · max_b ub_b;
 * θ = current kth-largest accumulated score, a lower bound of the final
   kth-best score (accumulated scores only grow);
 * a document first appearing in term t can finally score at most
   rem(t) = Σ M_t..end; if rem(t) < θ it can never enter the top-k, so
   postings for unseen docs are skipped (MaxScore);
 * a seen document's posting in block b can be skipped when
-  acc[doc] + idf_t·block_max[b] + rem(t+1) < θ — its final score is then
-  provably below θ (block-max pruning).  Skipping understates only the
-  scores of documents already provably outside the top-k, so every emitted
-  (doc_id, score) is exact and rank-identical to exhaustive TAAT (asserted
-  in tests/test_query.py).
+  acc[doc] + ub_b + rem(t+1) < θ — its final score is then provably below
+  θ.  Skipping understates only the scores of documents already provably
+  outside the top-k, so every emitted (doc_id, score) is exact and
+  rank-identical to exhaustive TAAT (asserted in tests).
+
+Keyword filters (``field:value`` terms, indexing/build.py keyword_term)
+restrict the candidate set BEFORE accumulation; BM25 statistics stay global
+(Lucene/Solr fq semantics: a filter query never changes scoring).
 """
 
 from __future__ import annotations
@@ -28,13 +42,68 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from cascading_solr_spark.codec import bm25_tf_norm, decode_doc_ids, decode_varint
+from cascading_solr_spark.codec import (
+    bm25_tf_norm,
+    block_value_counts,
+    decode_doc_ids,
+    decode_selected_blocks,
+    decode_varint,
+    restart_cumsum,
+)
+
+RESULT_SCHEMA = "doc_id long, score double"
+
+_EMPTY = pd.DataFrame({"doc_id": [], "score": []}).astype(
+    {"doc_id": "int64", "score": "float64"}
+)
 
 
 def _topk_theta(scores: np.ndarray, k: int) -> float:
     if len(scores) < k:
         return -np.inf
     return float(np.partition(scores, len(scores) - k)[len(scores) - k])
+
+
+def _member(ids: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """Boolean membership of ``ids`` in a sorted unique array."""
+    if not len(sorted_arr) or not len(ids):
+        return np.zeros(len(ids), dtype=bool)
+    pos = np.minimum(np.searchsorted(sorted_arr, ids), len(sorted_arr) - 1)
+    return sorted_arr[pos] == ids
+
+
+def decode_filter_ids(rows: list, block_size: int) -> np.ndarray:
+    """Full doc-id decode of one filter term's posting rows -> sorted array."""
+    parts = [
+        decode_doc_ids(r.doc_ids, int(r.n_docs), block_size) for r in rows
+    ]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(np.concatenate(parts))
+
+
+def allowed_ids(
+    pdf_rows: list, filter_terms: set[str], block_size: int
+) -> np.ndarray | None:
+    """Intersection of the filter terms' doc-id sets (None = no filters).
+
+    Returns an empty array when any filter term is absent from the shard —
+    the zero-hit short-circuit for that shard."""
+    if not filter_terms:
+        return None
+    by_term: dict[str, list] = {t: [] for t in filter_terms}
+    for r in pdf_rows:
+        if r.term in by_term:
+            by_term[r.term].append(r)
+    allowed: np.ndarray | None = None
+    for t in filter_terms:
+        ids = decode_filter_ids(by_term[t], block_size)
+        if not len(ids):
+            return np.empty(0, dtype=np.int64)
+        allowed = ids if allowed is None else np.intersect1d(allowed, ids)
+        if not len(allowed):
+            return allowed
+    return allowed
 
 
 def maxscore_kernel(
@@ -44,18 +113,46 @@ def maxscore_kernel(
     b: float,
     k: int,
     block_size: int = 128,
+    filter_terms: set[str] | None = None,
+    counters: dict | None = None,
 ):
-    """Build the per-shard applyInPandas scorer (same contract as TAAT)."""
+    """Build the per-shard applyInPandas scorer (same contract as TAAT).
+
+    ``counters`` (optional, in-process use only: tests/bench tracing) is
+    updated in place with rows/blocks decoded vs skipped."""
+    filter_terms = filter_terms or set()
+
+    def bump(key: str, n: int = 1) -> None:
+        if counters is not None:
+            counters[key] = counters.get(key, 0) + n
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        # group posting segments (one per salt row) by term
+        rows = list(pdf.itertuples(index=False))
+        allowed = allowed_ids(rows, filter_terms, block_size)
+        if allowed is not None and not len(allowed):
+            return _EMPTY.copy()
+
+        # group scoring rows (one per salt/segment) by term
         segs: dict[str, list] = {}
-        for row in pdf.itertuples(index=False):
-            segs.setdefault(row.term, []).append(row)
-        # per-term max possible contribution
+        for row in rows:
+            if row.term in idf:
+                segs.setdefault(row.term, []).append(row)
+        if not segs:
+            return _EMPTY.copy()
+
+        # per-term max possible contribution from stored block metadata only
+        row_ubs: dict[int, np.ndarray] = {}  # id(row) -> per-block ub
         terms = []
-        for t, rows in segs.items():
-            m = idf[t] * max(max(r.block_maxes) for r in rows)
+        for t, trows in segs.items():
+            m = 0.0
+            for r in trows:
+                ub = idf[t] * bm25_tf_norm(
+                    np.asarray(r.block_max_tf, dtype=np.int64),
+                    np.asarray(r.block_min_dl, dtype=np.int64),
+                    avgdl, k1, b,
+                )
+                row_ubs[id(r)] = ub
+                m = max(m, float(ub.max()))
             terms.append((m, t))
         terms.sort(key=lambda x: -x[0])
         maxes = np.array([m for m, _ in terms])
@@ -68,29 +165,98 @@ def maxscore_kernel(
         for i, (_, t) in enumerate(terms):
             theta = _topk_theta(acc, k)
             rem_after = float(rem_incl[i]) - float(maxes[i])
+            essential = theta == -np.inf or float(rem_incl[i]) >= theta
+            max_acc = float(acc.max()) if len(acc) else 0.0
             ids_parts, contrib_parts = [], []
             for r in segs[t]:
                 n = int(r.n_docs)
-                ids = decode_doc_ids(r.doc_ids, n)
-                tfs = decode_varint(r.tfs, n)
-                dls = decode_varint(r.dls, n)
-                contrib = idf[t] * bm25_tf_norm(tfs, dls, avgdl, k1, b)
-                if theta > -np.inf and float(rem_incl[i]) < theta:
-                    # non-essential term: only docs already accumulated matter
-                    pos = np.searchsorted(acc_ids, ids)
-                    pos_c = np.clip(pos, 0, len(acc_ids) - 1)
-                    seen = (
-                        (acc_ids[pos_c] == ids)
-                        if len(acc_ids)
-                        else np.zeros(len(ids), dtype=bool)
-                    )
-                    # block-max prune: acc + block_ub + rem_after < theta
-                    bmax = np.asarray(r.block_maxes, dtype=np.float64)
-                    block_ub = idf[t] * bmax[np.arange(n) // block_size]
-                    cur = np.where(seen, acc[pos_c] if len(acc) else 0.0, 0.0)
-                    keep = seen & (cur + block_ub + rem_after >= theta)
-                    ids, contrib = ids[keep], contrib[keep]
-                ids_parts.append(ids)
+                nb = int(r.n_blocks)
+                if essential:
+                    ids = decode_doc_ids(r.doc_ids, n, block_size)
+                    tfs = decode_varint(r.tfs, n)
+                    dls = decode_varint(r.dls, n)
+                    contrib = idf[t] * bm25_tf_norm(tfs, dls, avgdl, k1, b)
+                    if allowed is not None:
+                        keep = _member(ids, allowed)
+                        ids, contrib = ids[keep], contrib[keep]
+                    bump("blocks_decoded", nb)
+                    bump("rows_decoded")
+                    ids_parts.append(ids)
+                    contrib_parts.append(contrib)
+                    continue
+
+                # non-essential term: only docs already accumulated matter,
+                # and pruning runs BEFORE any decompression.  Blocks partition
+                # the group's doc-id range and store their last id, so the
+                # accumulated docs are located per block by searchsorted:
+                # blocks holding none are skipped outright, the rest must
+                # also beat θ from their best resident accumulator.
+                ub = row_ubs[id(r)]
+                edges = np.asarray(r.block_last_id, dtype=np.int64)
+                hi = np.searchsorted(acc_ids, edges, side="right")
+                lo = np.concatenate(([0], hi[:-1]))
+                has = hi > lo
+                if not has.any():
+                    bump("rows_skipped")
+                    continue
+                # vectorized per-block max of resident accumulators: the
+                # non-empty [lo, hi) ranges partition a prefix of acc, so one
+                # reduceat covers them (a trailing sentinel cuts off the tail)
+                lo_h, hi_h = lo[has], hi[has]
+                if hi_h[-1] < len(acc):
+                    seg = np.maximum.reduceat(acc, np.append(lo_h, hi_h[-1]))[:-1]
+                else:
+                    seg = np.maximum.reduceat(acc, lo_h)
+                block_max_acc = np.full(nb, -np.inf)
+                block_max_acc[has] = seg
+                cand = has & (block_max_acc + ub + rem_after >= theta)
+                if not cand.any():
+                    bump("rows_skipped")
+                    continue
+                vals, kept = decode_selected_blocks(
+                    r.doc_ids, r.boffs_ids, n, block_size, cand
+                )
+                bump("blocks_decoded", len(kept))
+                bump("blocks_skipped", nb - len(kept))
+                bump("rows_decoded")
+                counts = block_value_counts(n, nb, block_size)[kept]
+                kstarts = np.zeros(len(kept), dtype=np.int64)
+                np.cumsum(counts[:-1], out=kstarts[1:])
+                ids = restart_cumsum(vals.astype(np.int64), kstarts)
+                pib = np.arange(len(ids)) - np.repeat(kstarts, counts)
+                bidx = np.repeat(kept, counts)
+                pos = (
+                    np.minimum(np.searchsorted(acc_ids, ids), len(acc_ids) - 1)
+                    if len(acc_ids)
+                    else np.zeros(len(ids), dtype=np.int64)
+                )
+                seen = (acc_ids[pos] == ids) if len(acc_ids) else np.zeros(
+                    len(ids), dtype=bool
+                )
+                cur = np.where(seen, acc[pos] if len(acc) else 0.0, 0.0)
+                keep = seen & (cur + ub[bidx] + rem_after >= theta)
+                if not keep.any():
+                    continue
+                ids_k, pib_k, bidx_k = ids[keep], pib[keep], bidx[keep]
+                # decode tf/dl only for blocks that still hold survivors
+                live = np.zeros(nb, dtype=bool)
+                live[bidx_k] = True
+                tf_vals, tkept = decode_selected_blocks(
+                    r.tfs, r.boffs_tfs, n, block_size, live
+                )
+                dl_vals, _ = decode_selected_blocks(
+                    r.dls, r.boffs_dls, n, block_size, live
+                )
+                tcounts = block_value_counts(n, nb, block_size)[tkept]
+                toff = np.zeros(len(tkept), dtype=np.int64)
+                np.cumsum(tcounts[:-1], out=toff[1:])
+                # value position = its block's offset in the live concat + pib
+                rank = np.searchsorted(tkept, bidx_k)
+                vpos = toff[rank] + pib_k
+                contrib = idf[t] * bm25_tf_norm(
+                    tf_vals[vpos], dl_vals[vpos], avgdl, k1, b
+                )
+                ids_parts.append(ids_k)
                 contrib_parts.append(contrib)
             new_ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
             new_contrib = (
@@ -107,9 +273,7 @@ def maxscore_kernel(
             acc_ids, acc = uniq, out
 
         if not len(acc_ids):
-            return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                {"doc_id": "int64", "score": "float64"}
-            )
+            return _EMPTY.copy()
         if len(acc_ids) > k:
             part = np.argpartition(-acc, k)[:k]
             acc_ids, acc = acc_ids[part], acc[part]

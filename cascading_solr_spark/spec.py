@@ -43,6 +43,11 @@ class IndexSpec:
     content_field: str = "content"
     key_fields: tuple[str, ...] = ("repo", "path", "commit")
     stored_fields: tuple[str, ...] = ("repo", "path", "commit", "lang")
+    # untokenized exact-match fields indexed as "field:value" terms — the
+    # StrField analogue (schema.xml:288).  array<string> columns are
+    # multi-valued (schema.xml:104): each element becomes a membership term
+    # (SolrWriter.java:67-71 tuple-explode); nulls are skipped.
+    keyword_fields: tuple[str, ...] = ()
     doc_id_field: str | None = None  # pre-existing dense doc id, else derived
     k1: float = 1.2
     b: float = 0.75
@@ -80,7 +85,12 @@ def validate_schema(schema: T.StructType, spec: IndexSpec) -> None:
     by_name = {f.name: f for f in schema.fields}
     problems: list[str] = []
 
-    required = [spec.content_field, *spec.key_fields, *spec.stored_fields]
+    required = [
+        spec.content_field,
+        *spec.key_fields,
+        *spec.stored_fields,
+        *spec.keyword_fields,
+    ]
     if spec.doc_id_field:
         required.append(spec.doc_id_field)
     for name in dict.fromkeys(required):
@@ -96,6 +106,19 @@ def validate_schema(schema: T.StructType, spec: IndexSpec) -> None:
             f"content field {spec.content_field!r} must be string, "
             f"got {cf.dataType.simpleString()}"
         )
+    for name in spec.keyword_fields:
+        kf = by_name.get(name)
+        if kf is None:
+            continue
+        ok = isinstance(kf.dataType, T.StringType) or (
+            isinstance(kf.dataType, T.ArrayType)
+            and isinstance(kf.dataType.elementType, T.StringType)
+        )
+        if not ok:
+            problems.append(
+                f"keyword field {name!r} must be string or array<string>, "
+                f"got {kf.dataType.simpleString()}"
+            )
     if spec.doc_id_field:
         df_field = by_name.get(spec.doc_id_field)
         if df_field is not None and not isinstance(

@@ -53,27 +53,32 @@ def incremental_index_refresh(
     spec: IndexSpec,
     index_dir: str,
     checkpoint_dir: str,
-    doc_id_offset_table: str | None = None,
 ) -> StreamingQuery:
-    """Append posting deltas for newly arriving documents.
-
-    Each micro-batch is treated as a self-contained document segment: new
-    doc_ids are assigned above the current max (monotone), postings for the
-    batch are built with the SAME build pipeline and appended to the shard
-    dirs.  Lucene-analogy: each micro-batch is a new segment; a periodic
-    compaction (rebuild or posting-row merge) plays the optimize() role
-    (core/SolrWriter.java:112).
+    """Append posting deltas for newly arriving documents into ONE coherent
+    index (indexing/append.py): per-batch doc_ids are assigned above the
+    current max, posting rows append into the live shard dirs, and global
+    stats (N, avgdl, dict df) refresh atomically — queries see the new docs
+    after each micro-batch with EXACT BM25 scores (identical to a
+    from-scratch build of the union corpus; asserted in
+    tests/test_streaming.py).  The first batch bootstraps the index via
+    build_index.  Lucene-analogy: each micro-batch is a new segment;
+    ``compact_index`` plays the optimize() role (core/SolrWriter.java:112).
+    Exactly-once per micro-batch comes from checkpointing; a replayed batch
+    should be deduped upstream (dedup.exact_duplicates) or carry caller ids.
     """
+    import os
+
+    from cascading_solr_spark.indexing.append import append_documents
     from cascading_solr_spark.indexing.build import build_index
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
-        import os
-
-        seg_dir = os.path.join(index_dir, f"segment={epoch_id}")
-        build_index(spark, batch_df, spec, seg_dir)
+        if os.path.exists(os.path.join(index_dir, "meta.json")):
+            append_documents(spark, index_dir, batch_df)
+        else:
+            build_index(spark, batch_df, spec, index_dir)
 
     return (
         stream.writeStream.foreachBatch(process_batch)

@@ -1,5 +1,6 @@
 """Compaction (optimize analogue): posting content and query results are
-invariant under compact_index; file count per shard collapses to one."""
+invariant under compact_index; file count per shard collapses to one; the
+publish is a crash-safe generation swap (meta.json pointer flip)."""
 
 import glob
 
@@ -12,6 +13,8 @@ from cascading_solr_spark.indexing.compact import compact_index
 from cascading_solr_spark.query.search import search
 from cascading_solr_spark.spec import IndexSpec
 
+POSTING_COLS = ["shard", "term", "salt", "n_docs", "doc_ids", "tfs", "dls"]
+
 
 @pytest.fixture(scope="module")
 def built(spark, tmp_path_factory):
@@ -22,35 +25,38 @@ def built(spark, tmp_path_factory):
     )
     before = search(spark, ix, "parse buffer retry", k=10, with_stored=False).collect()
     postings_before = sorted(
-        map(
-            tuple,
-            ix.postings(spark)
-            .select("shard", "term", "salt", "n_docs", "doc_ids", "tfs", "dls")
-            .collect(),
-        )
+        map(tuple, ix.postings(spark).select(*POSTING_COLS).collect())
     )
-    return ix, before, postings_before
+    compacted = compact_index(spark, ix)
+    return compacted, before, postings_before
 
 
 def test_compact_preserves_postings_and_results(spark, built):
     ix, before, postings_before = built
-    compact_index(spark, ix)
     postings_after = sorted(
-        map(
-            tuple,
-            ix.postings(spark)
-            .select("shard", "term", "salt", "n_docs", "doc_ids", "tfs", "dls")
-            .collect(),
-        )
+        map(tuple, ix.postings(spark).select(*POSTING_COLS).collect())
     )
     assert postings_after == postings_before
     after = search(spark, ix, "parse buffer retry", k=10, with_stored=False).collect()
     assert [tuple(r) for r in after] == [tuple(r) for r in before]
 
 
+def test_compact_generation_swap(spark, built):
+    ix, _, _ = built
+    # new generation dir published via the meta pointer; old one removed
+    assert ix.postings_dirname == "postings.gen1"
+    assert not glob.glob(f"{ix.path}/postings/shard=*")
+    # lineage rebuilt from the compacted rows
+    lineage = {r["shard"]: r for r in ix.lineage(spark).collect()}
+    assert set(lineage) == {0, 1, 2}
+    terms = ix.postings(spark).groupBy("shard").count().collect()
+    for r in terms:
+        assert lineage[r["shard"]]["terms"] == r["count"]
+
+
 def test_compact_one_file_per_shard(spark, built):
     ix, _, _ = built
-    for shard_dir in glob.glob(f"{ix.path}/postings/shard=*"):
+    for shard_dir in glob.glob(f"{ix.postings_path}/shard=*"):
         files = [f for f in glob.glob(f"{shard_dir}/*.parquet")]
         assert len(files) == 1, shard_dir
     # still term-sorted after compaction

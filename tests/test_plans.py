@@ -61,3 +61,69 @@ def test_docid_join_avoids_content_sort(spark):
         .toString()
     )
     assert "ShuffledHashJoin" in plan  # not SortMergeJoin over content rows
+
+
+def test_stored_fetch_is_partition_pruned(spark, index):
+    """The stored-field fetch must read only the touched shard partitions
+    (+ doc_id row groups), never scan the whole docs table (VERDICT r1 #1)."""
+    from cascading_solr_spark.query.search import search
+
+    df = search(spark, index, "parse buffer", k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the doc_id membership filter must also reach the parquet scan
+    assert "PushedFilters: [In(doc_id" in plan or "In(doc_id" in plan
+
+
+def test_simhash_banded_join_no_nested_loop(spark):
+    from cascading_solr_spark.operators.dedup import simhash_near_pairs
+
+    docs = synth_corpus(spark, 40, partitions=2).selectExpr(
+        "cast(crc32(commit) as long) as doc_id", "content as text"
+    )
+    plan = (
+        simhash_near_pairs(docs, "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_lsh_pairs_no_nested_loop(spark):
+    from cascading_solr_spark.operators.similarity import embedding_near_pairs_lsh
+
+    emb = spark.range(30).selectExpr(
+        "id as vec_id",
+        "transform(sequence(1, 8), d -> cast(pmod(id * d, 7) - 3 as double)) "
+        "as embedding",
+    )
+    plan = (
+        embedding_near_pairs_lsh(emb, threshold=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_index_partition_pruned(spark, tmp_path):
+    from cascading_solr_spark.operators.similarity import (
+        ann_lsh_topk_indexed,
+        build_ann_index,
+    )
+
+    emb = spark.range(200).selectExpr(
+        "id as vec_id",
+        "transform(sequence(1, 8), d -> cast(pmod(id * d, 11) - 5 as double)) "
+        "as embedding",
+    )
+    ann_dir = str(tmp_path / "ann")
+    build_ann_index(emb, ann_dir)
+    qv = [1.0, -0.5, 2.0, 0.25, -1.0, 0.75, 0.1, -2.0]
+    df = ann_lsh_topk_indexed(spark, ann_dir, qv, k=5, probes=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan
+    assert df.count() <= 5

@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from cascading_solr_spark.corpus import synth_corpus
-from cascading_solr_spark.indexing.build import Index
+from cascading_solr_spark.indexing.build import Index, build_index
 from cascading_solr_spark.query.search import search
 from cascading_solr_spark.spec import IndexSpec
 from cascading_solr_spark.streaming.refresh import (
@@ -43,8 +43,18 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     assert got == expected
 
 
+def _full_results(spark, ix, query):
+    """Full (key -> score) result map — id-assignment-independent."""
+    rows = search(spark, ix, query, k=10_000, with_stored=True).collect()
+    return {
+        (r["repo"], r["path"], r["commit"]): round(r["score"], 9) for r in rows
+    }
+
+
 @pytest.mark.parametrize("n_docs", [60])
-def test_incremental_refresh_builds_segments(spark, tmp_path, n_docs):
+def test_incremental_refresh_one_coherent_index(spark, tmp_path, n_docs):
+    """foreachBatch appends build ONE index whose BM25 results are EXACTLY a
+    from-scratch build's (global stats refresh per batch; ids never collide)."""
     corpus_dir = str(tmp_path / "stream_corpus")
     synth_corpus(spark, n_docs, partitions=2).write.parquet(corpus_dir)
     src = spark.read.parquet(corpus_dir)
@@ -54,19 +64,63 @@ def test_incremental_refresh_builds_segments(spark, tmp_path, n_docs):
     ).parquet(corpus_dir)
     spec = IndexSpec(num_shards=2, salt_buckets=2)
     ix_dir = str(tmp_path / "ix")
-    q = incremental_index_refresh(
-        stream, spec, ix_dir, str(tmp_path / "ckpt")
-    )
+    q = incremental_index_refresh(stream, spec, ix_dir, str(tmp_path / "ckpt"))
     q.awaitTermination(180)
 
-    segments = sorted(d for d in os.listdir(ix_dir) if d.startswith("segment="))
-    assert segments, "no index segments written"
-    total = 0
-    for seg in segments:
-        ix = Index.load(os.path.join(ix_dir, seg))
-        total += ix.n_docs
-        res = search(spark, ix, "import", k=5, with_stored=False).collect()
-        assert len(res) > 0
-        lineage = ix.lineage(spark).collect()
-        assert all(r["status"] == "committed" for r in lineage)
-    assert total == n_docs
+    ix = Index.load(ix_dir)
+    assert ix.n_docs == n_docs
+    lineage = ix.lineage(spark).collect()
+    assert all(r["status"] == "committed" for r in lineage)
+
+    oracle_ix = build_index(
+        spark, src, spec, str(tmp_path / "oracle_ix")
+    )
+    for query in ("import", "parse buffer", "httpClient retry"):
+        assert _full_results(spark, ix, query) == _full_results(
+            spark, oracle_ix, query
+        ), query
+
+    # optimize analogue folds the segment rows back to one per key
+    from cascading_solr_spark.indexing.compact import compact_index
+
+    compacted = compact_index(spark, ix)
+    dup = (
+        compacted.postings(spark)
+        .groupBy("shard", "term", "salt")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    assert _full_results(spark, compacted, "import") == _full_results(
+        spark, oracle_ix, "import"
+    )
+
+
+def test_batch_append_documents(spark, tmp_path):
+    """The batch append API: build on slice A, append slice B, results match
+    a single build of A ∪ B exactly (scores are id-assignment-independent)."""
+    from cascading_solr_spark.indexing.append import append_documents
+
+    corpus_dir = str(tmp_path / "corpus")
+    synth_corpus(spark, 80, partitions=2).write.parquet(corpus_dir)
+    full = spark.read.parquet(corpus_dir)
+    part_a = full.filter(F.crc32(F.col("path")) % 2 == 0)
+    part_b = full.filter(F.crc32(F.col("path")) % 2 == 1)
+
+    spec = IndexSpec(num_shards=2, salt_buckets=2)
+    ix_dir = str(tmp_path / "ix")
+    build_index(spark, part_a, spec, ix_dir)
+    ix = append_documents(spark, ix_dir, part_b)
+    assert ix.n_docs == 80
+
+    oracle_ix = build_index(spark, full, spec, str(tmp_path / "oracle_ix"))
+    assert abs(ix.avgdl - oracle_ix.avgdl) < 1e-9
+    for query in ("import", "parse buffer", "readJson batch"):
+        assert _full_results(spark, ix, query) == _full_results(
+            spark, oracle_ix, query
+        ), query
+    # dict df merged exactly
+    got = {r["term"]: r["df"] for r in ix.term_dict(spark).collect()}
+    want = {r["term"]: r["df"] for r in oracle_ix.term_dict(spark).collect()}
+    assert got == want
