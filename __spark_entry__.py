@@ -24,9 +24,13 @@ from pyspark.sql import functions as F
 from cascading_solr_spark.indexing.build import Index, build_index
 from cascading_solr_spark.operators import dedup, multimodal, similarity, textstats
 from cascading_solr_spark.query.naive import bm25_topk_df, corpus_stats, tokens_long
-from cascading_solr_spark.query.search import search
+from cascading_solr_spark.query.search import keyword_filter, search
 from cascading_solr_spark.spec import IndexSpec
 from cascading_solr_spark.streaming.refresh import windowed_event_counts
+
+# deterministic 64-dim ANN query vector (shared by the Spark path and the
+# oracle-SQL construction — pure arithmetic, no RNG)
+ANN_QV = [((7 * d + 3) % 11 - 5) / 2.0 for d in range(64)]
 
 # ---------------------------------------------------------------- helpers
 
@@ -53,13 +57,14 @@ _DOC_SPEC = IndexSpec(
     content_field="text",
     key_fields=("doc_id",),
     stored_fields=("lang", "source"),
+    keyword_fields=("lang", "source"),  # exact filters served index-side
     doc_id_field="doc_id",
     num_shards=8,
     salt_buckets=4,
 )
 
 
-_INDEX_FORMAT_VERSION = 3  # bump on any postings/dict layout change
+_INDEX_FORMAT_VERSION = 4  # bump on any postings/dict layout change
 
 
 def _index_for(spark: SparkSession, sf_dir: str) -> Index:
@@ -73,6 +78,24 @@ def _index_for(spark: SparkSession, sf_dir: str) -> Index:
         shutil.rmtree(out, ignore_errors=True)
         build_index(spark, _docs(spark, sf_dir), _DOC_SPEC, out)
     return Index.load(out)
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb(spark, sf_dir).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+
+
+def _ann_for(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized bucket-partitioned ANN index (cached like _index_for)."""
+    key = os.path.abspath(sf_dir).replace(os.sep, "_")
+    out = os.path.join(
+        tempfile.gettempdir(), f"css_ann_v{_INDEX_FORMAT_VERSION}{key}"
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        shutil.rmtree(out, ignore_errors=True)
+        similarity.build_ann_index(_emb_double(spark, sf_dir), out)
+    return out
 
 
 def _toks_cte(table: str = "documents") -> str:
@@ -148,11 +171,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         .select("doc_id", "lang")
     )
+    # Q3 index-side: exact keyword filter COMPOSED with BM25 ranking in one
+    # index query (fq semantics — global scoring stats)
+    q["ft_field_scoped_indexed"] = lambda s, d: search(
+        s, _index_for(s, d), Q_MAIN, k=10, with_stored=False,
+        filters={"lang": "es"},
+    ).select("doc_id", F.round("score", 4).alias("score"))
+    # pure keyword-field membership served from the postings (cat:Japanese
+    # analogue, AbstractSolrSchemeTest.java:163-169)
+    q["ix_keyword_filter"] = lambda s, d: keyword_filter(
+        s, _index_for(s, d), {"lang": "es"}
+    )
+    # query-time synonym expansion (SynonymFilter expand=true analogue)
+    q["ft_synonym"] = lambda s, d: search(
+        s, _index_for(s, d), "join", k=10, with_stored=False,
+        synonyms={"join": ["merge"]},
+    ).select("doc_id", F.round("score", 4).alias("score"))
     q["ft_and_query"] = lambda s, d: (
+        # tokens projected ONCE as a named column: Catalyst does not CSE two
+        # regexp_extract_all calls inside one filter
         _docs(s, d)
+        .select("doc_id", textstats.simple_tokens("text").alias("_toks"))
         .filter(
-            F.array_contains(textstats.simple_tokens("text"), "spark")
-            & F.array_contains(textstats.simple_tokens("text"), "join")
+            F.array_contains("_toks", "spark") & F.array_contains("_toks", "join")
         )
         .select("doc_id")
     )
@@ -202,6 +243,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs_with_dups(s, d), "text", threshold=0.5
     ).select("doc_a", "doc_b", "jaccard")
     q["dd_simhash"] = lambda s, d: dedup.simhash(_docs(s, d), "text")
+    # banded equi-join near pairs (lossless pigeonhole) vs the quadratic oracle
+    q["dd_simhash_pairs"] = lambda s, d: dedup.simhash_near_pairs(
+        _docs(s, d).select("doc_id", "text"), "text", max_hamming=1
+    ).select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
     # --- similarity / ANN ---
     q["sim_cosine_topk"] = lambda s, d: similarity.cosine_topk_to_row(
@@ -218,6 +263,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
     )
+    # scale path: candidates from LSH bucket equi-join, exact-cosine verify
+    q["sim_near_pairs_lsh"] = lambda s, d: similarity.embedding_near_pairs_lsh(
+        _emb_double(s, d), threshold=0.3
+    )
+    # materialized bucket-partitioned ANN: the query reads ONLY the probed
+    # partitions (multiprobe hamming-1)
+    q["sim_ann_topk"] = lambda s, d: similarity.ann_lsh_topk_indexed(
+        s, _ann_for(s, d), ANN_QV, k=10, probes=2
+    ).select("vec_id", F.col("bucket").cast("long").alias("bucket"), "cos_sim")
 
     # --- text analysis ---
     q["ts_token_count"] = lambda s, d: _docs(s, d).select(
@@ -245,6 +299,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["mm_features"] = lambda s, d: multimodal.extract_features(
         multimodal.as_media(_docs(s, d), "text")
+    ).select(
+        "doc_id",
+        F.col("byte_len").cast("long").alias("byte_len"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        "checksum",
     )
 
     # --- events (batch windowed aggregation; streaming twin in streaming/) ---
@@ -318,6 +379,15 @@ SELECT d.doc_id, d.lang FROM documents d
 WHERE d.lang = 'es'
   AND EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.term = 'join')
 """
+    o["ft_field_scoped_indexed"] = f"""
+WITH scores AS ({_bm25_sql(tuple(Q_MAIN.split()), None)})
+SELECT s.doc_id, s.score
+FROM scores s JOIN documents d USING (doc_id)
+WHERE d.lang = 'es'
+ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+"""
+    o["ix_keyword_filter"] = "SELECT doc_id FROM documents WHERE lang = 'es'"
+    o["ft_synonym"] = _bm25_sql(("join", "merge"), 10)
     o["ft_and_query"] = f"""
 WITH {_toks_cte()}
 SELECT doc_id FROM toks WHERE term IN ('spark', 'join')
@@ -435,6 +505,27 @@ SELECT doc_id,
 FROM bits GROUP BY doc_id
 """
 
+    o["dd_simhash_pairs"] = f"""
+WITH dtoks AS (SELECT DISTINCT doc_id,
+                unnest(regexp_extract_all(lower(text), '{SIMPLE}')) AS term
+               FROM documents),
+vocab AS (SELECT term, dense_rank() OVER (ORDER BY term) AS term_id
+          FROM (SELECT DISTINCT term FROM dtoks)),
+contrib AS (SELECT t.doc_id, j.bit,
+                   ((v.term_id * (2 * j.bit + 17)) % 97 - 48) AS w
+            FROM dtoks t JOIN vocab v USING (term),
+                 (SELECT unnest(range(0, 16)) AS bit) j),
+bits AS (SELECT doc_id, bit, sum(w) AS s FROM contrib GROUP BY 1, 2),
+sh AS (SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS simhash
+       FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+"""
+
     _cos = (
         "list_dot_product({a}, {b}) / "
         "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
@@ -458,10 +549,10 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round({_cos.format(a="a.v", b="b.v")}, 4) >= 0.8
 """
-    o["sim_lsh_buckets"] = """
-WITH dims AS (SELECT vec_id, unnest(embedding) AS x,
-                     unnest(range(0, len(embedding))) AS d
-              FROM embeddings),
+    _buckets_cte = """
+dims AS (SELECT vec_id, unnest(embedding) AS x,
+                unnest(range(0, len(embedding))) AS d
+         FROM embeddings),
 proj AS (SELECT vec_id, p.plane,
                 sum(CAST(x AS DOUBLE)
                     * ((((p.plane * 131 + d * 31 + 7) % 97) - 48))) AS s
@@ -472,7 +563,43 @@ buckets AS (SELECT vec_id,
                             THEN CAST(power(2, plane) AS BIGINT)
                             ELSE 0 END) AS BIGINT) AS bucket
             FROM proj GROUP BY 1)
+"""
+    o["sim_lsh_buckets"] = f"""
+WITH {_buckets_cte}
 SELECT bucket, count(*)::BIGINT AS n FROM buckets GROUP BY 1
+"""
+    o["sim_near_pairs_lsh"] = f"""
+WITH {_buckets_cte},
+e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b, ea.v AS va, eb.v AS vb
+  FROM buckets a JOIN buckets b2
+    ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b2.vec_id)
+SELECT id_a, id_b,
+       round({_cos.format(a="va", b="vb")}, 4) AS cos_sim
+FROM pairs
+WHERE round({_cos.format(a="va", b="vb")}, 4) >= 0.3
+"""
+    qv_sql = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in ANN_QV) + "]"
+    probe_buckets = similarity.query_buckets(ANN_QV, n_planes=8, probes=2)
+    buckets_in = ", ".join(str(b) for b in probe_buckets)
+    o["sim_ann_topk"] = f"""
+WITH {_buckets_cte},
+e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+q AS (SELECT {qv_sql} AS qv),
+cand AS (SELECT e.vec_id, b.bucket, e.v, q.qv
+         FROM e JOIN buckets b USING (vec_id) CROSS JOIN q
+         WHERE b.bucket IN ({buckets_in}))
+SELECT vec_id, bucket,
+       round({_cos.format(a="v", b="qv")}, 4) AS cos_sim
+FROM cand
+ORDER BY round({_cos.format(a="v", b="qv")}, 4) DESC, vec_id ASC LIMIT 10
 """
 
     o["ts_token_count"] = f"""
@@ -550,6 +677,24 @@ SELECT doc_id, 'application/octet-stream' AS media_type,
        octet_length(encode(text))::BIGINT AS byte_len
 FROM documents
 """
+    # the deterministic fake features ARE SQL-expressible: byte lengths and a
+    # byte-sum checksum over the UTF-8 payload (hex-pair extraction)
+    o["mm_features"] = """
+WITH b AS (SELECT doc_id, encode(text) AS p FROM documents),
+f AS (SELECT doc_id,
+             octet_length(p)::BIGINT AS byte_len,
+             coalesce(list_sum(list_transform(
+                 range(1, octet_length(p) + 1),
+                 i -> ('0x' || substr(hex(p), (i - 1) * 2 + 1, 2))::INT
+             )), 0)::BIGINT AS checksum
+      FROM b)
+SELECT doc_id, byte_len,
+       (byte_len % 640)::BIGINT AS width,
+       (byte_len % 480)::BIGINT AS height,
+       (byte_len // 1024 + 1)::BIGINT AS n_frames,
+       checksum
+FROM f
+"""
 
     o["ft_batch_search"] = f"""
 SELECT 'q0' AS query_id, doc_id, score FROM ({_bm25_sql(tuple(Q_MAIN.split()), 10)}) a
@@ -588,6 +733,6 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
        event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2
 """
-    # mm_features, ix_lineage: non-SQL-expressible (binary payload plumbing /
-    # compressed index internals) -> rows-only checks.
+    # ix_lineage: non-SQL-expressible (compressed index internals) ->
+    # rows-only check.
     return o

@@ -117,6 +117,42 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
         lambda: search_many(spark, ix, qset, k=10).collect()
     )
 
+    # ---- 3b. filtered + selective-term queries over the code index ----
+    from pyspark.sql import functions as F
+
+    rare = [
+        r["term"]
+        for r in ix.term_dict(spark)
+        .filter((F.col("df") >= 20) & (F.col("df") <= 200))
+        .orderBy("term")
+        .limit(2)
+        .collect()
+    ]
+    sel_query = " ".join(rare + ["import"])
+    timings["q_selective_mix"] = timed(
+        lambda: search(spark, ix, sel_query, k=10, with_stored=False).collect()
+    )
+    # decode-skip trace: run the kernel in-process on one shard's postings
+    from cascading_solr_spark.codec import bm25_idf
+    from cascading_solr_spark.query.search import term_dfs
+    from cascading_solr_spark.query.wand import maxscore_kernel
+
+    from cascading_solr_spark.analyzer import analyze_query
+
+    terms = analyze_query(sel_query)
+    dfs_map = term_dfs(spark, ix, terms)
+    idf = {t: bm25_idf(v, ix.n_docs) for t, v in dfs_map.items()}
+    pdf0 = (
+        ix.postings(spark)
+        .filter((F.col("term").isin(terms)) & (F.col("shard") == 0))
+        .toPandas()
+    )
+    skip_counters: dict = {}
+    maxscore_kernel(
+        idf, ix.avgdl, ix.spec.k1, ix.spec.b, 10, ix.spec.block_size,
+        counters=skip_counters,
+    )(pdf0)
+
     # ---- 4. operator headliners on the driver tables ----
     timings["naive_bm25_documents"] = timed(
         lambda: bm25_topk_df(docs, "spark join stream", k=10, content_col="text")
@@ -125,9 +161,55 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
     timings["dedup_minhash_lsh"] = timed(
         lambda: dedup.minhash_lsh_pairs(docs, "text", threshold=0.5).count()
     )
+    timings["dedup_minhash_lsh_hashmode"] = timed(
+        lambda: dedup.minhash_lsh_pairs(
+            docs, "text", threshold=0.5, id_mode="hash"
+        ).count()
+    )
+    timings["dedup_simhash_pairs"] = timed(
+        lambda: dedup.simhash_near_pairs(
+            docs.select("doc_id", "text"), "text", max_hamming=1
+        ).count()
+    )
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb_d = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
     timings["sim_cosine_topk"] = timed(
         lambda: similarity.cosine_topk_to_row(emb, query_id=0, k=10).collect()
+    )
+    timings["sim_near_pairs_lsh"] = timed(
+        lambda: similarity.embedding_near_pairs_lsh(emb_d, threshold=0.3).count()
+    )
+    # ANN: build the bucket-partitioned index, query it, report recall@10
+    # vs exact brute force
+    ann_dir = os.path.join(work, "ann")
+    qv = [((7 * d + 3) % 11 - 5) / 2.0 for d in range(64)]
+    timings["ann_build"] = timed(
+        lambda: similarity.build_ann_index(emb_d, ann_dir)
+    )
+    ann_rows: list = []
+    timings["ann_query"] = timed(
+        lambda: ann_rows.extend(
+            similarity.ann_lsh_topk_indexed(spark, ann_dir, qv, k=10, probes=2)
+            .collect()
+        )
+    )
+    exact_rows = similarity.cosine_topk(emb_d, qv, k=10).collect()
+    exact_ids = {r["vec_id"] for r in exact_rows}
+    ann_recall = (
+        len(exact_ids & {r["vec_id"] for r in ann_rows}) / max(1, len(exact_ids))
+    )
+
+    # ---- 5. incremental append throughput (segment refresh path) ----
+    from cascading_solr_spark.indexing.append import append_documents
+
+    delta = synth_corpus(spark, n_code_files // 10, partitions=max(cpus, 8)).select(
+        F.col("repo"), F.concat(F.col("path"), F.lit(".v2")).alias("path"),
+        F.col("commit"), F.col("lang"), F.col("content"),
+    )
+    timings["append_delta"] = timed(
+        lambda: append_documents(spark, ix_dir, delta)
     )
 
     shutil.rmtree(work, ignore_errors=True)
@@ -142,6 +224,9 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
         "code_corpus_files": n_code_files,
         "build_files_per_sec": round(files_per_sec, 2),
         "documents_rows": n_docs,
+        "selective_query": sel_query,
+        "decode_skip": skip_counters,
+        "ann_recall_at_10": round(ann_recall, 3),
     }
 
 
