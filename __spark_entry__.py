@@ -64,7 +64,7 @@ _DOC_SPEC = IndexSpec(
 )
 
 
-_INDEX_FORMAT_VERSION = 4  # bump on any postings/dict layout change
+_INDEX_FORMAT_VERSION = 5  # bump on any postings/dict layout change
 
 
 def _index_for(spark: SparkSession, sf_dir: str) -> Index:

@@ -73,7 +73,10 @@ def _gen_rows(start: int, stop: int) -> pd.DataFrame:
         hot = _HOT[lang]
         lines = [f"{hot[0]} {c}.{d}"]
         for f_i in range(n_funcs):
-            s = _pick(rng, 5)
+            # camel/snake identifiers come from the BOUNDED stem set (their
+            # catenated-whole tokens stay a small closed vocabulary); the
+            # Zipf tail lives in standalone body tokens below
+            s = [_STEMS[j] for j in rng.integers(0, len(_STEMS), size=5)]
             camel = s[0] + s[1].capitalize() + s[2].capitalize()
             snake = f"{s[3]}_{s[4]}"
             kw = hot[int(rng.integers(0, len(hot)))]

@@ -40,7 +40,7 @@ from cascading_solr_spark.indexing.build import (
     _assembler,
     _keyword_tf_rows,
     _rank_ids,
-    _salted,
+    _shard_salt_exprs,
     _spimi_tf_kernel,
     _write_lineage,
     _write_postings,
@@ -97,20 +97,25 @@ def append_documents(
 
         # ---- batch postings (SPIMI + keyword rows + stored hot set) ----
         tf_long = based.select("doc_id", spec.content_field).mapInPandas(
-            _spimi_tf_kernel(spec.content_field, spec.num_shards), TF_SCHEMA
+            _spimi_tf_kernel(spec.content_field), TF_SCHEMA
         )
         kw_rows = _keyword_tf_rows(based, spec)
         if kw_rows is not None:
             tf_long = tf_long.unionByName(kw_rows)
         tf_long = tf_long.persist()
-        arranged = _salted(tf_long, list(index.hot_terms), spec).repartition(
+        hot = list(index.hot_terms)
+        shard_e, salt_e = _shard_salt_exprs(hot, spec)
+        salt_keys = [salt_e] if salt_e is not None else []
+        arranged = tf_long.repartition(
             max(
                 spec.num_shards,
                 int(spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"),
             ),
-            "shard", "term", "salt",
-        ).sortWithinPartitions("shard", "term", "salt", "doc_id")
-        postings = arranged.mapInPandas(_assembler(spec), POSTINGS_SCHEMA)
+            shard_e, F.col("term"), *salt_keys,
+        ).sortWithinPartitions(
+            shard_e, F.xxhash64("term"), *salt_keys, F.col("packed")
+        )
+        postings = arranged.mapInPandas(_assembler(spec, hot), POSTINGS_SCHEMA)
         _write_postings(postings, index.postings_path, spec, mode="append")
         _write_lineage(
             spark,

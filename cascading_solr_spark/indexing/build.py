@@ -69,21 +69,37 @@ from cascading_solr_spark.analyzer import make_cached_tokenizer
 from cascading_solr_spark.codec import encode_varint_counts
 from cascading_solr_spark.spec import IndexSpec, IndexSpecError, validate_schema
 
-TF_SCHEMA = "doc_id long, dl int, shard int, term string, tf int"
+# The big (term, doc) intermediate packs (doc_id, dl) into ONE long:
+# packed = doc_id << DL_BITS | min(dl, DL_MASK).  Three fields (24 B of
+# UnsafeRow slots + the term bytes) instead of five (40 B) — the shuffle,
+# the sort, and both Arrow hops move ~40% fewer bytes, which is what the
+# measured 2->8-core inflation was made of (memory-bandwidth contention).
+# doc_id < 2^42 (4×10^12, above the north-star scale); dl saturates at
+# 2^21-1 tokens (a 2M-token document scores as if 2M — BM25 is flat there).
+DL_BITS = 21
+DL_MASK = (1 << DL_BITS) - 1
+
+TF_SCHEMA = "packed long, term string, tf int"
 
 # keyword-field terms are namespaced "<field>:<value>"; analyzed content terms
 # are [a-z0-9]+ so the ':' can never collide.
 KW_SEP = ":"
 
 
-def _spimi_tf_kernel(content_field: str, num_shards: int):
+def pack_id_dl(doc_ids: np.ndarray, dls: np.ndarray) -> np.ndarray:
+    return (doc_ids.astype(np.int64) << DL_BITS) | np.minimum(
+        dls.astype(np.int64), DL_MASK
+    )
+
+
+def _spimi_tf_kernel(content_field: str):
     """SPIMI in-memory inversion, Arrow-batched: tokenize (memoized per-word
     cache — code identifiers repeat heavily) + per-doc Counter -> distinct
-    (doc, term, tf) rows.  This runs in separate Python worker processes, so
-    it scales with cores without sharing one JVM heap (the Catalyst
-    expression analyzer measurably anti-scaled under allocation pressure at
-    local[32]).  The per-doc dict IS the SPIMI dictionary; only distinct
-    (term, doc) pairs ever reach the shuffle."""
+    (doc, term, tf) rows with (doc_id, dl) packed.  This runs in separate
+    Python worker processes, so it scales with cores without sharing one JVM
+    heap (the Catalyst expression analyzer measurably anti-scaled under
+    allocation pressure at local[32]).  The per-doc dict IS the SPIMI
+    dictionary; only distinct (term, doc) pairs ever reach the shuffle."""
     from collections import Counter
 
     def kernel(batches):
@@ -106,9 +122,7 @@ def _spimi_tf_kernel(content_field: str, num_shards: int):
             ids = np.asarray(doc_ids, dtype=np.int64)
             yield pd.DataFrame(
                 {
-                    "doc_id": ids,
-                    "dl": np.asarray(dls, dtype=np.int32),
-                    "shard": (ids % num_shards).astype(np.int32),
+                    "packed": pack_id_dl(ids, np.asarray(dls, dtype=np.int64)),
                     "term": terms,
                     "tf": np.asarray(tfs, dtype=np.int32),
                 }
@@ -118,7 +132,8 @@ def _spimi_tf_kernel(content_field: str, num_shards: int):
 
 
 POSTINGS_SCHEMA = (
-    "shard int, term string, salt int, n_docs long, doc_ids binary, "
+    "shard int, term string, salt int, n_docs long, sum_tf long, "
+    "doc_ids binary, "
     "tfs binary, dls binary, block_max_tf array<int>, block_min_dl array<int>, "
     "block_last_id array<long>, "
     "boffs_ids array<long>, boffs_tfs array<long>, boffs_dls array<long>, "
@@ -269,9 +284,12 @@ class Index:
         return spark.read.parquet(p)
 
 
-def _assembler(spec: IndexSpec):
+def _assembler(spec: IndexSpec, hot_terms: list[str] | tuple[str, ...] = ()):
     """mapInPandas posting assembler over a partition sorted by
-    (shard, term, salt, doc_id).  Groups may span Arrow batches, so the tail
+    (shard, term-hash, salt, doc_id).  Input rows are the packed
+    (packed, term, tf) triples; shard and salt are recomputed here with the
+    same arithmetic as :func:`_shard_salt_exprs` (the shuffle does not carry
+    them).  Groups may span Arrow batches, so the tail
     group of each batch is carried into the next — the streaming analogue of
     the reference's flush-on-500-docs micro-batching (SolrWriter.java:101-122).
 
@@ -286,11 +304,14 @@ def _assembler(spec: IndexSpec):
     block = spec.block_size
 
     cols = [
-        "shard", "term", "salt", "n_docs", "doc_ids", "tfs", "dls",
+        "shard", "term", "salt", "n_docs", "sum_tf", "doc_ids", "tfs", "dls",
         "block_max_tf", "block_min_dl", "block_last_id",
         "boffs_ids", "boffs_tfs", "boffs_dls",
         "n_blocks", "n_bytes",
     ]
+
+    num_shards, salt_buckets = spec.num_shards, spec.salt_buckets
+    hot_set = frozenset(hot_terms)
 
     def emit(pdf: pd.DataFrame) -> pd.DataFrame:
         """Batch-vectorized group assembly: ONE global varint encode per
@@ -298,12 +319,19 @@ def _assembler(spec: IndexSpec):
         counts; block metadata via reduceat on global block starts.
         The only per-group Python is bytes slicing."""
         n = len(pdf)
-        shard = pdf["shard"].to_numpy(dtype=np.int32)
-        salt = pdf["salt"].to_numpy(dtype=np.int32)
         term = pdf["term"].to_numpy()
-        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        packed = pdf["packed"].to_numpy(dtype=np.int64)
+        ids = packed >> DL_BITS
+        dls = packed & DL_MASK
+        shard = (ids % num_shards).astype(np.int32)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        if hot_set:
+            hot_mask = pdf["term"].isin(hot_set).to_numpy()
+            salt = np.where(
+                hot_mask, (ids // num_shards) % salt_buckets, 0
+            ).astype(np.int32)
+        else:
+            salt = np.zeros(n, dtype=np.int32)
 
         change = np.empty(n, dtype=bool)
         change[0] = True
@@ -365,6 +393,10 @@ def _assembler(spec: IndexSpec):
                 "term": term[starts],
                 "salt": salt[starts],
                 "n_docs": sizes.astype(np.int64),
+                # per-row Σtf: lets corpus stats (total tokens -> avgdl) and
+                # the dict table be derived from the compressed read-back —
+                # no separate stats pass over the raw corpus
+                "sum_tf": np.add.reduceat(tfs, starts).astype(np.int64),
                 "doc_ids": [
                     ids_b[off_ids[i]: off_ids[i + 1]] for i in range(n_groups)
                 ],
@@ -392,6 +424,22 @@ def _assembler(spec: IndexSpec):
             columns=cols,
         )
 
+    def tail_group_mask(pdf: pd.DataFrame) -> np.ndarray:
+        """Rows belonging to the final row's (term, shard, salt) group."""
+        last_term = pdf["term"].iloc[-1]
+        packed = pdf["packed"].to_numpy(dtype=np.int64)
+        ids = packed >> DL_BITS
+        l_id = int(ids[-1])
+        same_term = (pdf["term"] == last_term).to_numpy()
+        same_shard = (ids % num_shards) == (l_id % num_shards)
+        if last_term in hot_set:
+            same_salt = ((ids // num_shards) % salt_buckets) == (
+                (l_id // num_shards) % salt_buckets
+            )
+        else:
+            same_salt = np.ones(len(pdf), dtype=bool)
+        return same_term & same_shard & same_salt
+
     def assemble(iterator):
         carry: pd.DataFrame | None = None
         for pdf in iterator:
@@ -400,14 +448,9 @@ def _assembler(spec: IndexSpec):
             if not len(pdf):
                 continue
             # hold back the final (possibly incomplete) group
-            last = pdf.iloc[-1]
-            tail_mask = (
-                (pdf["term"] == last["term"])
-                & (pdf["salt"] == last["salt"])
-                & (pdf["shard"] == last["shard"])
-            )
+            tail_mask = tail_group_mask(pdf)
             # tail group start = first index from the end where mask is contiguous
-            rev = tail_mask.to_numpy()[::-1]
+            rev = tail_mask[::-1]
             tail_len = int(np.argmin(rev)) if not rev.all() else len(rev)
             cut = len(pdf) - tail_len
             carry = pdf.iloc[cut:]
@@ -428,8 +471,8 @@ def keyword_term(field: str, value: F.Column | str) -> F.Column:
 
 
 def _keyword_tf_rows(based: DataFrame, spec: IndexSpec) -> DataFrame | None:
-    """(doc_id, dl=1, shard, term='field:value', tf=1) rows for every keyword
-    field value.  Multi-valued fields explode (SolrWriter.java:67-71
+    """(packed(doc_id, dl=1), term='field:value', tf=1) rows for every
+    keyword field value.  Multi-valued fields explode (SolrWriter.java:67-71
     tuple-explode analogue); nulls are skipped (SolrWriter.java:65-66
     null-skip).  Pure Catalyst — no Python in this path."""
     if not spec.keyword_fields:
@@ -445,11 +488,9 @@ def _keyword_tf_rows(based: DataFrame, spec: IndexSpec) -> DataFrame | None:
         part = based.select("doc_id", vals).filter(F.col("_kw").isNotNull())
         parts.append(
             part.select(
-                "doc_id",
-                F.lit(1).cast("int").alias("dl"),
-                F.pmod(F.col("doc_id"), F.lit(spec.num_shards))
-                .cast("int")
-                .alias("shard"),
+                (
+                    F.shiftleft(F.col("doc_id"), DL_BITS) + F.lit(1)
+                ).alias("packed"),
                 keyword_term(field, F.col("_kw")).alias("term"),
                 F.lit(1).cast("int").alias("tf"),
             )
@@ -460,31 +501,28 @@ def _keyword_tf_rows(based: DataFrame, spec: IndexSpec) -> DataFrame | None:
     return out
 
 
-def _salted(tf_long: DataFrame, hot_terms: list[str], spec: IndexSpec) -> DataFrame:
-    """Attach the shuffle salt: hot terms split by a doc-derived bucket so no
-    single reducer owns a full hot posting list; cold terms keep salt 0."""
-    spark = tf_long.sparkSession
-    if hot_terms:
-        hot_df = spark.createDataFrame(
-            [(t,) for t in hot_terms], "term string"
-        ).withColumn("_hot", F.lit(True))
-    else:
-        hot_df = spark.createDataFrame([], "term string, _hot boolean")
-    hot_df = F.broadcast(hot_df)
-    return (
-        tf_long.join(hot_df, "term", "left")
-        .withColumn(
-            "salt",
-            F.when(
-                F.col("_hot").isNotNull(),
-                F.pmod(
-                    F.floor(F.col("doc_id") / spec.num_shards),
-                    F.lit(spec.salt_buckets),
-                ).cast("int"),
-            ).otherwise(F.lit(0)),
-        )
-        .drop("_hot")
-    )
+def _shard_salt_exprs(
+    hot_terms: list[str], spec: IndexSpec
+) -> tuple[F.Column, F.Column | None]:
+    """Shard / salt as EXPRESSIONS over (packed, term) — the shuffle never
+    carries them as columns, and the hot set rides the plan as a literal IN
+    list (bounded: df > ratio·N terms) instead of a broadcast join.  Hot
+    terms get a doc-derived salt so no single reducer owns a full hot
+    posting list; cold terms keep salt 0.  With no hot terms the salt is
+    constant — None tells callers to drop it from the shuffle/sort keys
+    (a bare literal would be read as an ORDER BY ordinal)."""
+    doc_id = F.shiftright(F.col("packed"), DL_BITS)
+    shard = F.pmod(doc_id, F.lit(spec.num_shards)).cast("int")
+    if not hot_terms:
+        return shard, None
+    salt = F.when(
+        F.col("term").isin(hot_terms),
+        F.pmod(
+            (doc_id / spec.num_shards).cast("long"),
+            F.lit(spec.salt_buckets),
+        ).cast("int"),
+    ).otherwise(F.lit(0))
+    return shard, salt
 
 
 def _write_postings(
@@ -608,30 +646,11 @@ def build_index(
         # doc_id_field path: parquet sources answer count() from footers
         n_docs = source.count()
 
-    fresh_full = not have_meta
     pool = ThreadPoolExecutor(max_workers=3)
-    tf_long: DataFrame | None = None
     term_stats: DataFrame | None = None
     try:
-        # ---- the ONE Python tokenize pass (SPIMI) + keyword rows ----
-        if missing:
-            src = based
-            if len(missing) < spec.num_shards:
-                # resume: shard = doc_id % num_shards is known pre-tokenize
-                src = based.filter(
-                    F.pmod(F.col("doc_id"), F.lit(spec.num_shards)).isin(missing)
-                )
-            tf_long = src.select("doc_id", spec.content_field).mapInPandas(
-                _spimi_tf_kernel(spec.content_field, spec.num_shards), TF_SCHEMA
-            )
-            kw_rows = _keyword_tf_rows(src, spec)
-            if kw_rows is not None:
-                tf_long = tf_long.unionByName(kw_rows)
-            if fresh_full:
-                tf_long = tf_long.persist(StorageLevel.MEMORY_AND_DISK)
-
         # ---- docs table write (concurrent: JVM-side sha256+parquet overlaps
-        # the python-worker tokenize pass) ----
+        # the python-worker sample/tokenize stages) ----
         def write_docs() -> None:
             docs = based.select(
                 "doc_id",
@@ -649,49 +668,56 @@ def build_index(
                 .parquet(docs_path)
             )
 
-        docs_future = None if have_docs else pool.submit(write_docs)
+        serial_docs = os.environ.get("CSS_BUILD_SERIAL_DOCS") == "1"
+        docs_future = None
+        if not have_docs:
+            if serial_docs:
+                write_docs()
+            else:
+                docs_future = pool.submit(write_docs)
 
-        dict_future = None
-        if missing and fresh_full:
-            # exact per-term stats from the tokenize pass: df -> hot set +
-            # dict table; Σtf -> avgdl.  ONE aggregation job.
-            term_stats = (
-                tf_long.groupBy("term")
-                .agg(F.count("*").alias("df"), F.sum("tf").alias("ttf"))
-                .persist(StorageLevel.MEMORY_AND_DISK)
+        # ---- hot-term detection on a HEAD SAMPLE (exact when the corpus
+        # fits in hot_sample_docs — every test corpus does).  The hot SET
+        # only steers shuffle salting, so an estimate suffices, and it avoids
+        # a full (term, doc) stats pass at 10^12-file scale.  limit() reads
+        # only the first input split(s) instead of scanning the whole corpus
+        # the way sample() would; the resulting set persists in meta.json so
+        # resumes/appends/compactions salt identically even if the head is
+        # not representative. ----
+        if missing and not have_meta:
+            frac = min(1.0, spec.hot_sample_docs / max(1, n_docs))
+            sampled = source
+            if frac < 1.0:
+                # GlobalLimit funnels rows through ONE task — respread the
+                # head sample so its tokenize runs parallel
+                sampled = source.limit(spec.hot_sample_docs).repartition(
+                    spark.sparkContext.defaultParallelism
+                )
+            sampled = sampled.select(
+                F.monotonically_increasing_id().alias("doc_id"),
+                F.col(spec.content_field),
+                *[F.col(f) for f in spec.keyword_fields],
             )
-            threshold = max(2.0, spec.hot_term_df_ratio * n_docs)
+            sample_tf = sampled.select("doc_id", spec.content_field).mapInPandas(
+                _spimi_tf_kernel(spec.content_field), TF_SCHEMA
+            )
+            kw_sample = _keyword_tf_rows(sampled, spec)
+            if kw_sample is not None:
+                sample_tf = sample_tf.unionByName(kw_sample)
+            hot_threshold = max(2.0, spec.hot_term_df_ratio * n_docs * frac)
             hot_terms = sorted(
                 r["term"]
-                for r in term_stats.filter(F.col("df") > threshold)
+                for r in sample_tf.groupBy("term")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") > hot_threshold)
                 .select("term")
                 .collect()
             )
-            prof.mark("tokenize+stats")
-            # total CONTENT tokens (keyword rows are namespaced with ':')
-            total_tokens = int(
-                term_stats.filter(~F.col("term").contains(KW_SEP))
-                .agg(F.sum("ttf"))
-                .collect()[0][0]
-                or 0
-            )
-            avgdl = total_tokens / n_docs if n_docs else 0.0
+            prof.mark("hot_detect")
 
-            def write_dict() -> None:
-                # term-sorted for row-group pruning on the query side's
-                # term IN (...) df lookup
-                (
-                    term_stats.select("term", "df")
-                    .repartition(max(1, spec.num_shards // 4), "term")
-                    .sortWithinPartitions("term")
-                    .write.mode("overwrite")
-                    .parquet(os.path.join(out_dir, "dict"))
-                )
-
-            dict_future = pool.submit(write_dict)
-
-        # ---- meta (written before postings so a crash mid-postings resumes
-        # with identical salting decisions) ----
+        # ---- meta v1 (BEFORE the postings job, so a crash mid-postings
+        # resumes with identical salting decisions; avgdl/total_tokens are
+        # patched from the read-back below) ----
         if not have_meta:
             meta = {
                 "spec": _spec_meta(spec),
@@ -704,41 +730,89 @@ def build_index(
             }
             write_meta(out_dir, meta)
 
-        # ---- postings: salted repartition-and-sort + streaming assembler ----
+        # ---- postings: ONE streaming pass.  SPIMI tokenize -> salted
+        # repartition-and-sort -> assembler -> shard files.  Nothing is
+        # cached; the only big intermediate crosses the wire exactly once.
         if missing:
+            src = based
+            if len(missing) < spec.num_shards:
+                # resume: shard = doc_id % num_shards is known pre-tokenize
+                src = based.filter(
+                    F.pmod(F.col("doc_id"), F.lit(spec.num_shards)).isin(missing)
+                )
+            tf_long = src.select("doc_id", spec.content_field).mapInPandas(
+                _spimi_tf_kernel(spec.content_field), TF_SCHEMA
+            )
+            kw_rows = _keyword_tf_rows(src, spec)
+            if kw_rows is not None:
+                tf_long = tf_long.unionByName(kw_rows)
             shuffle_parts = int(
                 spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
             )
             n_parts = max(spec.num_shards, shuffle_parts)
-            arranged = _salted(tf_long, hot_terms, spec).repartition(
-                n_parts, "shard", "term", "salt"
-            ).sortWithinPartitions("shard", "term", "salt", "doc_id")
-            postings = arranged.mapInPandas(_assembler(spec), schema=POSTINGS_SCHEMA)
+            # the assembler needs term CLUSTERING + ascending doc_id, not
+            # alphabetic order — sorting by the term's 64-bit hash replaces
+            # tens of millions of string comparisons with long comparisons.
+            # (A hash collision merely splits a posting list into two rows;
+            # the query kernels merge multi-row terms anyway.)  Alphabetic
+            # file order is restored by the segment-merge write.  Shard and
+            # salt ride the plan as EXPRESSIONS over (packed, term): the
+            # shuffled rows stay three narrow fields.
+            shard_e, salt_e = _shard_salt_exprs(hot_terms, spec)
+            salt_keys = [salt_e] if salt_e is not None else []
+            arranged = tf_long.repartition(
+                n_parts, shard_e, F.col("term"), *salt_keys
+            ).sortWithinPartitions(
+                shard_e, F.xxhash64("term"), *salt_keys, F.col("packed")
+            )
+            postings = arranged.mapInPandas(
+                _assembler(spec, hot_terms), schema=POSTINGS_SCHEMA
+            )
             _write_postings(postings, postings_path, spec, mode="append")
             prof.mark("postings_write")
-            _write_lineage(spark, postings_path, lineage_path, missing)
-            if not fresh_full:
-                # partial rebuild: the tokenize pass only saw the missing
-                # shards, so the global dict must come from ALL postings
-                all_built = spark.read.parquet(postings_path)
-                (
-                    all_built.groupBy("term")
-                    .agg(F.sum("n_docs").alias("df"))
-                    .repartition(max(1, spec.num_shards // 4), "term")
-                    .sortWithinPartitions("term")
-                    .write.mode("overwrite")
-                    .parquet(os.path.join(out_dir, "dict"))
-                )
+
+            # ---- read-back over the COMPRESSED rows (tiny, column-pruned):
+            # lineage checkpoint ∥ dict (global df) + corpus stats (Σtf).
+            # The dict read covers ALL shards, so resumed/partial builds get
+            # the same global table as fresh ones. ----
+            lineage_future = pool.submit(
+                _write_lineage, spark, postings_path, lineage_path, missing
+            )
+            term_stats = (
+                spark.read.parquet(postings_path)
+                .groupBy("term")
+                .agg(F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("ttf"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            (
+                term_stats.select("term", "df")
+                .repartition(max(1, spec.num_shards // 4), "term")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, "dict"))
+            )
+            # total CONTENT tokens (keyword rows are namespaced with ':')
+            total_tokens = int(
+                term_stats.filter(~F.col("term").contains(KW_SEP))
+                .agg(F.sum("ttf"))
+                .collect()[0][0]
+                or 0
+            )
+            avgdl = total_tokens / n_docs if n_docs else 0.0
+            lineage_future.result()
+            # meta v2: final corpus stats (also self-heals a resumed build
+            # whose v1 meta carried zeros)
+            meta["total_tokens"] = total_tokens
+            meta["avgdl"] = avgdl
+            write_meta(out_dir, meta)
             prof.mark("lineage+dict")
 
         if docs_future is not None:
             docs_future.result()
-        if dict_future is not None:
-            dict_future.result()
         prof.mark("docs_join")
     finally:
         pool.shutdown(wait=True)
-        for cached in (tf_long, term_stats, ids_handle):
+        for cached in (term_stats, ids_handle):
             if cached is not None:
                 cached.unpersist()
 

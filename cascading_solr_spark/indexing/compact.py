@@ -34,32 +34,33 @@ from cascading_solr_spark.indexing.build import (
     TF_SCHEMA,
     Index,
     _assembler,
-    _salted,
+    _shard_salt_exprs,
+    pack_id_dl,
     write_meta,
 )
 
 
 def _decode_kernel(block_size: int):
-    """posting rows -> (doc_id, dl, shard, term, tf) long rows (vectorized:
+    """posting rows -> (packed(doc_id, dl), term, tf) long rows (vectorized:
     one concat per batch, no per-posting Python)."""
 
     def decode(batches):
         for pdf in batches:
-            ids_l, tfs_l, dls_l, terms_l, shards_l = [], [], [], [], []
+            ids_l, tfs_l, dls_l, terms_l = [], [], [], []
             for row in pdf.itertuples(index=False):
                 n = int(row.n_docs)
                 ids_l.append(decode_doc_ids(row.doc_ids, n, block_size))
                 tfs_l.append(decode_varint(row.tfs, n))
                 dls_l.append(decode_varint(row.dls, n))
                 terms_l.append(np.repeat(row.term, n))
-                shards_l.append(np.full(n, row.shard, dtype=np.int32))
             if not ids_l:
                 continue
             yield pd.DataFrame(
                 {
-                    "doc_id": np.concatenate(ids_l).astype(np.int64),
-                    "dl": np.concatenate(dls_l).astype(np.int32),
-                    "shard": np.concatenate(shards_l),
+                    "packed": pack_id_dl(
+                        np.concatenate(ids_l).astype(np.int64),
+                        np.concatenate(dls_l).astype(np.int64),
+                    ),
                     "term": np.concatenate(terms_l),
                     "tf": np.concatenate(tfs_l).astype(np.int32),
                 }
@@ -88,12 +89,16 @@ def compact_index(
     )
     # the hot set persisted at build time keeps salting identical across
     # generations (meta.json is the source of truth)
-    salted = _salted(tf_long, list(index.hot_terms), spec)
+    hot = list(index.hot_terms)
+    shard_e, salt_e = _shard_salt_exprs(hot, spec)
+    salt_keys = [salt_e] if salt_e is not None else []
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or "32")
-    arranged = salted.repartition(
-        max(spec.num_shards, shuffle_parts), "shard", "term", "salt"
-    ).sortWithinPartitions("shard", "term", "salt", "doc_id")
-    compacted = arranged.mapInPandas(_assembler(spec), POSTINGS_SCHEMA)
+    arranged = tf_long.repartition(
+        max(spec.num_shards, shuffle_parts), shard_e, F.col("term"), *salt_keys
+    ).sortWithinPartitions(
+        shard_e, F.xxhash64("term"), *salt_keys, F.col("packed")
+    )
+    compacted = arranged.mapInPandas(_assembler(spec, hot), POSTINGS_SCHEMA)
     if max_segments <= 1:
         placed = compacted.repartition(spec.num_shards, "shard")
     else:
