@@ -64,7 +64,7 @@ _DOC_SPEC = IndexSpec(
 )
 
 
-_INDEX_FORMAT_VERSION = 5  # bump on any postings/dict layout change
+_INDEX_FORMAT_VERSION = 6  # bump on any postings/dict/ANN layout change
 
 
 def _index_for(spark: SparkSession, sf_dir: str) -> Index:
@@ -197,6 +197,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         .select("doc_id")
     )
+    # conjunctive ranked query served INDEX-SIDE (op="AND": a postings
+    # intersection in the shard kernels, never a docs-table scan — the
+    # Lucene-parser +term/AND form, schema.xml:239 default OR overridden)
+    q["ix_and_query"] = lambda s, d: search(
+        s, _index_for(s, d), Q_MAIN, k=None, op="AND", with_stored=False
+    ).select("doc_id")
+    # the reference's own query-string form (q=cat:Japanese through the
+    # Lucene parser, AbstractSolrSchemeTest.java:163-165): field:value tokens
+    # parsed against spec.keyword_fields into index-side filters
+    q["ix_query_string"] = lambda s, d: search(
+        s, _index_for(s, d), "lang:es " + Q_MAIN, k=10, with_stored=False
+    ).select("doc_id", F.round("score", 4).alias("score"))
     q["ft_df_stats"] = lambda s, d: (
         tokens_long(_docs(s, d), "text", "doc_id")
         .filter(F.col("term").isin(list(DF_TERMS)))
@@ -268,9 +280,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb_double(s, d), threshold=0.3
     )
     # materialized bucket-partitioned ANN: the query reads ONLY the probed
-    # partitions (multiprobe hamming-1)
+    # partitions (multiprobe out to hamming-2 — the recall>=0.9 config,
+    # see BENCH recall/latency curve)
     q["sim_ann_topk"] = lambda s, d: similarity.ann_lsh_topk_indexed(
-        s, _ann_for(s, d), ANN_QV, k=10, probes=2
+        s, _ann_for(s, d), ANN_QV, k=10, probes=3
     ).select("vec_id", F.col("bucket").cast("long").alias("bucket"), "cos_sim")
 
     # --- text analysis ---
@@ -392,6 +405,16 @@ ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
 WITH {_toks_cte()}
 SELECT doc_id FROM toks WHERE term IN ('spark', 'join')
 GROUP BY doc_id HAVING count(DISTINCT term) = 2
+"""
+    # index-side conjunctive query: same semantics, served from postings
+    o["ix_and_query"] = o["ft_and_query"]
+    # query-string parser path: 'lang:es spark join' == filter + ranked query
+    o["ix_query_string"] = f"""
+WITH scores AS ({_bm25_sql(tuple(Q_MAIN.split()), None)})
+SELECT s.doc_id, s.score
+FROM scores s JOIN documents d USING (doc_id)
+WHERE d.lang = 'es'
+ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
 """
     terms_in = ", ".join(f"'{t}'" for t in DF_TERMS)
     o["ft_df_stats"] = f"""
@@ -585,7 +608,7 @@ FROM pairs
 WHERE round({_cos.format(a="va", b="vb")}, 4) >= 0.3
 """
     qv_sql = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in ANN_QV) + "]"
-    probe_buckets = similarity.query_buckets(ANN_QV, n_planes=8, probes=2)
+    probe_buckets = similarity.query_buckets(ANN_QV, n_planes=8, probes=3)
     buckets_in = ", ".join(str(b) for b in probe_buckets)
     o["sim_ann_topk"] = f"""
 WITH {_buckets_cte},

@@ -120,10 +120,19 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
     # ---- 3b. filtered + selective-term queries over the code index ----
     from pyspark.sql import functions as F
 
+    # decode-skip trace terms: per-SHARD df must exceed k for θ to activate
+    # (k=10 over num_shards shards -> global df must be >= ~32·k; the round-2
+    # trace picked df 20-200 and every shard had < k candidates, so nothing
+    # was ever pruned and blocks_skipped reported 0 on a kernel that provably
+    # skips — the bug was the workload, not the kernel)
+    lo = 64 * 10  # ≈ 2·num_shards·k: comfortably > k candidates per shard
     rare = [
         r["term"]
         for r in ix.term_dict(spark)
-        .filter((F.col("df") >= 20) & (F.col("df") <= 200))
+        .filter(
+            (F.col("df") >= lo) & (F.col("df") <= 8 * lo)
+            & ~F.col("term").contains(":")
+        )
         .orderBy("term")
         .limit(2)
         .collect()
@@ -131,6 +140,11 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
     sel_query = " ".join(rare + ["import"])
     timings["q_selective_mix"] = timed(
         lambda: search(spark, ix, sel_query, k=10, with_stored=False).collect()
+    )
+    timings["q_selective_mix_taat"] = timed(
+        lambda: search(
+            spark, ix, sel_query, k=10, mode="taat", with_stored=False
+        ).collect()
     )
     # decode-skip trace: run the kernel in-process on one shard's postings
     from cascading_solr_spark.codec import bm25_idf
@@ -171,6 +185,20 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
             docs.select("doc_id", "text"), "text", max_hamming=1
         ).count()
     )
+    timings["dedup_simhash_pairs_hashmode"] = timed(
+        lambda: dedup.simhash_near_pairs(
+            docs.select("doc_id", "text"), "text", max_hamming=1,
+            id_mode="hash",
+        ).count()
+    )
+    from cascading_solr_spark.operators import textstats
+
+    timings["fingerprint_dense"] = timed(
+        lambda: textstats.fingerprint(docs, "text").count()
+    )
+    timings["fingerprint_hashmode"] = timed(
+        lambda: textstats.fingerprint(docs, "text", id_mode="hash").count()
+    )
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     emb_d = emb.withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
@@ -181,25 +209,50 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
     timings["sim_near_pairs_lsh"] = timed(
         lambda: similarity.embedding_near_pairs_lsh(emb_d, threshold=0.3).count()
     )
-    # ANN: build the bucket-partitioned index, query it, report recall@10
-    # vs exact brute force
-    ann_dir = os.path.join(work, "ann")
+    # the 100 TB config: more planes (smaller buckets -> bounded within-
+    # bucket pair blowup) x more tables (recall back via banded OR)
+    timings["sim_near_pairs_lsh_scale"] = timed(
+        lambda: similarity.embedding_near_pairs_lsh(
+            emb_d, threshold=0.3, n_planes=12, n_tables=2
+        ).count()
+    )
+    # ANN: build bucket-partitioned indexes, sweep the recall/latency curve
+    # vs exact brute force (recall@10 over a deterministic query vector)
     qv = [((7 * d + 3) % 11 - 5) / 2.0 for d in range(64)]
+    exact_ids = {
+        r["vec_id"] for r in similarity.cosine_topk(emb_d, qv, k=10).collect()
+    }
+
+    def ann_point(ann_dir: str, probes: int, n_tables: int) -> dict:
+        rows: list = []
+        sec = timed(
+            lambda: rows.extend(
+                similarity.ann_lsh_topk_indexed(
+                    spark, ann_dir, qv, k=10, probes=probes, n_tables=n_tables
+                ).collect()
+            )
+        )
+        rec = len(exact_ids & {r["vec_id"] for r in rows}) / max(1, len(exact_ids))
+        return {"recall_at_10": round(rec, 3), "sec": round(sec, 4)}
+
+    ann_dir = os.path.join(work, "ann")
     timings["ann_build"] = timed(
         lambda: similarity.build_ann_index(emb_d, ann_dir)
     )
-    ann_rows: list = []
-    timings["ann_query"] = timed(
-        lambda: ann_rows.extend(
-            similarity.ann_lsh_topk_indexed(spark, ann_dir, qv, k=10, probes=2)
-            .collect()
-        )
+    ann2_dir = os.path.join(work, "ann_t2")
+    timings["ann_build_t2"] = timed(
+        lambda: similarity.build_ann_index(emb_d, ann2_dir, n_tables=2)
     )
-    exact_rows = similarity.cosine_topk(emb_d, qv, k=10).collect()
-    exact_ids = {r["vec_id"] for r in exact_rows}
-    ann_recall = (
-        len(exact_ids & {r["vec_id"] for r in ann_rows}) / max(1, len(exact_ids))
-    )
+    ann_curve = {
+        "t1_p1": ann_point(ann_dir, 1, 1),
+        "t1_p2": ann_point(ann_dir, 2, 1),
+        "t1_p3": ann_point(ann_dir, 3, 1),
+        "t2_p2": ann_point(ann2_dir, 2, 2),
+        "t2_p3": ann_point(ann2_dir, 3, 2),
+    }
+    # headline = the driver-query config (single table, hamming-2 multiprobe)
+    timings["ann_query"] = ann_curve["t1_p3"]["sec"]
+    ann_recall = ann_curve["t1_p3"]["recall_at_10"]
 
     # ---- 5. incremental append throughput (segment refresh path) ----
     from cascading_solr_spark.indexing.append import append_documents
@@ -211,6 +264,7 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
     timings["append_delta"] = timed(
         lambda: append_documents(spark, ix_dir, delta)
     )
+    append_files_per_sec = (n_code_files // 10) / timings["append_delta"]
 
     shutil.rmtree(work, ignore_errors=True)
     total = sum(v for v in timings.values() if not v != v)
@@ -223,10 +277,22 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
         "cpus": cpus,
         "code_corpus_files": n_code_files,
         "build_files_per_sec": round(files_per_sec, 2),
+        "append_files_per_sec": round(append_files_per_sec, 2),
         "documents_rows": n_docs,
         "selective_query": sel_query,
         "decode_skip": skip_counters,
+        # TAAT decodes everything; MaxScore skips — the latency delta the
+        # decode-skip trace quantifies in blocks
+        "maxscore_vs_taat": {
+            "hot_import": round(
+                timings["q_taat_import"] / timings["q_maxscore_import"], 3
+            ),
+            "selective_mix": round(
+                timings["q_selective_mix_taat"] / timings["q_selective_mix"], 3
+            ),
+        },
         "ann_recall_at_10": round(ann_recall, 3),
+        "ann_curve": ann_curve,
     }
 
 

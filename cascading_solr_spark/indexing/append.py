@@ -9,10 +9,17 @@ per-epoch standalone indexes, appends here produce ONE coherent index:
 * batch postings are built with the same SPIMI + salted-shuffle pipeline and
   appended into the live shard dirs — the query kernels already merge
   multiple rows per (term, salt), so new docs are searchable immediately;
-* global statistics refresh atomically: the dict table is merged (old df +
-  batch df) into a new generation dir and meta.json (N, total_tokens ->
-  avgdl, next_doc_id) is replaced via os.replace.  Block pruning metadata
-  stores raw (max_tf, min_dl), so a shifting avgdl never invalidates it;
+* global statistics refresh atomically: the batch's (term, df) rows append
+  into the dict table as a NEW SEGMENT (``Index.term_dict`` folds segments
+  with a sum-per-term view; ``compact_index`` physically merges them), and
+  meta.json (N, total_tokens -> avgdl, next_doc_id) is replaced via
+  os.replace.  Block pruning metadata stores raw (max_tf, min_dl), so a
+  shifting avgdl never invalidates it;
+* EVERY per-batch job is O(batch), never O(index): the lineage delta and the
+  dict segment are both derived from the batch's own compressed posting rows
+  (persisted once), so appending to a 100 TB index costs the same as
+  appending to an empty one.  Asserted in tests/test_streaming.py by
+  corrupting the pre-existing postings files before an append;
 * the salt decisions reuse the hot set persisted at build time
   (meta.hot_terms) — deterministic layout, no extra stats job;
 * BM25 scores after an append are EXACTLY the scores a from-scratch build of
@@ -20,17 +27,27 @@ per-epoch standalone indexes, appends here produce ONE coherent index:
   df, tf, dl — none of which depend on id assignment order), asserted in
   tests/test_streaming.py;
 * ``compact_index`` is the optimize() analogue that folds accumulated
-  segment rows back into one row per key.
+  segment rows (postings AND dict) back into one row per key.
+
+Replay safety: foreachBatch is at-least-once, so a replayed micro-batch
+would double df/tf.  Callers pass ``batch_id`` (the streaming layer passes
+``epoch-<id>``): a batch whose id is already in meta.applied_batches is
+skipped.  The remaining window — a crash MIDWAY through an append leaves
+partial docs/postings rows that a replay would duplicate — is documented
+rather than hidden: recover by rebuilding (build_index wipes the dir) or by
+restoring the pre-append generation; meta.json is only advanced after every
+batch write has committed, so a completed-then-replayed batch (the common
+foreachBatch case) is always detected.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from cascading_solr_spark.indexing.build import (
     KW_SEP,
@@ -42,28 +59,43 @@ from cascading_solr_spark.indexing.build import (
     _rank_ids,
     _shard_salt_exprs,
     _spimi_tf_kernel,
-    _write_lineage,
     _write_postings,
+    check_doc_id_range,
     validate_schema,
     write_meta,
 )
 
+#: replay-detection ring size: foreachBatch only ever replays the most
+#: recent uncommitted epoch, so a bounded history is sufficient.
+MAX_APPLIED_BATCHES = 256
+
 
 def append_documents(
-    spark: SparkSession, index_dir: str, batch: DataFrame
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    batch_id: str | None = None,
 ) -> Index:
-    """Append a batch of new documents to an existing index (one segment)."""
+    """Append a batch of new documents to an existing index (one segment).
+
+    Cost is O(batch): no job in this function reads pre-existing postings,
+    docs, or dict rows.  ``batch_id`` (optional) makes replays idempotent —
+    an id recorded in meta.applied_batches is skipped outright.
+    """
     index = Index.load(index_dir)
     spec = index.spec
     validate_schema(batch.schema, spec)
     with open(os.path.join(index_dir, "meta.json")) as fh:
         meta = json.load(fh)
+    if batch_id is not None and batch_id in meta.get("applied_batches", ()):
+        return index
     offset = int(meta.get("next_doc_id", meta["n_docs"]))
 
     # ---- doc ids above the current max (caller-provided ids are trusted:
     # the caller owns uniqueness, exactly like Solr's uniqueKey) ----
     if spec.doc_id_field:
         based = batch.withColumn("doc_id", F.col(spec.doc_id_field).cast("long"))
+        check_doc_id_range(based.select("doc_id"))
         n_new = batch.count()
         ids_handle = None
     else:
@@ -76,7 +108,7 @@ def append_documents(
             ids_handle.unpersist()
         return index
 
-    tf_long: DataFrame | None = None
+    postings: DataFrame | None = None
     try:
         # ---- docs rows append (same layout/sort as the build) ----
         docs = based.select(
@@ -102,7 +134,6 @@ def append_documents(
         kw_rows = _keyword_tf_rows(based, spec)
         if kw_rows is not None:
             tf_long = tf_long.unionByName(kw_rows)
-        tf_long = tf_long.persist()
         hot = list(index.hot_terms)
         shard_e, salt_e = _shard_salt_exprs(hot, spec)
         salt_keys = [salt_e] if salt_e is not None else []
@@ -115,30 +146,40 @@ def append_documents(
         ).sortWithinPartitions(
             shard_e, F.xxhash64("term"), *salt_keys, F.col("packed")
         )
-        postings = arranged.mapInPandas(_assembler(spec, hot), POSTINGS_SCHEMA)
+        # the compressed batch rows are persisted ONCE and feed three
+        # consumers: the postings append, the lineage delta, and the dict
+        # segment + token stats — no pass ever re-reads the existing index.
+        postings = arranged.mapInPandas(
+            _assembler(spec, hot), POSTINGS_SCHEMA
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         _write_postings(postings, index.postings_path, spec, mode="append")
-        _write_lineage(
-            spark,
-            index.postings_path,
-            os.path.join(index_dir, "lineage"),
-            list(range(spec.num_shards)),
-        )
 
-        # ---- merged dict generation + stats refresh ----
-        batch_stats = tf_long.groupBy("term").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("ttf")
-        ).persist()
-        old_dict = index.term_dict(spark)
-        merged = batch_stats.select("term", "df")
-        if old_dict is not None:
-            merged = merged.unionByName(old_dict.select("term", "df"))
-        merged = merged.groupBy("term").agg(F.sum("df").alias("df"))
-        dict_tmp = os.path.join(index_dir, "dict.tmp")
-        shutil.rmtree(dict_tmp, ignore_errors=True)
+        # ---- lineage DELTA from the batch's own rows (O(batch), never a
+        # re-aggregation of the whole postings table) ----
+        lineage = postings.groupBy("shard").agg(
+            F.count("*").alias("terms"),
+            F.sum("n_docs").alias("postings"),
+            F.sum("n_bytes").alias("bytes"),
+            (F.max("n_docs") / F.avg("n_docs")).alias("skew_ratio"),
+            F.lit("committed").alias("status"),
+        )
+        lineage.write.mode("append").parquet(os.path.join(index_dir, "lineage"))
+
+        # ---- dict SEGMENT append + token stats, also from the batch rows.
+        # The dict table is now segmented: one (term, df) rowset per
+        # build/append; Index.term_dict serves the folded sum-per-term view
+        # and compact_index physically merges segments. ----
+        batch_stats = (
+            postings.groupBy("term")
+            .agg(F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("ttf"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         (
-            merged.repartition(max(1, spec.num_shards // 4), "term")
+            batch_stats.select("term", "df")
+            .repartition(max(1, spec.num_shards // 4), "term")
             .sortWithinPartitions("term")
-            .write.parquet(dict_tmp)
+            .write.mode("append")
+            .parquet(os.path.join(index_dir, "dict"))
         )
         batch_tokens = int(
             batch_stats.filter(~F.col("term").contains(KW_SEP))
@@ -155,18 +196,16 @@ def append_documents(
         )
         if not spec.doc_id_field:
             meta["next_doc_id"] = offset + int(n_new)
-        # publish: dict swap, then the atomic meta replace
-        dict_path = os.path.join(index_dir, "dict")
-        dict_old = os.path.join(index_dir, "dict.old")
-        shutil.rmtree(dict_old, ignore_errors=True)
-        if os.path.exists(dict_path):
-            os.rename(dict_path, dict_old)
-        os.rename(dict_tmp, dict_path)
-        shutil.rmtree(dict_old, ignore_errors=True)
+        if batch_id is not None:
+            applied = list(meta.get("applied_batches", ()))
+            applied.append(batch_id)
+            meta["applied_batches"] = applied[-MAX_APPLIED_BATCHES:]
+        # publish: the atomic meta replace is the last step, so a replay of a
+        # fully-committed batch is always detected via applied_batches
         write_meta(index_dir, meta)
     finally:
-        if tf_long is not None:
-            tf_long.unpersist()
+        if postings is not None:
+            postings.unpersist()
         if ids_handle is not None:
             ids_handle.unpersist()
     return Index.load(index_dir)

@@ -81,6 +81,11 @@ DL_MASK = (1 << DL_BITS) - 1
 
 TF_SCHEMA = "packed long, term string, tf int"
 
+#: caller-provided doc ids must fit the packed layout: id << DL_BITS rides an
+#: int64, so id in [0, 2^42).  Anything larger (e.g. a raw 64-bit hash id)
+#: would silently overflow and corrupt posting doc ids — fail fast instead.
+MAX_DOC_ID = (1 << (63 - DL_BITS)) - 1
+
 # keyword-field terms are namespaced "<field>:<value>"; analyzed content terms
 # are [a-z0-9]+ so the ':' can never collide.
 KW_SEP = ":"
@@ -141,18 +146,28 @@ POSTINGS_SCHEMA = (
 )
 
 
+#: per-phase wall seconds of the most recent ``build_index`` call in this
+#: process (always populated; printed only under CSS_BUILD_PROFILE=1).
+#: bench_scaling.py publishes these per parallelism level — the phase whose
+#: 2-core/8-core ratio is far from 4x is where anti-scaling lives.
+LAST_BUILD_PROFILE: dict[str, float] = {}
+
+
 class _Prof:
-    """Opt-in build phase timing (CSS_BUILD_PROFILE=1) for scaling work."""
+    """Build phase timing: records into LAST_BUILD_PROFILE, prints when
+    CSS_BUILD_PROFILE=1 (scaling-study instrumentation)."""
 
     def __init__(self) -> None:
         self.on = os.environ.get("CSS_BUILD_PROFILE") == "1"
         self.t0 = time.perf_counter()
+        LAST_BUILD_PROFILE.clear()
 
     def mark(self, label: str) -> None:
+        t1 = time.perf_counter()
+        LAST_BUILD_PROFILE[label] = round(t1 - self.t0, 3)
         if self.on:
-            t1 = time.perf_counter()
             print(f"[build-prof] {label:18s} {t1 - self.t0:6.1f}s", flush=True)
-            self.t0 = t1
+        self.t0 = t1
 
 
 def _rank_ids(
@@ -222,6 +237,21 @@ def _rank_ids(
     return ids, acc
 
 
+def check_doc_id_range(ids: DataFrame, col: str = "doc_id") -> None:
+    """Fail fast when caller-provided doc ids don't fit the packed (id, dl)
+    int64 layout (id << DL_BITS needs id < 2^42).  One cheap min/max agg on
+    the pruned id projection — at 100 TB this is a column-statistics scan."""
+    row = ids.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    if lo is None:
+        return
+    if int(lo) < 0 or int(hi) > MAX_DOC_ID:
+        raise IndexSpecError(
+            f"doc ids must be in [0, {MAX_DOC_ID}] to fit the packed posting "
+            f"layout (got min={lo}, max={hi}); remap hash-derived ids first"
+        )
+
+
 def assign_doc_ids(
     df: DataFrame,
     keys: tuple[str, ...],
@@ -277,11 +307,23 @@ class Index:
         return spark.read.parquet(os.path.join(self.path, "lineage"))
 
     def term_dict(self, spark: SparkSession) -> DataFrame | None:
-        """Global term -> df dictionary (None for pre-dict indexes)."""
+        """Global term -> df dictionary (None for pre-dict indexes).
+
+        The dict table is SEGMENTED: the build writes one (term, df) rowset
+        and every append adds another (O(batch) appends — see
+        indexing/append.py).  This folds segments into the global view with a
+        sum-per-term aggregate; a term-equality filter on the result pushes
+        below the aggregate to the parquet scan (term-sorted files ->
+        row-group pruning), so query-side df lookups stay tiny.
+        ``compact_index`` physically merges segments back to one."""
         p = os.path.join(self.path, "dict")
         if not os.path.exists(p):
             return None
-        return spark.read.parquet(p)
+        return (
+            spark.read.parquet(p)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
 
 
 def _assembler(spec: IndexSpec, hot_terms: list[str] | tuple[str, ...] = ()):
@@ -627,9 +669,11 @@ def build_index(
     n_docs: int | None = None
     if spec.doc_id_field:
         based = source.withColumn("doc_id", F.col(spec.doc_id_field).cast("long"))
+        check_doc_id_range(based.select("doc_id"))
     else:
         ids_handle, n_docs = _rank_ids(source, spec.key_fields)
         based = source.join(ids_handle.hint("shuffle_hash"), list(spec.key_fields))
+    prof.mark("doc_ids")
 
     meta: dict = {}
     hot_terms: list[str] = []
@@ -679,20 +723,37 @@ def build_index(
         # ---- hot-term detection on a HEAD SAMPLE (exact when the corpus
         # fits in hot_sample_docs — every test corpus does).  The hot SET
         # only steers shuffle salting, so an estimate suffices, and it avoids
-        # a full (term, doc) stats pass at 10^12-file scale.  limit() reads
-        # only the first input split(s) instead of scanning the whole corpus
-        # the way sample() would; the resulting set persists in meta.json so
-        # resumes/appends/compactions salt identically even if the head is
-        # not representative. ----
+        # a full (term, doc) stats pass at 10^12-file scale.  For a
+        # file-backed source the head FILES are read directly (a parallel
+        # pruned scan); a GlobalLimit would funnel the head through ONE task
+        # — measured 35 s serial at 600k files, a pure serial component that
+        # sank scaling efficiency.  The resulting set persists in meta.json
+        # so resumes/appends/compactions salt identically even if the head
+        # is not representative. ----
         if missing and not have_meta:
             frac = min(1.0, spec.hot_sample_docs / max(1, n_docs))
             sampled = source
+            n_sample = n_docs
             if frac < 1.0:
-                # GlobalLimit funnels rows through ONE task — respread the
-                # head sample so its tokenize runs parallel
-                sampled = source.limit(spec.hot_sample_docs).repartition(
-                    spark.sparkContext.defaultParallelism
-                )
+                sampled = None
+                try:
+                    files = sorted(source.inputFiles())
+                except Exception:
+                    files = []
+                if files and len(files) > 1:
+                    k_files = min(len(files), int(frac * len(files)) + 1)
+                    head = spark.read.parquet(*files[:k_files])
+                    need = {spec.content_field, *spec.keyword_fields}
+                    if need.issubset(set(head.columns)):
+                        n_sample = head.count()  # parquet-footer served
+                        sampled = head
+                if sampled is None:
+                    # non-file source: GlobalLimit funnels rows through ONE
+                    # task — respread so the tokenize runs parallel
+                    n_sample = spec.hot_sample_docs
+                    sampled = source.limit(spec.hot_sample_docs).repartition(
+                        spark.sparkContext.defaultParallelism
+                    )
             sampled = sampled.select(
                 F.monotonically_increasing_id().alias("doc_id"),
                 F.col(spec.content_field),
@@ -704,7 +765,7 @@ def build_index(
             kw_sample = _keyword_tf_rows(sampled, spec)
             if kw_sample is not None:
                 sample_tf = sample_tf.unionByName(kw_sample)
-            hot_threshold = max(2.0, spec.hot_term_df_ratio * n_docs * frac)
+            hot_threshold = max(2.0, spec.hot_term_df_ratio * n_sample)
             hot_terms = sorted(
                 r["term"]
                 for r in sample_tf.groupBy("term")

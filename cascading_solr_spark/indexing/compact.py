@@ -12,10 +12,18 @@ lineage table (per-shard terms/postings/bytes go stale once split rows
 merge).  The dict table is unchanged — global df per term is
 segment-layout-independent.
 
+The dict table's accumulated append segments (indexing/append.py) are folded
+back to one row per term in the same pass.
+
 Crash safety: the new postings generation is written to a fresh
 ``postings.genN`` directory, then meta.json is atomically replaced
-(os.replace) to point at it, then the old generation is deleted.  A crash at
-any step leaves a complete, queryable postings directory."""
+(os.replace) to point at it.  A crash at any step leaves a complete,
+queryable postings directory.  Deletion of superseded generations is
+DEFERRED one compaction: the generation being replaced is kept on disk so
+Index handles loaded before the flip (a cached handle, a concurrent reader)
+keep working — read-while-compact; generations older than that are
+garbage-collected here.  Writers are single-threaded by contract (one
+builder/appender/compactor at a time), readers are unrestricted."""
 
 from __future__ import annotations
 
@@ -115,6 +123,22 @@ def compact_index(
         .parquet(new_path)
     )
 
+    # fold dict append segments -> one (term, df) row per term (written to a
+    # tmp dir, swapped after the meta flip alongside lineage)
+    dict_path = os.path.join(index.path, "dict")
+    dict_tmp = os.path.join(index.path, "dict.tmp")
+    have_dict = os.path.exists(dict_path)
+    if have_dict:
+        shutil.rmtree(dict_tmp, ignore_errors=True)
+        (
+            spark.read.parquet(dict_path)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .repartition(max(1, spec.num_shards // 4), "term")
+            .sortWithinPartitions("term")
+            .write.parquet(dict_tmp)
+        )
+
     # rebuilt lineage: per-shard stats change once split rows merge
     lineage_path = os.path.join(index.path, "lineage")
     built = spark.read.parquet(new_path)
@@ -136,5 +160,16 @@ def compact_index(
     write_meta(index.path, meta)
     shutil.rmtree(lineage_path, ignore_errors=True)
     os.rename(lineage_tmp, lineage_path)
-    shutil.rmtree(old_path, ignore_errors=True)
+    if have_dict:
+        dict_old = dict_path + ".old"
+        shutil.rmtree(dict_old, ignore_errors=True)
+        os.rename(dict_path, dict_old)
+        os.rename(dict_tmp, dict_path)
+        shutil.rmtree(dict_old, ignore_errors=True)
+    # deferred GC: keep the generation we just replaced (read-while-compact
+    # for handles loaded before the flip); delete anything older.
+    for name in os.listdir(index.path):
+        if name == "postings" or name.startswith("postings.gen"):
+            if name not in (new_dirname, old_dirname):
+                shutil.rmtree(os.path.join(index.path, name), ignore_errors=True)
     return Index.load(index.path)

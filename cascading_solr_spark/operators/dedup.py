@@ -262,21 +262,39 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
-    """16-bit SimHash over distinct simple tokens with dense term ids.
+def simhash(
+    docs: DataFrame, text_col: str = "text", bits: int = 16,
+    id_mode: str = "dense",
+) -> DataFrame:
+    """16-bit SimHash over distinct simple tokens.
 
     weight(id, j) = ((id * (2j+17)) mod 97) - 48; bit j set iff the sum of
-    weights over the doc's distinct terms is > 0.  Engine-portable arithmetic.
-    """
-    from cascading_solr_spark.indexing.build import assign_doc_ids
+    weights over the doc's distinct terms is > 0.
 
+    * ``dense`` (oracle mode): dense term ids via the distributed sort-rank —
+      engine-portable, the DuckDB oracle reproduces signatures bit-for-bit.
+      Costs a term-vocabulary sort per run.
+    * ``hash`` (production mode): term_id = xxhash64 folded into
+      [1, 2^31-1), computed INLINE — no vocabulary job at all, the 100 TB
+      path.  Identical docs get identical signatures under either mode
+      (verified on the clone fixture in tests/test_dedup_similarity.py)."""
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(simple_tokens(text_col))).alias("term")
     )
-    vocab = assign_doc_ids(toks.select("term").distinct(), ("term",)).select(
-        "term", (F.col("doc_id") + 1).alias("term_id")
-    )
-    ids = toks.join(vocab, "term").select("doc_id", "term_id")
+    if id_mode == "hash":
+        ids = toks.select(
+            "doc_id",
+            (F.pmod(F.xxhash64("term"), F.lit(MINHASH_PRIME - 1)) + 1).alias(
+                "term_id"
+            ),
+        )
+    else:
+        from cascading_solr_spark.indexing.build import assign_doc_ids
+
+        vocab = assign_doc_ids(toks.select("term").distinct(), ("term",)).select(
+            "term", (F.col("doc_id") + 1).alias("term_id")
+        )
+        ids = toks.join(vocab, "term").select("doc_id", "term_id")
     contribs = ids.select(
         "doc_id",
         F.explode(
@@ -303,7 +321,8 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
 
 
 def simhash_near_pairs(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = 2, bits: int = 16
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 2, bits: int = 16,
+    id_mode: str = "dense",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
@@ -312,8 +331,10 @@ def simhash_near_pairs(
     max_hamming MUST agree exactly on at least one band, so candidates come
     from an equi-join on (band_idx, band_bits) — bounded shuffle, never a
     BroadcastNestedLoopJoin — then the exact hamming verify.  Identical
-    results to the quadratic all-pairs formulation (the oracle)."""
-    s = simhash(docs, text_col, bits)
+    results to the quadratic all-pairs formulation (the oracle).
+    ``id_mode='hash'`` skips the signature stage's vocabulary sort (see
+    :func:`simhash`)."""
+    s = simhash(docs, text_col, bits, id_mode=id_mode)
     n_bands = max_hamming + 1
     widths = [bits // n_bands + (1 if j < bits % n_bands else 0)
               for j in range(n_bands)]

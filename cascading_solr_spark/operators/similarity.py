@@ -90,14 +90,18 @@ def hyperplane_weight(plane: Column | int, dim: Column) -> Column:
     return ((p * 131 + dim * 31 + 7) % LSH_MOD - 48).cast("double")
 
 
-def lsh_signature(vec: Column, n_planes: int = 8) -> Column:
-    """Bit i set iff dot(vec, hyperplane_i) > 0 -> integer bucket in [0, 2^n)."""
+def lsh_signature(
+    vec: Column, n_planes: int = 8, plane_offset: int = 0
+) -> Column:
+    """Bit i set iff dot(vec, hyperplane_{i+plane_offset}) > 0 -> integer
+    bucket in [0, 2^n).  ``plane_offset`` selects an independent hyperplane
+    family — table t of a multi-table index uses offset t*n_planes."""
     def plane_bit(i: Column) -> Column:
         proj = F.aggregate(
             F.zip_with(
                 vec,
                 F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, d: x * hyperplane_weight(i, d),
+                lambda x, d: x * hyperplane_weight(i + F.lit(plane_offset), d),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
@@ -190,6 +194,7 @@ def embedding_near_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -200,59 +205,104 @@ def embedding_near_pairs_lsh(
     Approximate by construction: a pair whose vectors straddle a hyperplane
     lands in different buckets and is missed (recall < 1, reported in the
     bench).  The same bucket computation is pure integer arithmetic, so the
-    DuckDB oracle reproduces the candidate set exactly."""
-    with_b = embeddings.select(
-        F.col(id_col), F.col(vec_col).alias("v"),
-        lsh_signature(F.col(vec_col), n_planes).alias("bucket"),
-    )
+    DuckDB oracle reproduces the candidate set exactly.
+
+    100 TB shape (banded OR): per-bucket cardinality is ~n/2^n_planes and
+    within-bucket pair generation is quadratic in it, so at scale RAISE
+    ``n_planes`` (smaller buckets) and recover the recall the extra planes
+    cost with ``n_tables`` independent hyperplane families — candidates are
+    the union over tables, deduplicated before the exact-cosine verify.
+    Benchmarked at 12 planes x 2 tables alongside the 8x1 oracle config."""
+    tables = []
+    for t in range(n_tables):
+        tables.append(
+            embeddings.select(
+                F.col(id_col), F.col(vec_col).alias("v"),
+                F.lit(t).alias("tbl"),
+                lsh_signature(
+                    F.col(vec_col), n_planes, plane_offset=t * n_planes
+                ).alias("bucket"),
+            )
+        )
+    with_b = tables[0]
+    for more in tables[1:]:
+        with_b = with_b.unionByName(more)
     a = with_b.select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket"
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "tbl", "bucket"
     )
     b = with_b.select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket"
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "tbl", "bucket"
     )
-    return (
-        a.join(b, ["bucket"])
+    pairs = (
+        a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
             F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= threshold)
     )
+    if n_tables > 1:
+        # a pair colliding in several tables appears once (dedup BEFORE the
+        # threshold filter keeps the plan a plain distinct on the pair key)
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs.filter(F.col("cos_sim") >= threshold)
 
 
 def build_ann_index(
     embeddings: DataFrame,
     out_dir: str,
     n_planes: int = 8,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
     """Materialize the LSH-bucketed ANN index: one parquet table PARTITIONED
-    BY bucket.  Queries read exactly the probed bucket partitions (partition
-    pruning — verified in tests/test_plans) instead of recomputing
-    signatures over the whole table per query."""
-    (
-        embeddings.select(
-            F.col(id_col), F.col(vec_col),
-            lsh_signature(F.col(vec_col), n_planes).alias("bucket"),
+    BY (tbl, bucket).  Queries read exactly the probed bucket partitions
+    (partition pruning — verified in tests/test_plans) instead of
+    recomputing signatures over the whole table per query.
+
+    ``n_tables`` independent hyperplane families (table t uses planes
+    t*n_planes..) trade index size (each vector stored n_tables times) for
+    recall — the standard LSH recall knob alongside multiprobe."""
+    tables = []
+    for t in range(n_tables):
+        tables.append(
+            embeddings.select(
+                F.col(id_col), F.col(vec_col),
+                F.lit(t).alias("tbl"),
+                lsh_signature(
+                    F.col(vec_col), n_planes, plane_offset=t * n_planes
+                ).alias("bucket"),
+            )
         )
-        .repartition("bucket")
+    all_t = tables[0]
+    for more in tables[1:]:
+        all_t = all_t.unionByName(more)
+    (
+        all_t.repartition("tbl", "bucket")
         .write.mode("overwrite")
-        .partitionBy("bucket")
+        .partitionBy("tbl", "bucket")
         .parquet(out_dir)
     )
 
 
-def query_buckets(query_vec: list[float], n_planes: int = 8, probes: int = 1) -> list[int]:
-    """The query's LSH bucket (+ optional hamming-1 multiprobe neighbors),
-    computed driver-side with the same integer arithmetic as lsh_signature."""
+def query_buckets(
+    query_vec: list[float],
+    n_planes: int = 8,
+    probes: int = 1,
+    plane_offset: int = 0,
+) -> list[int]:
+    """The query's LSH bucket + multiprobe neighbors, computed driver-side
+    with the same integer arithmetic as lsh_signature.
+
+    probes=1: exact bucket only; probes=2: + all hamming-1 neighbors;
+    probes>=3: + all hamming-2 neighbors (37 of 256 buckets at 8 planes —
+    the recall knob that needs no extra index bytes)."""
     bucket = 0
     for i in range(n_planes):
         proj = sum(
-            x * (((i * 131 + d * 31 + 7) % LSH_MOD) - 48)
+            x * ((((i + plane_offset) * 131 + d * 31 + 7) % LSH_MOD) - 48)
             for d, x in enumerate(query_vec)
         )
         if proj > 0:
@@ -260,6 +310,12 @@ def query_buckets(query_vec: list[float], n_planes: int = 8, probes: int = 1) ->
     out = [bucket]
     if probes > 1:
         out += [bucket ^ (1 << i) for i in range(n_planes)]
+    if probes > 2:
+        out += [
+            bucket ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
     return out
 
 
@@ -270,18 +326,35 @@ def ann_lsh_topk_indexed(
     k: int = 10,
     n_planes: int = 8,
     probes: int = 1,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN top-k over the materialized bucket-partitioned index: reads ONLY
-    the probed partitions (hamming-1 multiprobe widens recall), exact-cosine
-    re-rank inside them."""
-    buckets = query_buckets(query_vec, n_planes, probes)
+    the probed (tbl, bucket) partitions (multiprobe + multi-table widen
+    recall), exact-cosine re-rank inside them.
+
+    A vector found in several tables is kept once, attributed to its
+    lowest-numbered (tbl, bucket) — deterministic, so the DuckDB oracle
+    reproduces the result exactly."""
+    cond = None
+    for t in range(n_tables):
+        buckets = query_buckets(
+            query_vec, n_planes, probes, plane_offset=t * n_planes
+        )
+        c = (F.col("tbl") == t) & F.col("bucket").isin(buckets)
+        cond = c if cond is None else (cond | c)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = spark.read.parquet(ann_dir).filter(cond)
+    if n_tables > 1:
+        cand = cand.groupBy(id_col).agg(
+            F.min(F.struct("tbl", "bucket")).alias("_tb"),
+            F.first(vec_col).alias(vec_col),  # identical across tables
+        ).select(
+            F.col(id_col), F.col("_tb.bucket").alias("bucket"), F.col(vec_col)
+        )
     return (
-        spark.read.parquet(ann_dir)
-        .filter(F.col("bucket").isin(buckets))
-        .select(
+        cand.select(
             F.col(id_col),
             F.col("bucket"),
             F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"),

@@ -92,25 +92,37 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(*sel)
 
 
-def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Order-sensitive rolling document fingerprint over a dense term-id
-    vocabulary (dense ids make the hash arithmetic identical in any engine —
-    no reliance on engine-specific string-hash functions).
+def fingerprint(
+    docs: DataFrame, text_col: str = "text", id_mode: str = "dense"
+) -> DataFrame:
+    """Order-sensitive rolling document fingerprint.
 
     fp(doc) = sum over positions p (1-based) of id(term_p) * ((p % 31) + 1)
     mod 1_000_003.
-    """
-    from cascading_solr_spark.indexing.build import assign_doc_ids
 
+    * ``dense`` (oracle mode): term ids via the distributed sort-rank (never
+      a one-partition window) — rank+1 == dense_rank() over (order by term),
+      so the DuckDB oracle reproduces fingerprints bit-for-bit.  Costs a
+      term-vocabulary sort per run.
+    * ``hash`` (production mode): term_id = xxhash64 folded into
+      [1, 2^31-1), computed INLINE — no vocabulary job, the 100 TB path.
+      Identical docs get identical fingerprints under either mode.
+    """
     toks = docs.select(
         "doc_id", F.posexplode(simple_tokens(text_col)).alias("pos0", "term")
     ).withColumn("pos", F.col("pos0") + 1)
-    # dense term ids via the distributed sort-rank (never a one-partition
-    # window): rank+1 == dense_rank() over (order by term) in the oracle SQL.
-    vocab = assign_doc_ids(toks.select("term").distinct(), ("term",)).select(
-        "term", (F.col("doc_id") + 1).alias("term_id")
-    )
-    joined = toks.join(vocab, "term")
+    if id_mode == "hash":
+        joined = toks.withColumn(
+            "term_id",
+            F.pmod(F.xxhash64("term"), F.lit(2_147_483_646)) + 1,
+        )
+    else:
+        from cascading_solr_spark.indexing.build import assign_doc_ids
+
+        vocab = assign_doc_ids(toks.select("term").distinct(), ("term",)).select(
+            "term", (F.col("doc_id") + 1).alias("term_id")
+        )
+        joined = toks.join(vocab, "term")
     return (
         joined.groupBy("doc_id")
         .agg(

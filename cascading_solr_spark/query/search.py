@@ -55,6 +55,7 @@ from cascading_solr_spark.query.wand import (
 from cascading_solr_spark.query.wand import (
     allowed_ids,
     maxscore_kernel,
+    topk_ties,
 )
 
 
@@ -65,6 +66,31 @@ def filter_terms_of(filters: dict[str, str] | None) -> set[str]:
     return {f"{field}{KW_SEP}{value}" for field, value in filters.items()}
 
 
+def parse_query(
+    query: str, keyword_fields: tuple[str, ...]
+) -> tuple[str, set[str]]:
+    """Split Lucene-parser-style ``field:value`` tokens out of a query string.
+
+    The reference exercises exactly this form — ``q=cat:Japanese`` through
+    Solr's query parser (AbstractSolrSchemeTest.java:163-165,
+    solrconfig.xml:766-774).  A whitespace token ``field:value`` whose field
+    is one of the spec's keyword_fields becomes an exact index-side filter
+    term (case-preserving, StrField semantics); everything else stays query
+    text for the analyzer.  Repeated fields AND together (fq semantics).
+    Returns ``(remaining_text, filter_terms)``."""
+    fields = set(keyword_fields)
+    fterms: set[str] = set()
+    rest: list[str] = []
+    for tok in query.split():
+        if KW_SEP in tok:
+            f, v = tok.split(KW_SEP, 1)
+            if f in fields and v:
+                fterms.add(f"{f}{KW_SEP}{v}")
+                continue
+        rest.append(tok)
+    return " ".join(rest), fterms
+
+
 def _taat_kernel(
     idf: dict[str, float],
     avgdl: float,
@@ -73,8 +99,15 @@ def _taat_kernel(
     k: int | None,
     block_size: int,
     filter_terms: set[str] | None = None,
+    require_n_terms: int | None = None,
 ):
-    """Exact term-at-a-time scorer for one shard (numpy accumulate)."""
+    """Exact term-at-a-time scorer for one shard (numpy accumulate).
+
+    With ``require_n_terms`` the kernel is CONJUNCTIVE: only docs matched by
+    at least that many distinct scoring terms survive (each (term, doc)
+    posting exists exactly once, so the per-doc posting count IS the matched
+    distinct-term count).  Sharding is by doc, so the conjunction is local —
+    an index-side postings intersection, never a docs-table scan."""
     filter_terms = filter_terms or set()
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -109,9 +142,13 @@ def _taat_kernel(
         uniq, inv = np.unique(ids, return_inverse=True)
         acc = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(acc, inv, contrib)
-        if k is not None and len(uniq) > k:
-            part = np.argpartition(-acc, k)[:k]
-            uniq, acc = uniq[part], acc[part]
+        if require_n_terms is not None:
+            cnt = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(cnt, inv, 1)
+            keep = cnt >= require_n_terms
+            uniq, acc = uniq[keep], acc[keep]
+        if k is not None:
+            uniq, acc = topk_ties(uniq, acc, k)
         order = np.lexsort((uniq, -acc))
         return pd.DataFrame({"doc_id": uniq[order], "score": acc[order]})
 
@@ -192,14 +229,15 @@ def _fetch_stored(
 def keyword_filter(
     spark: SparkSession,
     index: Index,
-    filters: dict[str, str],
+    filters: dict[str, str] | set[str],
     k: int | None = None,
 ) -> DataFrame:
     """Pure keyword-field query (no ranking): doc_ids matching ALL filters,
     served from the index postings (never a docs-table scan).  The reference
     semantics target: ``cat:Japanese`` (AbstractSolrSchemeTest.java:163-169).
+    ``filters`` is a field->value dict or a pre-built ``field:value`` term set.
     """
-    fterms = filter_terms_of(filters)
+    fterms = filters if isinstance(filters, set) else filter_terms_of(filters)
     spec = index.spec
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -228,19 +266,38 @@ def search(
     with_stored: bool = True,
     filters: dict[str, str] | None = None,
     synonyms: dict[str, list[str]] | None = None,
+    op: str = "OR",
 ) -> DataFrame:
     """Top-k BM25 keyword search; returns (doc_id, score[, stored fields,
-    sha256]).  ``filters`` are exact keyword-field predicates composed
-    index-side with the ranked query (fq semantics: they restrict candidates
-    without changing the BM25 statistics)."""
-    terms = expand_terms(query, synonyms)
-    fterms = filter_terms_of(filters)
+    sha256]).
+
+    * ``filters`` are exact keyword-field predicates composed index-side
+      with the ranked query (fq semantics: they restrict candidates without
+      changing the BM25 statistics).  The query STRING may carry the same
+      predicates in the reference's own form — ``lang:es spark join`` —
+      parsed against spec.keyword_fields (parse_query) and merged with
+      ``filters``.
+    * ``op`` is the boolean combination of the analyzed terms: ``"OR"``
+      (Solr's default, solrconfig.xml:766-774) or ``"AND"`` (the Lucene
+      parser's ``+term``/``AND`` form) — conjunctive matching served from a
+      postings intersection, scored with the same global BM25 statistics.
+      Over a 100 TB corpus the AND path touches only the query terms'
+      posting lists, never a docs-table scan.  With synonyms, every
+      expansion term is required (expansion under AND is rarely useful;
+      documented, not hidden)."""
+    qtext, parsed_fterms = parse_query(query, index.spec.keyword_fields)
+    terms = expand_terms(qtext, synonyms)
+    fterms = filter_terms_of(filters) | parsed_fterms
     postings = index.postings(spark)
     dfs = term_dfs(spark, index, terms) if terms else {}
-    if not dfs:  # Q7 zero-hit short-circuit (schema stays stable below)
+    conjunctive = op.upper() == "AND"
+    n_required = len(set(terms))
+    if not dfs or (conjunctive and len(dfs) < n_required):
+        # Q7 zero-hit short-circuit (schema stays stable below); under AND a
+        # term with global df=0 empties the result outright
         if fterms and not terms:
             # pure filter query: matching docs ranked by doc_id, score 0
-            top = keyword_filter(spark, index, filters, k=k).withColumn(
+            top = keyword_filter(spark, index, fterms, k=k).withColumn(
                 "score", F.lit(0.0)
             )
         else:
@@ -248,7 +305,14 @@ def search(
     else:
         idf = {t: bm25_idf(df, index.n_docs) for t, df in dfs.items()}
         spec = index.spec
-        if mode == "taat":
+        if conjunctive:
+            kernel = _taat_kernel(
+                idf, index.avgdl, spec.k1, spec.b, k, spec.block_size, fterms,
+                require_n_terms=n_required,
+            )
+        elif mode == "taat" or k is None:
+            # k=None returns every match — exhaustive TAAT (top-k pruning
+            # has nothing to prune against)
             kernel = _taat_kernel(
                 idf, index.avgdl, spec.k1, spec.b, k, spec.block_size, fterms
             )
@@ -258,7 +322,9 @@ def search(
             )
         matched = postings.filter(F.col("term").isin(list(dfs) + list(fterms)))
         local_topk = matched.groupBy("shard").applyInPandas(kernel, _RESULT_SCHEMA)
-        top = local_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        top = local_topk.orderBy(F.desc("score"), F.asc("doc_id"))
+        if k is not None:  # k=None returns ALL matches (never a huge .limit)
+            top = top.limit(k)
     if not with_stored:
         return top
     return _fetch_stored(spark, index, top)
@@ -317,9 +383,7 @@ def search_many(
             uniq, inv = np.unique(ids, return_inverse=True)
             acc = np.zeros(len(uniq))
             np.add.at(acc, inv, contrib)
-            if len(uniq) > k:
-                part = np.argpartition(-acc, k)[:k]
-                uniq, acc = uniq[part], acc[part]
+            uniq, acc = topk_ties(uniq, acc, k)
             order = np.lexsort((uniq, -acc))
             out_q.extend([qid] * len(uniq))
             out_ids.append(uniq[order])

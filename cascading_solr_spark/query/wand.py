@@ -72,6 +72,30 @@ def _member(ids: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
     return sorted_arr[pos] == ids
 
 
+def topk_ties(
+    ids: np.ndarray, scores: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact local top-k under the documented (score desc, doc_id asc) order.
+
+    A bare ``argpartition`` picks an ARBITRARY member of the score class tied
+    at the k boundary — byte-identical duplicate docs produce exact BM25
+    ties, so shard results would be nondeterministic.  Here the boundary tie
+    class is resolved explicitly: everything strictly above the kth score
+    survives, the remaining slots go to the tied docs with the smallest ids
+    (tolerance-free float comparison: tied scores come from identical
+    arithmetic, so they are bit-equal)."""
+    if len(ids) <= k:
+        return ids, scores
+    kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+    above = scores > kth
+    tied_ids = np.sort(ids[scores == kth])[: k - int(above.sum())]
+    keep_ids = np.concatenate([ids[above], tied_ids])
+    keep_scores = np.concatenate(
+        [scores[above], np.full(len(tied_ids), kth, dtype=scores.dtype)]
+    )
+    return keep_ids, keep_scores
+
+
 def decode_filter_ids(rows: list, block_size: int) -> np.ndarray:
     """Full doc-id decode of one filter term's posting rows -> sorted array."""
     parts = [
@@ -82,25 +106,86 @@ def decode_filter_ids(rows: list, block_size: int) -> np.ndarray:
     return np.sort(np.concatenate(parts))
 
 
+def blockwise_filter_ids(
+    rows: list,
+    seed: np.ndarray,
+    block_size: int,
+    counters: dict | None = None,
+) -> np.ndarray:
+    """Members of sorted ``seed`` present in one filter term's postings,
+    decoding ONLY blocks whose id range can contain a seed member.
+
+    This is the block-granular filter intersection: a low-selectivity filter
+    term (``lang:en`` matches ~half the corpus) intersected against an
+    already-small candidate set touches a handful of its blocks via the
+    stored ``block_last_id`` edges (searchsorted — the same skip structure
+    the scoring kernel uses) instead of varint-decoding millions of rows."""
+
+    def bump(key: str, n: int) -> None:
+        if counters is not None:
+            counters[key] = counters.get(key, 0) + n
+
+    parts: list[np.ndarray] = []
+    for r in rows:
+        n, nb = int(r.n_docs), int(r.n_blocks)
+        edges = np.asarray(r.block_last_id, dtype=np.int64)
+        hi = np.searchsorted(seed, edges, side="right")
+        lo = np.concatenate(([0], hi[:-1]))
+        has = hi > lo
+        if not has.any():
+            bump("filter_blocks_skipped", nb)
+            continue
+        vals, kept = decode_selected_blocks(
+            r.doc_ids, r.boffs_ids, n, block_size, has
+        )
+        bump("filter_blocks_decoded", len(kept))
+        bump("filter_blocks_skipped", nb - len(kept))
+        counts = block_value_counts(n, nb, block_size)[kept]
+        kstarts = np.zeros(len(kept), dtype=np.int64)
+        np.cumsum(counts[:-1], out=kstarts[1:])
+        parts.append(restart_cumsum(vals.astype(np.int64), kstarts))
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    ids = np.concatenate(parts)
+    ids.sort()
+    return ids[_member(ids, seed)]
+
+
 def allowed_ids(
-    pdf_rows: list, filter_terms: set[str], block_size: int
+    pdf_rows: list,
+    filter_terms: set[str],
+    block_size: int,
+    counters: dict | None = None,
 ) -> np.ndarray | None:
     """Intersection of the filter terms' doc-id sets (None = no filters).
 
-    Returns an empty array when any filter term is absent from the shard —
-    the zero-hit short-circuit for that shard."""
+    The MOST selective term (fewest total postings in this shard) is decoded
+    fully; every subsequent term intersects at block granularity against the
+    running candidate set (blockwise_filter_ids), so broad filters never pay
+    a full decode.  Returns an empty array when any filter term is absent
+    from the shard — the zero-hit short-circuit for that shard."""
     if not filter_terms:
         return None
     by_term: dict[str, list] = {t: [] for t in filter_terms}
     for r in pdf_rows:
         if r.term in by_term:
             by_term[r.term].append(r)
+    order = sorted(
+        filter_terms, key=lambda t: sum(int(r.n_docs) for r in by_term[t])
+    )
     allowed: np.ndarray | None = None
-    for t in filter_terms:
-        ids = decode_filter_ids(by_term[t], block_size)
-        if not len(ids):
+    for t in order:
+        rows = by_term[t]
+        if not rows:
             return np.empty(0, dtype=np.int64)
-        allowed = ids if allowed is None else np.intersect1d(allowed, ids)
+        if allowed is None:
+            allowed = decode_filter_ids(rows, block_size)
+            if counters is not None:
+                counters["filter_blocks_decoded"] = counters.get(
+                    "filter_blocks_decoded", 0
+                ) + sum(int(r.n_blocks) for r in rows)
+        else:
+            allowed = blockwise_filter_ids(rows, allowed, block_size, counters)
         if not len(allowed):
             return allowed
     return allowed
@@ -128,7 +213,7 @@ def maxscore_kernel(
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = list(pdf.itertuples(index=False))
-        allowed = allowed_ids(rows, filter_terms, block_size)
+        allowed = allowed_ids(rows, filter_terms, block_size, counters)
         if allowed is not None and not len(allowed):
             return _EMPTY.copy()
 
@@ -166,7 +251,6 @@ def maxscore_kernel(
             theta = _topk_theta(acc, k)
             rem_after = float(rem_incl[i]) - float(maxes[i])
             essential = theta == -np.inf or float(rem_incl[i]) >= theta
-            max_acc = float(acc.max()) if len(acc) else 0.0
             ids_parts, contrib_parts = [], []
             for r in segs[t]:
                 n = int(r.n_docs)
@@ -274,9 +358,7 @@ def maxscore_kernel(
 
         if not len(acc_ids):
             return _EMPTY.copy()
-        if len(acc_ids) > k:
-            part = np.argpartition(-acc, k)[:k]
-            acc_ids, acc = acc_ids[part], acc[part]
+        acc_ids, acc = topk_ties(acc_ids, acc, k)
         order = np.lexsort((acc_ids, -acc))
         return pd.DataFrame({"doc_id": acc_ids[order], "score": acc[order]})
 

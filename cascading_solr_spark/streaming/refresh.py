@@ -63,8 +63,15 @@ def incremental_index_refresh(
     tests/test_streaming.py).  The first batch bootstraps the index via
     build_index.  Lucene-analogy: each micro-batch is a new segment;
     ``compact_index`` plays the optimize() role (core/SolrWriter.java:112).
-    Exactly-once per micro-batch comes from checkpointing; a replayed batch
-    should be deduped upstream (dedup.exact_duplicates) or carry caller ids.
+
+    Replay semantics: foreachBatch is AT-LEAST-ONCE — a crash after the
+    append but before the checkpoint commit replays the epoch.  Each epoch
+    id is therefore recorded in meta.applied_batches when its append fully
+    commits, and a replayed epoch whose id is already recorded is skipped
+    (idempotent).  A crash MIDWAY through an append can still leave partial
+    batch rows that the replay would duplicate; that window is documented in
+    indexing/append.py (recover by rebuild or generation restore) rather
+    than papered over.
     """
     import os
 
@@ -76,7 +83,9 @@ def incremental_index_refresh(
             return
         spark = batch_df.sparkSession
         if os.path.exists(os.path.join(index_dir, "meta.json")):
-            append_documents(spark, index_dir, batch_df)
+            append_documents(
+                spark, index_dir, batch_df, batch_id=f"epoch-{epoch_id}"
+            )
         else:
             build_index(spark, batch_df, spec, index_dir)
 

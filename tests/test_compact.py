@@ -43,15 +43,32 @@ def test_compact_preserves_postings_and_results(spark, built):
 
 def test_compact_generation_swap(spark, built):
     ix, _, _ = built
-    # new generation dir published via the meta pointer; old one removed
+    # new generation dir published via the meta pointer; the REPLACED
+    # generation is kept one cycle (read-while-compact: handles loaded
+    # before the flip keep working) and GC'd by the NEXT compaction
     assert ix.postings_dirname == "postings.gen1"
-    assert not glob.glob(f"{ix.path}/postings/shard=*")
+    assert glob.glob(f"{ix.path}/postings/shard=*")
     # lineage rebuilt from the compacted rows
     lineage = {r["shard"]: r for r in ix.lineage(spark).collect()}
     assert set(lineage) == {0, 1, 2}
     terms = ix.postings(spark).groupBy("shard").count().collect()
     for r in terms:
         assert lineage[r["shard"]]["terms"] == r["count"]
+
+
+def test_recompact_gc_keeps_one_prior_generation(spark, built):
+    ix, before, _ = built
+    stale_handle = ix  # loaded BEFORE the next compaction flips the pointer
+    again = compact_index(spark, ix)
+    assert again.postings_dirname == "postings.gen2"
+    # two generations back ("postings") is GC'd; gen1 survives one cycle
+    assert not glob.glob(f"{again.path}/postings/shard=*")
+    assert glob.glob(f"{again.path}/postings.gen1/shard=*")
+    # the stale handle still answers queries (its generation was retained)
+    res = search(
+        spark, stale_handle, "parse buffer retry", k=10, with_stored=False
+    ).collect()
+    assert [tuple(r) for r in res] == [tuple(r) for r in before]
 
 
 def test_compact_one_file_per_shard(spark, built):
