@@ -64,7 +64,7 @@ _DOC_SPEC = IndexSpec(
 )
 
 
-_INDEX_FORMAT_VERSION = 6  # bump on any postings/dict/ANN layout change
+_INDEX_FORMAT_VERSION = 7  # bump on any postings/dict/ANN layout change
 
 
 def _index_for(spark: SparkSession, sf_dir: str) -> Index:
@@ -94,7 +94,9 @@ def _ann_for(spark: SparkSession, sf_dir: str) -> str:
     )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         shutil.rmtree(out, ignore_errors=True)
-        similarity.build_ann_index(_emb_double(spark, sf_dir), out)
+        # 2 independent hyperplane tables: the recall>=0.9 configuration
+        # (BENCH ann_curve: 1 table tops out at ~0.5 recall on sf0.01)
+        similarity.build_ann_index(_emb_double(spark, sf_dir), out, n_tables=2)
     return out
 
 
@@ -280,10 +282,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb_double(s, d), threshold=0.3
     )
     # materialized bucket-partitioned ANN: the query reads ONLY the probed
-    # partitions (multiprobe out to hamming-2 — the recall>=0.9 config,
-    # see BENCH recall/latency curve)
+    # (tbl, bucket) partitions — 2 tables x hamming-2 multiprobe, the
+    # recall>=0.9 config (see BENCH ann_curve)
     q["sim_ann_topk"] = lambda s, d: similarity.ann_lsh_topk_indexed(
-        s, _ann_for(s, d), ANN_QV, k=10, probes=3
+        s, _ann_for(s, d), ANN_QV, k=10, probes=3, n_tables=2
     ).select("vec_id", F.col("bucket").cast("long").alias("bucket"), "cos_sim")
 
     # --- text analysis ---
@@ -608,17 +610,44 @@ FROM pairs
 WHERE round({_cos.format(a="va", b="vb")}, 4) >= 0.3
 """
     qv_sql = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in ANN_QV) + "]"
-    probe_buckets = similarity.query_buckets(ANN_QV, n_planes=8, probes=3)
-    buckets_in = ", ".join(str(b) for b in probe_buckets)
+    # 2 hyperplane tables (table t = planes t*8..t*8+7), hamming-2 multiprobe
+    # per table; a vector probed in both tables is attributed to its lowest
+    # (tbl, bucket) — exactly ann_lsh_topk_indexed's dedup rule
+    in0 = ", ".join(
+        str(b)
+        for b in similarity.query_buckets(ANN_QV, 8, probes=3, plane_offset=0)
+    )
+    in1 = ", ".join(
+        str(b)
+        for b in similarity.query_buckets(ANN_QV, 8, probes=3, plane_offset=8)
+    )
     o["sim_ann_topk"] = f"""
-WITH {_buckets_cte},
+WITH dims AS (SELECT vec_id, unnest(embedding) AS x,
+                     unnest(range(0, len(embedding))) AS d
+              FROM embeddings),
+proj2 AS (SELECT vec_id, p.plane,
+                 sum(CAST(x AS DOUBLE)
+                     * ((((p.plane * 131 + d * 31 + 7) % 97) - 48))) AS s
+          FROM dims, (SELECT unnest(range(0, 16)) AS plane) p
+          GROUP BY 1, 2),
+tbuckets AS (SELECT vec_id, CAST(plane // 8 AS INT) AS tbl,
+                    CAST(sum(CASE WHEN s > 0
+                             THEN CAST(power(2, plane % 8) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS bucket
+             FROM proj2 GROUP BY 1, 2),
+probed AS (SELECT vec_id, tbl, bucket,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY tbl, bucket) AS rn
+           FROM tbuckets
+           WHERE (tbl = 0 AND bucket IN ({in0}))
+              OR (tbl = 1 AND bucket IN ({in1}))),
 e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings),
 q AS (SELECT {qv_sql} AS qv),
-cand AS (SELECT e.vec_id, b.bucket, e.v, q.qv
-         FROM e JOIN buckets b USING (vec_id) CROSS JOIN q
-         WHERE b.bucket IN ({buckets_in}))
+cand AS (SELECT p.vec_id, p.bucket, e.v, q.qv
+         FROM probed p JOIN e USING (vec_id) CROSS JOIN q
+         WHERE p.rn = 1)
 SELECT vec_id, bucket,
        round({_cos.format(a="v", b="qv")}, 4) AS cos_sim
 FROM cand

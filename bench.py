@@ -126,11 +126,12 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
     # was ever pruned and blocks_skipped reported 0 on a kernel that provably
     # skips — the bug was the workload, not the kernel)
     lo = 64 * 10  # ≈ 2·num_shards·k: comfortably > k candidates per shard
+    hi = max(lo + 1, min(8 * lo, n_code_files // 4))  # stay SELECTIVE (df << N)
     rare = [
         r["term"]
         for r in ix.term_dict(spark)
         .filter(
-            (F.col("df") >= lo) & (F.col("df") <= 8 * lo)
+            (F.col("df") >= lo) & (F.col("df") <= hi)
             & ~F.col("term").contains(":")
         )
         .orderBy("term")
