@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,6 +70,12 @@ from cascading_solr_spark.indexing.build import (
 #: recent uncommitted epoch, so a bounded history is sufficient.
 MAX_APPLIED_BATCHES = 256
 
+#: batches at or below this row count get their dense ids from a single-task
+#: window (ONE Spark job: the count/duplicate-check agg; the window itself
+#: rides the consumer jobs).  Bounded by construction — micro-batches are
+#: small — while larger batches fall back to the distributed sort-rank.
+SMALL_BATCH_ROWS = 200_000
+
 
 def append_documents(
     spark: SparkSession,
@@ -82,6 +89,9 @@ def append_documents(
     docs, or dict rows.  ``batch_id`` (optional) makes replays idempotent —
     an id recorded in meta.applied_batches is skipped outright.
     """
+    from cascading_solr_spark.indexing.build import _Prof
+
+    prof = _Prof()
     index = Index.load(index_dir)
     spec = index.spec
     validate_schema(batch.schema, spec)
@@ -93,39 +103,74 @@ def append_documents(
 
     # ---- doc ids above the current max (caller-provided ids are trusted:
     # the caller owns uniqueness, exactly like Solr's uniqueKey) ----
+    ids_handle = None
     if spec.doc_id_field:
         based = batch.withColumn("doc_id", F.col(spec.doc_id_field).cast("long"))
         check_doc_id_range(based.select("doc_id"))
         n_new = batch.count()
-        ids_handle = None
     else:
-        ids_handle, n_new = _rank_ids(batch, spec.key_fields)
-        based = batch.join(
-            ids_handle.hint("shuffle_hash"), list(spec.key_fields)
-        ).withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+        keys = list(spec.key_fields)
+        row = batch.agg(
+            F.count("*").alias("n"), F.count_distinct(*keys).alias("dn")
+        ).collect()[0]
+        n_new = int(row["n"])
+        if n_new != int(row["dn"]):
+            from cascading_solr_spark.spec import IndexSpecError
+
+            raise IndexSpecError(
+                f"{n_new - int(row['dn'])} duplicate rows for key "
+                f"{tuple(keys)!r} in append batch (uniqueKey analogue)"
+            )
+        if n_new <= SMALL_BATCH_ROWS:
+            # micro-batch: dense ids from a one-task window over the KEYS
+            # projection only (size-bounded; content rows never funnel
+            # through the single task), broadcast-joined back — the
+            # count/dup agg above was the only extra blocking job
+            from pyspark.sql import Window
+
+            ids_small = batch.select(*keys).withColumn(
+                "doc_id",
+                (
+                    F.row_number().over(Window.orderBy(*keys)) - 1
+                    + F.lit(offset)
+                ).cast("long"),
+            )
+            based = batch.join(F.broadcast(ids_small), keys)
+        else:
+            ids_handle, _ = _rank_ids(batch, spec.key_fields, check_unique=False)
+            based = batch.join(
+                ids_handle.hint("shuffle_hash"), keys
+            ).withColumn("doc_id", F.col("doc_id") + F.lit(offset))
     if not n_new:
         if ids_handle is not None:
             ids_handle.unpersist()
         return index
+    prof.mark("a_doc_ids")
 
     postings: DataFrame | None = None
+    pool = ThreadPoolExecutor(max_workers=2)
     try:
-        # ---- docs rows append (same layout/sort as the build) ----
-        docs = based.select(
-            "doc_id",
-            *[c for c in spec.stored_fields],
-            F.sha2(F.col(spec.content_field), 256).alias("sha256"),
-            F.pmod(F.col("doc_id"), F.lit(spec.num_shards)).cast("int").alias(
-                "shard"
-            ),
-        )
-        (
-            docs.repartition(spec.num_shards, "shard")
-            .sortWithinPartitions("shard", "doc_id")
-            .write.mode("append")
-            .partitionBy("shard")
-            .parquet(os.path.join(index_dir, "docs"))
-        )
+        # ---- docs rows append (same layout/sort as the build), submitted to
+        # a driver thread: the JVM-side sha256+parquet work overlaps the
+        # python-worker tokenize stage of the postings pipeline ----
+        def write_docs() -> None:
+            docs = based.select(
+                "doc_id",
+                *[c for c in spec.stored_fields],
+                F.sha2(F.col(spec.content_field), 256).alias("sha256"),
+                F.pmod(F.col("doc_id"), F.lit(spec.num_shards))
+                .cast("int")
+                .alias("shard"),
+            )
+            (
+                docs.repartition(spec.num_shards, "shard")
+                .sortWithinPartitions("shard", "doc_id")
+                .write.mode("append")
+                .partitionBy("shard")
+                .parquet(os.path.join(index_dir, "docs"))
+            )
+
+        docs_future = pool.submit(write_docs)
 
         # ---- batch postings (SPIMI + keyword rows + stored hot set) ----
         tf_long = based.select("doc_id", spec.content_field).mapInPandas(
@@ -149,21 +194,34 @@ def append_documents(
         # the compressed batch rows are persisted ONCE and feed three
         # consumers: the postings append, the lineage delta, and the dict
         # segment + token stats — no pass ever re-reads the existing index.
+        # merge_files=True: one exchange of the (tiny) compressed rows buys
+        # one segment file per shard per batch (measured faster than the
+        # 32-task x 32-dir dynamic-partition fan-out it avoids).
         postings = arranged.mapInPandas(
             _assembler(spec, hot), POSTINGS_SCHEMA
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        _write_postings(postings, index.postings_path, spec, mode="append")
+        _write_postings(
+            postings, index.postings_path, spec, mode="append",
+            merge_files=True,
+        )
+        prof.mark("a_postings")
 
         # ---- lineage DELTA from the batch's own rows (O(batch), never a
-        # re-aggregation of the whole postings table) ----
-        lineage = postings.groupBy("shard").agg(
-            F.count("*").alias("terms"),
-            F.sum("n_docs").alias("postings"),
-            F.sum("n_bytes").alias("bytes"),
-            (F.max("n_docs") / F.avg("n_docs")).alias("skew_ratio"),
-            F.lit("committed").alias("status"),
-        )
-        lineage.write.mode("append").parquet(os.path.join(index_dir, "lineage"))
+        # re-aggregation of the whole postings table), concurrent with the
+        # dict segment write below ----
+        def write_lineage() -> None:
+            lineage = postings.groupBy("shard").agg(
+                F.count("*").alias("terms"),
+                F.sum("n_docs").alias("postings"),
+                F.sum("n_bytes").alias("bytes"),
+                (F.max("n_docs") / F.avg("n_docs")).alias("skew_ratio"),
+                F.lit("committed").alias("status"),
+            )
+            lineage.write.mode("append").parquet(
+                os.path.join(index_dir, "lineage")
+            )
+
+        lineage_future = pool.submit(write_lineage)
 
         # ---- dict SEGMENT append + token stats, also from the batch rows.
         # The dict table is now segmented: one (term, df) rowset per
@@ -188,6 +246,9 @@ def append_documents(
             or 0
         )
         batch_stats.unpersist()
+        lineage_future.result()
+        docs_future.result()
+        prof.mark("a_dict+stats")
 
         meta["n_docs"] = int(meta["n_docs"]) + int(n_new)
         meta["total_tokens"] = int(meta.get("total_tokens", 0)) + batch_tokens
@@ -204,6 +265,7 @@ def append_documents(
         # fully-committed batch is always detected via applied_batches
         write_meta(index_dir, meta)
     finally:
+        pool.shutdown(wait=True)
         if postings is not None:
             postings.unpersist()
         if ids_handle is not None:

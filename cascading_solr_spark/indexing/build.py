@@ -568,7 +568,11 @@ def _shard_salt_exprs(
 
 
 def _write_postings(
-    postings: DataFrame, postings_path: str, spec: IndexSpec, mode: str = "append"
+    postings: DataFrame,
+    postings_path: str,
+    spec: IndexSpec,
+    mode: str = "append",
+    merge_files: bool = True,
 ) -> None:
     """"Segment merge": re-shuffle the already-COMPRESSED posting rows so each
     shard lands in one term-sorted file — the analogue of the reference's
@@ -577,10 +581,17 @@ def _write_postings(
     Term-sorted files maximize parquet row-group min/max pruning for the
     query-side term IN (...) filter.  The leading "shard" sort key satisfies
     FileFormatWriter's required ordering (else it inserts its own non-stable
-    sort by the partition column, destroying the term ordering)."""
+    sort by the partition column, destroying the term ordering).
+
+    ``merge_files=False`` (the append path) skips the extra exchange and
+    writes straight from the assembler's partitions — each batch is a new
+    small segment file per touched shard (Lucene-segment semantics); file
+    count is folded back by compact_index, and per-batch latency drops by a
+    full shuffle stage."""
+    if merge_files:
+        postings = postings.repartition(spec.num_shards, "shard")
     (
-        postings.repartition(spec.num_shards, "shard")
-        .sortWithinPartitions("shard", "term", "salt")
+        postings.sortWithinPartitions("shard", "term", "salt")
         .write.mode(mode)
         .partitionBy("shard")
         .parquet(postings_path)
