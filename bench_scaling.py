@@ -42,7 +42,6 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import subprocess
 import sys
 import time
@@ -157,11 +156,32 @@ def inner(cpus: int) -> None:
     calib = host_quiet()
     out = os.path.join(TMPFS, f"ix_{cpus}")
     shutil.rmtree(out, ignore_errors=True)
+
+    # in-run prober: boundary burns miss co-tenant load that arrives AND
+    # leaves inside the measured window (observed: a 2x-inflated sample with
+    # clean burns on both sides).  A single-thread burn every ~15 s rides a
+    # free host core (the build uses <=8 of 32) and its p90 exposes
+    # sustained mid-run contention.
+    import threading
+
+    probes: list[float] = []
+    stop_evt = threading.Event()
+
+    def prober() -> None:
+        while not stop_evt.is_set():
+            probes.append(_burn(0))
+            stop_evt.wait(15)
+
+    pt = threading.Thread(target=prober, daemon=True)
+    pt.start()
     t0 = time.perf_counter()
     build_index(spark, corpus, spec, out)
     dt = time.perf_counter() - t0
+    stop_evt.set()
+    pt.join(timeout=5)
     shutil.rmtree(out, ignore_errors=True)
     calib_after = burn8()
+    ps = sorted(probes) or [float("nan")]
     print(
         json.dumps(
             {
@@ -169,6 +189,9 @@ def inner(cpus: int) -> None:
                 "build_sec": dt,
                 "host_calib_s": calib,
                 "host_calib_after_s": calib_after,
+                "probe_med_s": ps[len(ps) // 2],
+                "probe_p90_s": ps[min(len(ps) - 1, int(0.9 * len(ps)))],
+                "probe_n": len(probes),
                 "phases": dict(build_mod.LAST_BUILD_PROFILE),
             }
         )
@@ -211,7 +234,10 @@ def main() -> None:
 
     def clean(c: int) -> list[dict]:
         return [
-            r for r in recs[c] if r["host_calib_after_s"] <= dirty_above
+            r
+            for r in recs[c]
+            if r["host_calib_after_s"] <= dirty_above
+            and r.get("probe_p90_s", 0.0) <= dirty_above
         ]
 
     rounds = 0
@@ -223,102 +249,22 @@ def main() -> None:
                 recs[cpus].append(run_sample(cpus))
         rounds += 1
 
-    four_n, n = LEVELS  # LEVELS = (8, 2): 8 is the 4N level
-    cl = {c: clean(c) for c in LEVELS}
-    mins = {c: min(r["build_sec"] for r in cl[c]) for c in LEVELS}
-    meds = {
-        c: statistics.median(r["build_sec"] for r in cl[c]) for c in LEVELS
-    }
-    eff_min = (N_FILES / mins[four_n]) / (4 * N_FILES / mins[n])
-    eff_med = (N_FILES / meds[four_n]) / (4 * N_FILES / meds[n])
-    # serial-component fit from the clean minima: t(p) = W/p + C
-    w_fit = 8.0 * (mins[n] - mins[four_n]) / 3.0
-    c_fit = mins[four_n] - w_fit / 8.0
-
-    phase_names: list[str] = []
-    for r in cl[four_n] + cl[n]:
-        for k in r.get("phases", {}):
-            if k not in phase_names:
-                phase_names.append(k)
-
-    def phase_med(c: int, name: str) -> float:
-        vals = [r["phases"].get(name) for r in cl[c] if name in r.get("phases", {})]
-        return statistics.median(vals) if vals else float("nan")
-
-    def fmt_samples(c: int) -> str:
-        parts = []
-        for r in recs[c]:
-            mark = "" if r["host_calib_after_s"] <= dirty_above else "†"
-            parts.append(f"{r['build_sec']:.1f}{mark}")
-        return ", ".join(parts)
-
+    # persist the raw samples, then delegate the full report (host-ceiling
+    # probes, Amdahl attribution, W/C fit, phase table) to the shared writer
     os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
-    phase_rows = "\n".join(
-        f"| {name} | {phase_med(n, name):.1f} | {phase_med(four_n, name):.1f} "
-        f"| {phase_med(n, name) / max(phase_med(four_n, name), 1e-9):.2f}x |"
-        for name in phase_names
+    samples_path = os.path.join(HERE, "BENCH", "scaling_samples.jsonl")
+    with open(samples_path, "w") as fh:
+        for c in LEVELS:
+            for r in recs[c]:
+                fh.write(json.dumps(r) + "\n")
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(HERE, "scripts", "scaling_report.py"),
+            samples_path,
+        ],
+        check=True,
     )
-    with open(os.path.join(HERE, "BENCH", "SCALING.md"), "w") as fh:
-        fh.write(
-            f"""# Index-build scaling study (north_rule criterion) — round 3
-
-Input: {N_FILES} synthetic source files (input_hint schema, Zipfian
-identifier vocabulary), num_shards=32, shuffle partitions=32, 24 MB input
-splits.  Interleaved fresh-JVM samples, small warm-up build first, one
-measured build each.  N=local[{n}], 4N=local[{four_n}] (this host's linear
-hardware region).  ALL I/O on tmpfs — the sandbox's single shared virtual
-disk neither scales with cores nor repeats (2.6x swings on identical runs),
-while a real cluster's input/shuffle/output bandwidth scales with executor
-count; RAM-backed I/O models per-executor storage faithfully.
-
-Every sample is calibration-gated BEFORE (build defers until an 8-process
-integer burn confirms a quiet host, ~0.78 s/proc nominal) and re-probed
-AFTER (a post-run burn > {DIRTY_FACTOR}x the quiet threshold means co-tenant
-load arrived MID-RUN; the sample is reported below marked † but excluded).
-Round 2's 153-263 s spread at local[8] was mid-run contamination that
-pre-gating alone cannot catch.
-
-**Headline efficiency uses the MINIMUM clean sample per level**: host
-interference is strictly additive (co-tenants only steal cycles), so the
-minimum estimates the quiet-host build time; the median is reported too.
-
-| level | samples (s, † = contaminated mid-run) | clean min (s) | clean median (s) | throughput @min (files/s) |
-|---|---|---|---|---|
-| local[{n}] (N) | {fmt_samples(n)} | {mins[n]:.1f} | {meds[n]:.1f} | {N_FILES / mins[n]:.1f} |
-| local[{four_n}] (4N) | {fmt_samples(four_n)} | {mins[four_n]:.1f} | {meds[four_n]:.1f} | {N_FILES / mins[four_n]:.1f} |
-
-**Scaling efficiency (min) = throughput(4N) / (4 x throughput(N)) =
-{eff_min:.3f}**  (median-based: {eff_med:.3f})
-
-## Per-phase times (median of clean samples, driver-side barriers)
-
-| phase | local[{n}] (s) | local[{four_n}] (s) | speedup (4x = perfect) |
-|---|---|---|---|
-{phase_rows}
-
-Round-2 -> round-3 build change behind these numbers: hot-term detection now
-reads the head parquet FILES directly (a parallel pruned scan) instead of a
-GlobalLimit, which funneled the 20k-doc sample through ONE task — a measured
-~35 s pure-serial component at 600k files (round-2 profile) that capped
-efficiency at ~0.80 even on a perfectly quiet host.
-
-## Serial-component fit (clean minima)
-
-t(p) = W/p + C  =>  W = {w_fit:.0f} s·core, C = {c_fit:.1f} s
-(C/t(8) = {c_fit / mins[four_n] * 100:.0f}% of the 4N wall time; efficiency
-ceiling at these W/C: {(w_fit / 2 + c_fit) / (4 * (w_fit / 8 + c_fit)):.3f})
-
-## Host bandwidth ceiling (attribution probe)
-
-Per-worker streaming memory bandwidth: {mem2:.2f} GB/s at 2 procs vs
-{mem8:.2f} GB/s at 8 procs (aggregate scales {4 * mem8 / mem2:.2f}x of the
-ideal 4x); integer burn {cpu2:.2f} s/proc at 2 vs {cpu8:.2f} s/proc at 8.
-Any gap between the per-phase speedups and 4x beyond C is bounded by this
-host-bandwidth inflation, which a real multi-node cluster does not share
-(per-executor memory channels scale with executor count).
-"""
-        )
-    print(f"efficiency_min={eff_min:.3f} efficiency_median={eff_med:.3f}")
 
 
 if __name__ == "__main__":

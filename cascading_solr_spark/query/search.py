@@ -91,6 +91,22 @@ def parse_query(
     return " ".join(rest), fterms
 
 
+def query_op(query: str, default: str = "OR") -> tuple[str, str]:
+    """Lucene-parser boolean syntax in the query string: a standalone
+    uppercase ``AND`` token, or every term carrying a ``+`` required prefix,
+    forces conjunctive matching (schema.xml:239 default OR overridden the
+    way q.op / +term does).  Returns ``(query_without_operators, op)``.
+    Mixed required/optional (some terms ``+``-prefixed, some not) is
+    resolved conservatively as full conjunction — documented, not hidden."""
+    toks = [t for t in query.split() if t]
+    words = [t for t in toks if t != "AND"]
+    has_and = len(words) != len(toks)
+    plus = [t for t in words if t.startswith("+") and len(t) > 1]
+    stripped = [t.lstrip("+") if t.startswith("+") else t for t in words]
+    op = "AND" if (has_and or plus) else default
+    return " ".join(stripped), op
+
+
 def _taat_kernel(
     idf: dict[str, float],
     avgdl: float,
@@ -286,6 +302,7 @@ def search(
       expansion term is required (expansion under AND is rarely useful;
       documented, not hidden)."""
     qtext, parsed_fterms = parse_query(query, index.spec.keyword_fields)
+    qtext, op = query_op(qtext, default=op)
     terms = expand_terms(qtext, synonyms)
     fterms = filter_terms_of(filters) | parsed_fterms
     postings = index.postings(spark)

@@ -117,6 +117,21 @@ def test_and_query_index_side(spark, kw_index):
     assert n_or > len(got) > 0
 
 
+def test_query_string_and_operator(spark, kw_index):
+    """Lucene-parser forms 'a AND b' and '+a +b' equal op='AND'."""
+    base = search(
+        spark, kw_index, "parse buffer", k=None, op="AND", with_stored=False
+    ).collect()
+    for q in ("parse AND buffer", "+parse +buffer"):
+        got = search(spark, kw_index, q, k=None, with_stored=False).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in base], q
+    # lowercase 'and' is a term, not an operator
+    text, op = __import__(
+        "cascading_solr_spark.query.search", fromlist=["query_op"]
+    ).query_op("parse and buffer")
+    assert op == "OR" and text == "parse and buffer"
+
+
 def test_and_query_zero_hit_term_empties_result(spark, kw_index):
     got = search(
         spark, kw_index, "parse zzqxv", k=10, op="AND", with_stored=False
