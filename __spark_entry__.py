@@ -184,6 +184,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ix_keyword_filter"] = lambda s, d: keyword_filter(
         s, _index_for(s, d), {"lang": "es"}
     )
+    # facet counts (Solr facet.field analogue; the reference config facets
+    # its keyword fields, solrconfig.xml:891-893): ALL matching docs counted
+    # per keyword-field value, served from facet-field postings
+    # (prefix-pruned) joined to the match set — no docs-table scan
+    def _facets(s, d):
+        from cascading_solr_spark.query.search import facet_counts
+
+        return facet_counts(s, _index_for(s, d), Q_MAIN, "lang")
+
+    q["ft_facets"] = _facets
     # query-time synonym expansion (SynonymFilter expand=true analogue)
     q["ft_synonym"] = lambda s, d: search(
         s, _index_for(s, d), "join", k=10, with_stored=False,
@@ -402,6 +412,14 @@ WHERE d.lang = 'es'
 ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
 """
     o["ix_keyword_filter"] = "SELECT doc_id FROM documents WHERE lang = 'es'"
+    o["ft_facets"] = f"""
+WITH {_toks_cte()},
+matched AS (SELECT DISTINCT doc_id FROM toks
+            WHERE term IN ('spark', 'join'))
+SELECT d.lang AS value, count(*)::BIGINT AS n
+FROM documents d JOIN matched USING (doc_id)
+GROUP BY 1
+"""
     o["ft_synonym"] = _bm25_sql(("join", "merge"), 10)
     o["ft_and_query"] = f"""
 WITH {_toks_cte()}

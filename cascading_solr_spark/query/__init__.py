@@ -1,5 +1,6 @@
 from cascading_solr_spark.query.naive import bm25_topk_df
 from cascading_solr_spark.query.search import (
+    facet_counts,
     keyword_filter,
     parse_query,
     search,
@@ -7,5 +8,6 @@ from cascading_solr_spark.query.search import (
 )
 
 __all__ = [
-    "search", "search_many", "keyword_filter", "parse_query", "bm25_topk_df",
+    "search", "search_many", "keyword_filter", "parse_query", "facet_counts",
+    "bm25_topk_df",
 ]

@@ -347,6 +347,70 @@ def search(
     return _fetch_stored(spark, index, top)
 
 
+def facet_counts(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    facet_field: str,
+    filters: dict[str, str] | None = None,
+    synonyms: dict[str, list[str]] | None = None,
+    op: str = "OR",
+) -> DataFrame:
+    """Facet counts over a keyword field for the docs matching ``query`` —
+    the Solr ``facet.field`` analogue (the reference config faceting on its
+    keyword fields: ``facet=on``, ``facet.field=cat/manu_exact``,
+    solrconfig.xml:891-893 and 810-814; facets count ALL matching docs per
+    distinct field value, independent of rows/top-k).
+
+    Served INDEX-SIDE at both ends: the match set comes from the same
+    ranked/filtered query plan (k=None — every match), and the value-id
+    pairs come from the facet field's ``field:value`` posting rows (a
+    prefix-pruned scan of compressed postings: term-sorted files +
+    StartsWith pushdown), never from a docs-table scan.  The join is a
+    doc_id equi-join — at 100 TB both sides are distributed and the facet
+    side is bounded by the field's posting size."""
+    if facet_field not in index.spec.keyword_fields:
+        raise ValueError(
+            f"facet field {facet_field!r} is not a keyword field "
+            f"{index.spec.keyword_fields!r}"
+        )
+    prefix = facet_field + KW_SEP
+    block_size = index.spec.block_size
+
+    def decode_pairs(batches):
+        for pdf in batches:
+            vals: list[np.ndarray] = []
+            ids: list[np.ndarray] = []
+            for row in pdf.itertuples(index=False):
+                n = int(row.n_docs)
+                ids.append(decode_doc_ids(row.doc_ids, n, block_size))
+                vals.append(np.repeat(row.term.split(KW_SEP, 1)[1], n))
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "value": np.concatenate(vals),
+                    "doc_id": np.concatenate(ids),
+                }
+            )
+
+    matched = search(
+        spark, index, query, k=None, with_stored=False, filters=filters,
+        synonyms=synonyms, op=op,
+    ).select("doc_id")
+    pairs = (
+        index.postings(spark)
+        .filter(F.col("term").startswith(prefix))
+        .mapInPandas(decode_pairs, "value string, doc_id long")
+    )
+    return (
+        pairs.join(matched, "doc_id")
+        .groupBy("value")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("value"))
+    )
+
+
 def search_many(
     spark: SparkSession,
     index: Index,

@@ -109,6 +109,28 @@ def test_embedding_lsh_pairs_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_facet_scan_prefix_pushed(spark, tmp_path):
+    """The facet postings scan must push StringStartsWith(term, 'field:')
+    to parquet (term-sorted files -> row-group pruning), and the match-side
+    scan its term IN (...) — faceting never scans the docs table."""
+    from cascading_solr_spark.query.search import facet_counts
+
+    corpus = synth_corpus(spark, 60, partitions=2)
+    ix = build_index(
+        spark, corpus,
+        IndexSpec(num_shards=2, keyword_fields=("lang",)),
+        str(tmp_path / "fix"),
+    )
+    plan = (
+        facet_counts(spark, ix, "parse buffer", "lang")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "StringStartsWith(term,lang:)" in plan
+    assert "In(term" in plan
+
+
 def test_ann_index_partition_pruned(spark, tmp_path):
     from cascading_solr_spark.operators.similarity import (
         ann_lsh_topk_indexed,

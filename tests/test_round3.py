@@ -260,6 +260,42 @@ def test_filtered_search_still_exact(spark, kw_index):
     assert {r["doc_id"]: r["score"] for r in got} == want and got
 
 
+# ------------------------------------------------------------- faceting
+
+
+def test_facet_counts_matches_docs_table(spark, kw_index):
+    """facet.field analogue: postings-served counts == docs-table groupBy
+    over the same match set; composes with filters; unknown field raises."""
+    from cascading_solr_spark.query.search import facet_counts
+
+    got = {
+        (r["value"], r["n"])
+        for r in facet_counts(spark, kw_index, "parse buffer", "lang").collect()
+    }
+    match_ids = [
+        r["doc_id"]
+        for r in search(
+            spark, kw_index, "parse buffer", k=None, with_stored=False
+        ).collect()
+    ]
+    want = {
+        (r["lang"], r["cnt"])
+        for r in kw_index.docs(spark)
+        .filter(F.col("doc_id").isin(match_ids))
+        .groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want and got
+    # facets compose with an fq filter (counts restricted to the filter)
+    filtered = facet_counts(
+        spark, kw_index, "parse buffer", "lang", filters={"lang": "go"}
+    ).collect()
+    assert [(r["value"]) for r in filtered] == ["go"]
+    with pytest.raises(ValueError, match="not a keyword field"):
+        facet_counts(spark, kw_index, "parse", "commit")
+
+
 # ----------------------------------------------------- O(batch) appends
 
 
