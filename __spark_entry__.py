@@ -194,6 +194,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return facet_counts(s, _index_for(s, d), Q_MAIN, "lang")
 
     q["ft_facets"] = _facets
+
+    # spellcheck suggestions (Solr spellcheck component, solrconfig.xml:932):
+    # closest dict terms to a misspelled query term, (distance, df desc) rank
+    def _spell(s, d):
+        from cascading_solr_spark.query.search import suggest_terms
+
+        return suggest_terms(s, _index_for(s, d), "sparc", k=5)
+
+    q["ft_spellcheck"] = _spell
     # query-time synonym expansion (SynonymFilter expand=true analogue)
     q["ft_synonym"] = lambda s, d: search(
         s, _index_for(s, d), "join", k=10, with_stored=False,
@@ -419,6 +428,16 @@ matched AS (SELECT DISTINCT doc_id FROM toks
 SELECT d.lang AS value, count(*)::BIGINT AS n
 FROM documents d JOIN matched USING (doc_id)
 GROUP BY 1
+"""
+    o["ft_spellcheck"] = f"""
+WITH {_toks_cte()},
+vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+          FROM toks GROUP BY 1)
+SELECT term, df, levenshtein(term, 'sparc')::INT AS distance
+FROM vocab
+WHERE term != 'sparc' AND abs(length(term) - 5) <= 2
+  AND levenshtein(term, 'sparc') <= 2
+ORDER BY distance ASC, df DESC, term ASC LIMIT 5
 """
     o["ft_synonym"] = _bm25_sql(("join", "merge"), 10)
     o["ft_and_query"] = f"""

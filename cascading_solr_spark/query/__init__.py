@@ -5,9 +5,10 @@ from cascading_solr_spark.query.search import (
     parse_query,
     search,
     search_many,
+    suggest_terms,
 )
 
 __all__ = [
     "search", "search_many", "keyword_filter", "parse_query", "facet_counts",
-    "bm25_topk_df",
+    "suggest_terms", "bm25_topk_df",
 ]

@@ -296,6 +296,21 @@ def test_facet_counts_matches_docs_table(spark, kw_index):
         facet_counts(spark, kw_index, "parse", "commit")
 
 
+# ------------------------------------------------------------ spellcheck
+
+
+def test_suggest_terms_closest_popular_first(spark, kw_index):
+    from cascading_solr_spark.query.search import suggest_terms
+
+    rows = suggest_terms(spark, kw_index, "buffr", k=5).collect()
+    assert rows and rows[0]["term"] == "buffer"  # distance 1, high df
+    # ranked by (distance asc, df desc, term asc); no keyword-field terms
+    key = [(r["distance"], -r["df"], r["term"]) for r in rows]
+    assert key == sorted(key)
+    assert all(":" not in r["term"] for r in rows)
+    assert all(r["distance"] <= 2 and r["term"] != "buffr" for r in rows)
+
+
 # ----------------------------------------------------- O(batch) appends
 
 
