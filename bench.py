@@ -86,11 +86,23 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
     n_docs = docs.count()
     doc_spec = IndexSpec(
         content_field="text", key_fields=("doc_id",), doc_id_field="doc_id",
-        stored_fields=("lang", "source"), num_shards=max(cpus // 4, 4),
+        stored_fields=("lang", "source"), keyword_fields=("lang", "source"),
+        num_shards=max(cpus // 4, 4),
     )
     ix_docs_dir = os.path.join(work, "ix_docs")
     timings["build_documents"] = timed(
         lambda: build_index(spark, docs, doc_spec, ix_docs_dir)
+    )
+    # facet + spellcheck over the documents index (driver-shaped spec)
+    from cascading_solr_spark.indexing.build import Index as _Index
+    from cascading_solr_spark.query.search import facet_counts, suggest_terms
+
+    ix_docs = _Index.load(ix_docs_dir)
+    timings["facet_lang"] = timed(
+        lambda: facet_counts(spark, ix_docs, "spark join", "lang").collect()
+    )
+    timings["spellcheck"] = timed(
+        lambda: suggest_terms(spark, ix_docs, "sparc", k=5).collect()
     )
 
     # ---- 3. query latency over the compressed code index ----
