@@ -203,6 +203,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return suggest_terms(s, _index_for(s, d), "sparc", k=5)
 
     q["ft_spellcheck"] = _spell
+
+    # MoreLikeThis (solr.MoreLikeThisComponent, solrconfig.xml:1166, run on
+    # /browse with mlt.count, :883-888): interesting terms of doc 0 by
+    # tf·idf, OR-ranked similar docs, source excluded
+    def _mlt(s, d):
+        from cascading_solr_spark.query.search import more_like_this
+
+        src = _docs(s, d).filter(F.col("doc_id") == 0).collect()[0]["text"]
+        return more_like_this(
+            s, _index_for(s, d), src, k=10, max_terms=10, exclude_doc_id=0
+        ).select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_mlt"] = _mlt
     # query-time synonym expansion (SynonymFilter expand=true analogue)
     q["ft_synonym"] = lambda s, d: search(
         s, _index_for(s, d), "join", k=10, with_stored=False,
@@ -438,6 +451,31 @@ FROM vocab
 WHERE term != 'sparc' AND abs(length(term) - 5) <= 2
   AND levenshtein(term, 'sparc') <= 2
 ORDER BY distance ASC, df DESC, term ASC LIMIT 5
+"""
+    o["ft_mlt"] = f"""
+WITH {_toks_cte()},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+mlt AS (SELECT t.term
+        FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
+        WHERE t.doc_id = 0
+        ORDER BY t.tf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) DESC,
+                 t.term ASC
+        LIMIT 10),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN mlt USING (term) JOIN dfreq d USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY 1)
+SELECT doc_id, round(score, 4) AS score
+FROM scores WHERE doc_id != 0
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
 """
     o["ft_synonym"] = _bm25_sql(("join", "merge"), 10)
     o["ft_and_query"] = f"""

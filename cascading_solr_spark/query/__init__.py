@@ -2,6 +2,7 @@ from cascading_solr_spark.query.naive import bm25_topk_df
 from cascading_solr_spark.query.search import (
     facet_counts,
     keyword_filter,
+    more_like_this,
     parse_query,
     search,
     search_many,
@@ -10,5 +11,5 @@ from cascading_solr_spark.query.search import (
 
 __all__ = [
     "search", "search_many", "keyword_filter", "parse_query", "facet_counts",
-    "suggest_terms", "bm25_topk_df",
+    "suggest_terms", "more_like_this", "bm25_topk_df",
 ]

@@ -454,6 +454,56 @@ def suggest_terms(
     )
 
 
+def more_like_this(
+    spark: SparkSession,
+    index: Index,
+    text: str,
+    k: int = 10,
+    max_terms: int = 10,
+    exclude_doc_id: int | None = None,
+) -> DataFrame:
+    """MoreLikeThis — the solr.MoreLikeThisComponent analogue (registered in
+    the reference config at solrconfig.xml:1166 and run on every /browse
+    request with mlt.count=3, solrconfig.xml:883-888; Solr also accepts the
+    source as a content stream, which is this signature).
+
+    "Interesting terms" of ``text``: analyzed terms ranked by tf·idf against
+    the INDEX's global statistics (ties by term asc), top ``max_terms``;
+    similar docs are the BM25 OR-query of those terms with the source doc
+    optionally excluded.  Everything after term selection is the normal
+    index-side ranked path (one pruned postings scan, shard kernels, global
+    merge).  idf here is ln(1 + (N - df + .5)/(df + .5)) computed as
+    ``log(1 + x)`` so the DuckDB oracle reproduces the selection order
+    bit-for-bit."""
+    import math
+    from collections import Counter
+
+    from cascading_solr_spark.analyzer import tokenize
+
+    counts = Counter(tokenize(text))
+    dfs = term_dfs(spark, index, list(counts))
+    n = index.n_docs
+    ranked = sorted(
+        (
+            (-counts[t] * math.log(1.0 + (n - df + 0.5) / (df + 0.5)), t)
+            for t, df in dfs.items()
+            if df > 0
+        ),
+    )
+    terms = [t for _, t in ranked[:max_terms]]
+    if not terms:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    fetch = k + 1 if exclude_doc_id is not None else k
+    top = search(spark, index, " ".join(terms), k=fetch, with_stored=False)
+    if exclude_doc_id is not None:
+        top = (
+            top.filter(F.col("doc_id") != exclude_doc_id)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+    return top
+
+
 def search_many(
     spark: SparkSession,
     index: Index,

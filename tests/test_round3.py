@@ -311,6 +311,35 @@ def test_suggest_terms_closest_popular_first(spark, kw_index):
     assert all(r["distance"] <= 2 and r["term"] != "buffr" for r in rows)
 
 
+# --------------------------------------------------------- more-like-this
+
+
+def test_more_like_this_finds_self_then_excludes(spark, kw_index):
+    from cascading_solr_spark.query.search import more_like_this
+
+    src = (
+        kw_index.docs(spark).filter(F.col("doc_id") == 3).collect()
+    )
+    # stored fields don't carry content here; feed a synthetic doc's text
+    text = (
+        synth_corpus(spark, 10, partitions=1)
+        .limit(4)
+        .collect()[3]["content"]
+    )
+    del src
+    with_self = more_like_this(spark, kw_index, text, k=5).collect()
+    assert with_self  # its own terms must match plenty of docs
+    top_id = with_self[0]["doc_id"]
+    excluded = more_like_this(
+        spark, kw_index, text, k=5, exclude_doc_id=top_id
+    ).collect()
+    assert all(r["doc_id"] != top_id for r in excluded)
+    assert len(excluded) == 5
+    # rank order is (score desc, doc_id asc)
+    key = [(-r["score"], r["doc_id"]) for r in excluded]
+    assert key == sorted(key)
+
+
 # ----------------------------------------------------- O(batch) appends
 
 
