@@ -64,7 +64,7 @@ _DOC_SPEC = IndexSpec(
 )
 
 
-_INDEX_FORMAT_VERSION = 7  # bump on any postings/dict/ANN layout change
+_INDEX_FORMAT_VERSION = 8  # bump on any postings/dict/ANN layout change
 
 
 def _index_for(spark: SparkSession, sf_dir: str) -> Index:

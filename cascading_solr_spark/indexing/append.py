@@ -194,16 +194,12 @@ def append_documents(
         # the compressed batch rows are persisted ONCE and feed three
         # consumers: the postings append, the lineage delta, and the dict
         # segment + token stats — no pass ever re-reads the existing index.
-        # merge_files=True: one exchange of the (tiny) compressed rows buys
-        # one segment file per shard per batch (measured faster than the
-        # 32-task x 32-dir dynamic-partition fan-out it avoids).
+        # _write_postings' exchange of the (tiny) compressed rows buys one
+        # segment file per shard per batch.
         postings = arranged.mapInPandas(
             _assembler(spec, hot), POSTINGS_SCHEMA
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        _write_postings(
-            postings, index.postings_path, spec, mode="append",
-            merge_files=True,
-        )
+        _write_postings(postings, index.postings_path, spec, mode="append")
         prof.mark("a_postings")
 
         # ---- lineage DELTA from the batch's own rows (O(batch), never a
@@ -216,6 +212,11 @@ def append_documents(
                 F.sum("n_bytes").alias("bytes"),
                 (F.max("n_docs") / F.avg("n_docs")).alias("skew_ratio"),
                 F.lit("committed").alias("status"),
+                # per-SEGMENT rows (stats cover this batch only, not the
+                # shard): tagged so per-shard consumers aggregate explicitly
+                # instead of reading any single row as per-shard truth.  The
+                # offset makes the tag unique per append.
+                F.lit(f"append@{offset}").alias("segment"),
             )
             lineage.write.mode("append").parquet(
                 os.path.join(index_dir, "lineage")
@@ -237,7 +238,7 @@ def append_documents(
             .repartition(max(1, spec.num_shards // 4), "term")
             .sortWithinPartitions("term")
             .write.mode("append")
-            .parquet(os.path.join(index_dir, "dict"))
+            .parquet(index.dict_path)  # meta-pointed generation dir
         )
         batch_tokens = int(
             batch_stats.filter(~F.col("term").contains(KW_SEP))

@@ -237,6 +237,20 @@ def _rank_ids(
     return ids, acc
 
 
+def _is_plain_scan(df: DataFrame) -> bool:
+    """True when ``df`` is a bare file-source scan: no filter, projection, or
+    join sits between its files and its rows, so reading the files directly
+    (``df.inputFiles()``) yields the same row population.  Any plan wrapping
+    the scan returns False — a raw file read would bypass its semantics."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        return plan.getClass().getSimpleName() in (
+            "LogicalRelation", "DataSourceV2Relation", "DataSourceV2ScanRelation",
+        )
+    except Exception:
+        return False
+
+
 def check_doc_id_range(ids: DataFrame, col: str = "doc_id") -> None:
     """Fail fast when caller-provided doc ids don't fit the packed (id, dl)
     int64 layout (id << DL_BITS needs id < 2^42).  One cheap min/max agg on
@@ -277,6 +291,7 @@ class Index:
     total_tokens: int = 0
     hot_terms: tuple[str, ...] = ()
     postings_dirname: str = "postings"
+    dict_dirname: str = "dict"
 
     @classmethod
     def load(cls, path: str) -> "Index":
@@ -291,11 +306,19 @@ class Index:
             total_tokens=meta.get("total_tokens", 0),
             hot_terms=tuple(meta.get("hot_terms", ())),
             postings_dirname=meta.get("postings_dirname", "postings"),
+            dict_dirname=meta.get("dict_dirname", "dict"),
         )
 
     @property
     def postings_path(self) -> str:
         return os.path.join(self.path, self.postings_dirname)
+
+    @property
+    def dict_path(self) -> str:
+        # meta-pointed generation dir (like postings): compact_index publishes
+        # the folded dict as dict.genN + an atomic meta flip, so a crash at
+        # any step leaves a complete dict dir — never a partially-renamed one
+        return os.path.join(self.path, self.dict_dirname)
 
     def postings(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.postings_path)
@@ -316,7 +339,7 @@ class Index:
         below the aggregate to the parquet scan (term-sorted files ->
         row-group pruning), so query-side df lookups stay tiny.
         ``compact_index`` physically merges segments back to one."""
-        p = os.path.join(self.path, "dict")
+        p = self.dict_path
         if not os.path.exists(p):
             return None
         return (
@@ -572,24 +595,19 @@ def _write_postings(
     postings_path: str,
     spec: IndexSpec,
     mode: str = "append",
-    merge_files: bool = True,
 ) -> None:
     """"Segment merge": re-shuffle the already-COMPRESSED posting rows so each
     shard lands in one term-sorted file — the analogue of the reference's
     optimize(maxSegments) at close (core/SolrWriter.java:112,
-    hadoop/SolrOutputFormat.java:35).  Cheap: rows are compact binaries.
-    Term-sorted files maximize parquet row-group min/max pruning for the
-    query-side term IN (...) filter.  The leading "shard" sort key satisfies
-    FileFormatWriter's required ordering (else it inserts its own non-stable
-    sort by the partition column, destroying the term ordering).
-
-    ``merge_files=False`` (the append path) skips the extra exchange and
-    writes straight from the assembler's partitions — each batch is a new
-    small segment file per touched shard (Lucene-segment semantics); file
-    count is folded back by compact_index, and per-batch latency drops by a
-    full shuffle stage."""
-    if merge_files:
-        postings = postings.repartition(spec.num_shards, "shard")
+    hadoop/SolrOutputFormat.java:35).  Cheap: rows are compact binaries, so
+    the exchange moves little data; on the append path it buys one segment
+    file per shard per batch (measured faster than the 32-task × 32-dir
+    dynamic-partition fan-out it avoids).  Term-sorted files maximize parquet
+    row-group min/max pruning for the query-side term IN (...) filter.  The
+    leading "shard" sort key satisfies FileFormatWriter's required ordering
+    (else it inserts its own non-stable sort by the partition column,
+    destroying the term ordering)."""
+    postings = postings.repartition(spec.num_shards, "shard")
     (
         postings.sortWithinPartitions("shard", "term", "salt")
         .write.mode(mode)
@@ -608,6 +626,11 @@ def _write_lineage(
         F.sum("n_bytes").alias("bytes"),
         (F.max("n_docs") / F.avg("n_docs")).alias("skew_ratio"),
         F.lit("committed").alias("status"),
+        # segment tag: after appends a shard has MULTIPLE lineage rows whose
+        # stats (skew_ratio especially) are per-segment, not per-shard —
+        # consumers aggregate explicitly by filtering/grouping on this tag
+        # instead of misreading mixed build+append rows as per-shard truth
+        F.lit("build").alias("segment"),
     )
     lineage.write.mode("append").parquet(lineage_path)
 
@@ -648,9 +671,13 @@ def build_index(
     committed: set[int] = set()
     if not resume or not os.path.exists(meta_path):
         # clean slate: a rebuild into an existing dir must never append onto
-        # stale postings (df inflation flips idf negative) — drop everything.
-        for sub in ("postings", "lineage", "dict", "docs"):
-            shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+        # stale postings (df inflation flips idf negative) — drop everything,
+        # including compaction generation dirs (postings.genN / dict.genN).
+        for name in os.listdir(out_dir):
+            if name.split(".gen")[0] in (
+                "postings", "lineage", "dict", "dict_ngrams", "docs"
+            ):
+                shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
         if os.path.exists(meta_path):
             os.remove(meta_path)
     else:
@@ -747,17 +774,25 @@ def build_index(
             n_sample = n_docs
             if frac < 1.0:
                 sampled = None
+                # head FILES are only representative when the source plan is a
+                # bare scan (a filter/projection between files and rows would
+                # be bypassed by a raw read), and only a parquet read of them
+                # can succeed — any failure falls back to the limit() path.
                 try:
-                    files = sorted(source.inputFiles())
+                    files = (
+                        sorted(source.inputFiles())
+                        if _is_plain_scan(source)
+                        else []
+                    )
+                    if files and len(files) > 1:
+                        k_files = min(len(files), int(frac * len(files)) + 1)
+                        head = spark.read.parquet(*files[:k_files])
+                        need = {spec.content_field, *spec.keyword_fields}
+                        if need.issubset(set(head.columns)):
+                            n_sample = head.count()  # parquet-footer served
+                            sampled = head
                 except Exception:
-                    files = []
-                if files and len(files) > 1:
-                    k_files = min(len(files), int(frac * len(files)) + 1)
-                    head = spark.read.parquet(*files[:k_files])
-                    need = {spec.content_field, *spec.keyword_fields}
-                    if need.issubset(set(head.columns)):
-                        n_sample = head.count()  # parquet-footer served
-                        sampled = head
+                    sampled = None
                 if sampled is None:
                     # non-file source: GlobalLimit funnels rows through ONE
                     # task — respread so the tokenize runs parallel
@@ -799,6 +834,7 @@ def build_index(
                 "next_doc_id": n_docs,
                 "hot_terms": hot_terms,
                 "postings_dirname": "postings",
+                "dict_dirname": "dict",
             }
             write_meta(out_dir, meta)
 

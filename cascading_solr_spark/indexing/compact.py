@@ -123,23 +123,33 @@ def compact_index(
         .parquet(new_path)
     )
 
-    # fold dict append segments -> one (term, df) row per term (written to a
-    # tmp dir, swapped after the meta flip alongside lineage)
-    dict_path = os.path.join(index.path, "dict")
-    dict_tmp = os.path.join(index.path, "dict.tmp")
-    have_dict = os.path.exists(dict_path)
+    # fold dict append segments -> one (term, df) row per term, published as
+    # a NEW meta-pointed generation dir (exactly like postings): the old dict
+    # dir is never renamed away, so a crash at ANY step leaves a complete
+    # dict on disk — the rename-swap this replaces had a window where no dict
+    # dir existed and the next append would silently recreate it with only
+    # its own batch's (term, df) rows (wrong global df, no error).
+    old_dict_dirname = index.dict_dirname
+    have_dict = os.path.exists(index.dict_path)
+    new_dict_dirname = old_dict_dirname
     if have_dict:
-        shutil.rmtree(dict_tmp, ignore_errors=True)
+        dgen = 0
+        if old_dict_dirname.startswith("dict.gen"):
+            dgen = int(old_dict_dirname.rsplit("gen", 1)[1])
+        new_dict_dirname = f"dict.gen{dgen + 1}"
+        new_dict_path = os.path.join(index.path, new_dict_dirname)
+        shutil.rmtree(new_dict_path, ignore_errors=True)
         (
-            spark.read.parquet(dict_path)
+            spark.read.parquet(index.dict_path)
             .groupBy("term")
             .agg(F.sum("df").alias("df"))
             .repartition(max(1, spec.num_shards // 4), "term")
             .sortWithinPartitions("term")
-            .write.parquet(dict_tmp)
+            .write.parquet(new_dict_path)
         )
 
-    # rebuilt lineage: per-shard stats change once split rows merge
+    # rebuilt lineage: per-shard stats change once split rows merge (rows are
+    # per-shard truth again — tagged "compacted")
     lineage_path = os.path.join(index.path, "lineage")
     built = spark.read.parquet(new_path)
     lineage = built.groupBy("shard").agg(
@@ -148,28 +158,26 @@ def compact_index(
         F.sum("n_bytes").alias("bytes"),
         (F.max("n_docs") / F.avg("n_docs")).alias("skew_ratio"),
         F.lit("committed").alias("status"),
+        F.lit("compacted").alias("segment"),
     )
     lineage_tmp = lineage_path + ".tmp"
     shutil.rmtree(lineage_tmp, ignore_errors=True)
     lineage.write.parquet(lineage_tmp)
 
-    # atomic publish: meta pointer flips to the new generation
+    # atomic publish: ONE meta replace flips both generation pointers
     with open(os.path.join(index.path, "meta.json")) as fh:
         meta = json.load(fh)
     meta["postings_dirname"] = new_dirname
+    meta["dict_dirname"] = new_dict_dirname
     write_meta(index.path, meta)
     shutil.rmtree(lineage_path, ignore_errors=True)
     os.rename(lineage_tmp, lineage_path)
-    if have_dict:
-        dict_old = dict_path + ".old"
-        shutil.rmtree(dict_old, ignore_errors=True)
-        os.rename(dict_path, dict_old)
-        os.rename(dict_tmp, dict_path)
-        shutil.rmtree(dict_old, ignore_errors=True)
     # deferred GC: keep the generation we just replaced (read-while-compact
     # for handles loaded before the flip); delete anything older.
     for name in os.listdir(index.path):
-        if name == "postings" or name.startswith("postings.gen"):
-            if name not in (new_dirname, old_dirname):
-                shutil.rmtree(os.path.join(index.path, name), ignore_errors=True)
+        base = name.split(".gen")[0]
+        if base == "postings" and name not in (new_dirname, old_dirname):
+            shutil.rmtree(os.path.join(index.path, name), ignore_errors=True)
+        if base == "dict" and name not in (new_dict_dirname, old_dict_dirname):
+            shutil.rmtree(os.path.join(index.path, name), ignore_errors=True)
     return Index.load(index.path)

@@ -210,14 +210,28 @@ def expand_terms(
 
 
 def _fetch_stored(
-    spark: SparkSession, index: Index, top: DataFrame
+    spark: SparkSession, index: Index, top: DataFrame, bounded: bool = True
 ) -> DataFrame:
-    """Stored-field retrieval for a tiny ranked (doc_id, score) frame.
+    """Stored-field retrieval for a ranked (doc_id, score) frame.
 
-    The top-k is collected (≤ k rows, and the caller is about to collect it
-    anyway), shard = doc_id % num_shards is derived driver-side, and the
-    docs read is pruned to exactly the touched shard partitions + doc_id
-    row groups — at 100 TB this is a k-row fetch, not a table scan."""
+    ``bounded`` (the k-limited path): the top-k is collected (≤ k rows, and
+    the caller is about to collect it anyway), shard = doc_id % num_shards
+    is derived driver-side, and the docs read is pruned to exactly the
+    touched shard partitions + doc_id row groups — at 100 TB this is a k-row
+    fetch, not a table scan.
+
+    ``bounded=False`` (k=None: an UNBOUNDED match set) must never collect or
+    broadcast the matches — driver memory and plan size would grow with the
+    match count.  It joins distributed instead: a shuffle-hash equi-join of
+    the match set against the docs table (both sides partitioned by doc_id;
+    the docs side prunes to the stored columns)."""
+    if not bounded:
+        docs = index.docs(spark)
+        return (
+            docs.drop("shard")
+            .join(top.hint("shuffle_hash"), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
     rows = top.collect()
     docs = index.docs(spark)
     if not rows:
@@ -277,7 +291,7 @@ def search(
     spark: SparkSession,
     index: Index,
     query: str,
-    k: int = 10,
+    k: int | None = 10,
     mode: str = "maxscore",
     with_stored: bool = True,
     filters: dict[str, str] | None = None,
@@ -344,7 +358,7 @@ def search(
             top = top.limit(k)
     if not with_stored:
         return top
-    return _fetch_stored(spark, index, top)
+    return _fetch_stored(spark, index, top, bounded=k is not None)
 
 
 def facet_counts(
