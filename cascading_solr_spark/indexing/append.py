@@ -52,6 +52,7 @@ from pyspark.storagelevel import StorageLevel
 
 from cascading_solr_spark.indexing.build import (
     KW_SEP,
+    MAX_DOC_ID,
     POSTINGS_SCHEMA,
     TF_SCHEMA,
     Index,
@@ -60,8 +61,6 @@ from cascading_solr_spark.indexing.build import (
     _rank_ids,
     _shard_salt_exprs,
     _spimi_tf_kernel,
-    _write_postings,
-    check_doc_id_range,
     validate_schema,
     write_meta,
 )
@@ -101,55 +100,89 @@ def append_documents(
         return index
     offset = int(meta.get("next_doc_id", meta["n_docs"]))
 
+    # ---- scope: AQE's runtime re-planning adds a per-stage scheduling
+    # round-trip that is pure overhead on these fixed-shape micro-batch jobs
+    # (measured ~0.3-0.4 s per append at 2k files); restored in the finally.
+    # Writers are single-threaded by contract (see module docstring), and
+    # for concurrent readers the flag only affects plan latency, never
+    # results.
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
     # ---- doc ids above the current max (caller-provided ids are trusted:
-    # the caller owns uniqueness, exactly like Solr's uniqueKey) ----
+    # the caller owns uniqueness, exactly like Solr's uniqueKey).  The batch
+    # is PERSISTED up front and the gating agg populates the cache, so every
+    # later consumer (docs write, tokenize, keyword rows, id window) reads
+    # the cache instead of re-evaluating the source — one source scan total.
+    # Bounded by the batch size (micro-batches by construction; a bulk
+    # backfill spills to disk and is released in the finally). ----
     ids_handle = None
-    if spec.doc_id_field:
-        based = batch.withColumn("doc_id", F.col(spec.doc_id_field).cast("long"))
-        check_doc_id_range(based.select("doc_id"))
-        n_new = batch.count()
-    else:
-        keys = list(spec.key_fields)
-        row = batch.agg(
-            F.count("*").alias("n"), F.count_distinct(*keys).alias("dn")
-        ).collect()[0]
-        n_new = int(row["n"])
-        if n_new != int(row["dn"]):
-            from cascading_solr_spark.spec import IndexSpecError
-
-            raise IndexSpecError(
-                f"{n_new - int(row['dn'])} duplicate rows for key "
-                f"{tuple(keys)!r} in append batch (uniqueKey analogue)"
-            )
-        if n_new <= SMALL_BATCH_ROWS:
-            # micro-batch: dense ids from a one-task window over the KEYS
-            # projection only (size-bounded; content rows never funnel
-            # through the single task), broadcast-joined back — the
-            # count/dup agg above was the only extra blocking job
-            from pyspark.sql import Window
-
-            ids_small = batch.select(*keys).withColumn(
-                "doc_id",
-                (
-                    F.row_number().over(Window.orderBy(*keys)) - 1
-                    + F.lit(offset)
-                ).cast("long"),
-            )
-            based = batch.join(F.broadcast(ids_small), keys)
-        else:
-            ids_handle, _ = _rank_ids(batch, spec.key_fields, check_unique=False)
-            based = batch.join(
-                ids_handle.hint("shuffle_hash"), keys
-            ).withColumn("doc_id", F.col("doc_id") + F.lit(offset))
-    if not n_new:
-        if ids_handle is not None:
-            ids_handle.unpersist()
-        return index
-    prof.mark("a_doc_ids")
-
+    batch_handle = None
     postings: DataFrame | None = None
-    pool = ThreadPoolExecutor(max_workers=2)
+    pool = ThreadPoolExecutor(max_workers=3)
     try:
+        if spec.doc_id_field:
+            based = batch.withColumn(
+                "doc_id", F.col(spec.doc_id_field).cast("long")
+            )
+            batch_handle = based.persist(StorageLevel.MEMORY_AND_DISK)
+            based = batch_handle
+            # one gate job: id range check + count (check_doc_id_range
+            # folded in so the gate costs a single cache-populating agg)
+            row = based.agg(
+                F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
+                F.count("*").alias("n"),
+            ).collect()[0]
+            n_new = int(row["n"])
+            if n_new and (int(row["lo"]) < 0 or int(row["hi"]) > MAX_DOC_ID):
+                from cascading_solr_spark.spec import IndexSpecError
+
+                raise IndexSpecError(
+                    f"doc ids must be in [0, {MAX_DOC_ID}] to fit the packed "
+                    f"posting layout (got min={row['lo']}, max={row['hi']}); "
+                    "remap hash-derived ids first"
+                )
+        else:
+            keys = list(spec.key_fields)
+            batch_handle = batch.persist(StorageLevel.MEMORY_AND_DISK)
+            # ONE blocking job: count + duplicate check, populating the cache
+            row = batch_handle.agg(
+                F.count("*").alias("n"), F.count_distinct(*keys).alias("dn")
+            ).collect()[0]
+            n_new = int(row["n"])
+            if n_new != int(row["dn"]):
+                from cascading_solr_spark.spec import IndexSpecError
+
+                raise IndexSpecError(
+                    f"{n_new - int(row['dn'])} duplicate rows for key "
+                    f"{tuple(keys)!r} in append batch (uniqueKey analogue)"
+                )
+            if n_new <= SMALL_BATCH_ROWS:
+                # micro-batch: dense ids from a one-task window over the
+                # cached KEYS projection (size-bounded; content rows never
+                # funnel through the single task), broadcast-joined back.
+                # The window itself rides the consumer jobs — no barrier.
+                from pyspark.sql import Window
+
+                ids_small = batch_handle.select(*keys).withColumn(
+                    "doc_id",
+                    (
+                        F.row_number().over(Window.orderBy(*keys)) - 1
+                        + F.lit(offset)
+                    ).cast("long"),
+                )
+                based = batch_handle.join(F.broadcast(ids_small), keys)
+            else:
+                ids_handle, _ = _rank_ids(
+                    batch_handle, spec.key_fields, check_unique=False
+                )
+                based = batch_handle.join(
+                    ids_handle.hint("shuffle_hash"), keys
+                ).withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+        if not n_new:
+            return index
+        prof.mark("a_doc_ids")
+
         # ---- docs rows append (same layout/sort as the build), submitted to
         # a driver thread: the JVM-side sha256+parquet work overlaps the
         # python-worker tokenize stage of the postings pipeline ----
@@ -182,29 +215,47 @@ def append_documents(
         hot = list(index.hot_terms)
         shard_e, salt_e = _shard_salt_exprs(hot, spec)
         salt_keys = [salt_e] if salt_e is not None else []
-        arranged = tf_long.repartition(
-            max(
-                spec.num_shards,
-                int(spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"),
-            ),
-            shard_e, F.col("term"), *salt_keys,
-        ).sortWithinPartitions(
+        # SINGLE-exchange pipeline (unlike the build, which repartitions the
+        # big tf intermediate wide and merges with a second exchange of
+        # compressed rows): a micro-batch is small enough that one exchange
+        # keyed by shard alone gives the assembler its required clustering —
+        # each output partition is one shard, so the partitionBy write below
+        # fans out one file per shard per batch with NO further shuffle.
+        arranged = tf_long.repartition(spec.num_shards, shard_e).sortWithinPartitions(
             shard_e, F.xxhash64("term"), *salt_keys, F.col("packed")
         )
         # the compressed batch rows are persisted ONCE and feed three
         # consumers: the postings append, the lineage delta, and the dict
-        # segment + token stats — no pass ever re-reads the existing index.
-        # _write_postings' exchange of the (tiny) compressed rows buys one
-        # segment file per shard per batch.
+        # segment — no pass ever re-reads the existing index.
         postings = arranged.mapInPandas(
             _assembler(spec, hot), POSTINGS_SCHEMA
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        _write_postings(postings, index.postings_path, spec, mode="append")
+        # token stats ride the write job as an Observation (accumulator-side
+        # aggregate over the written rows) — no separate stats job at all
+        from pyspark.sql import Observation
+
+        obs = Observation(f"append@{offset}")
+        observed = postings.observe(
+            obs,
+            F.sum(
+                F.when(~F.col("term").contains(KW_SEP), F.col("sum_tf"))
+            ).alias("content_tokens"),
+        )
+        # local re-sort only: term-hash order -> alphabetic term order for
+        # row-group pruning; the leading "shard" satisfies FileFormatWriter's
+        # required partition-column ordering
+        (
+            observed.sortWithinPartitions("shard", "term", "salt")
+            .write.mode("append")
+            .partitionBy("shard")
+            .parquet(index.postings_path)
+        )
+        batch_tokens = int(obs.get["content_tokens"] or 0)
         prof.mark("a_postings")
 
-        # ---- lineage DELTA from the batch's own rows (O(batch), never a
-        # re-aggregation of the whole postings table), concurrent with the
-        # dict segment write below ----
+        # ---- lineage DELTA + dict SEGMENT, both from the batch's own cached
+        # rows (O(batch), never a re-aggregation of the whole postings
+        # table), in concurrent driver threads ----
         def write_lineage() -> None:
             lineage = postings.groupBy("shard").agg(
                 F.count("*").alias("terms"),
@@ -222,31 +273,23 @@ def append_documents(
                 os.path.join(index_dir, "lineage")
             )
 
-        lineage_future = pool.submit(write_lineage)
+        # The dict table is segmented: one (term, df) rowset per build/
+        # append; Index.term_dict serves the folded sum-per-term view and
+        # compact_index physically merges segments.  The groupBy exchange
+        # already clusters terms, so a local sort suffices for term-ordered
+        # (row-group-prunable) segment files — no second exchange.
+        def write_dict() -> None:
+            (
+                postings.groupBy("term")
+                .agg(F.sum("n_docs").alias("df"))
+                .sortWithinPartitions("term")
+                .write.mode("append")
+                .parquet(index.dict_path)  # meta-pointed generation dir
+            )
 
-        # ---- dict SEGMENT append + token stats, also from the batch rows.
-        # The dict table is now segmented: one (term, df) rowset per
-        # build/append; Index.term_dict serves the folded sum-per-term view
-        # and compact_index physically merges segments. ----
-        batch_stats = (
-            postings.groupBy("term")
-            .agg(F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("ttf"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        (
-            batch_stats.select("term", "df")
-            .repartition(max(1, spec.num_shards // 4), "term")
-            .sortWithinPartitions("term")
-            .write.mode("append")
-            .parquet(index.dict_path)  # meta-pointed generation dir
-        )
-        batch_tokens = int(
-            batch_stats.filter(~F.col("term").contains(KW_SEP))
-            .agg(F.sum("ttf"))
-            .collect()[0][0]
-            or 0
-        )
-        batch_stats.unpersist()
+        lineage_future = pool.submit(write_lineage)
+        dict_future = pool.submit(write_dict)
+        dict_future.result()
         lineage_future.result()
         docs_future.result()
         prof.mark("a_dict+stats")
@@ -267,8 +310,8 @@ def append_documents(
         write_meta(index_dir, meta)
     finally:
         pool.shutdown(wait=True)
-        if postings is not None:
-            postings.unpersist()
-        if ids_handle is not None:
-            ids_handle.unpersist()
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        for h in (postings, ids_handle, batch_handle):
+            if h is not None:
+                h.unpersist()
     return Index.load(index_dir)
