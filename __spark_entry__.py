@@ -56,7 +56,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOC_SPEC = IndexSpec(
     content_field="text",
     key_fields=("doc_id",),
-    stored_fields=("lang", "source"),
+    # "text" stored -> highlighting (Solr stored="true" requirement);
+    # "textlen" (= length(text), derived at index time) is the stored
+    # numeric field facet.range buckets over
+    stored_fields=("lang", "source", "textlen", "text"),
     keyword_fields=("lang", "source"),  # exact filters served index-side
     doc_id_field="doc_id",
     num_shards=8,
@@ -76,7 +79,8 @@ def _index_for(spark: SparkSession, sf_dir: str) -> Index:
     )
     if not os.path.exists(os.path.join(out, "meta.json")):
         shutil.rmtree(out, ignore_errors=True)
-        build_index(spark, _docs(spark, sf_dir), _DOC_SPEC, out)
+        source = _docs(spark, sf_dir).withColumn("textlen", F.length("text"))
+        build_index(spark, source, _DOC_SPEC, out)
     return Index.load(out)
 
 
@@ -216,6 +220,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", F.round("score", 4).alias("score"))
 
     q["ft_mlt"] = _mlt
+
+    # highlighting (Solr highlight component: hl=on solrconfig.xml:917,
+    # registered :1167, in the /browse chain :1177): top-k ranked docs with
+    # the earliest-occurring query term <em>-wrapped in a ±30-char fragment
+    # of the stored text
+    def _highlight(s, d):
+        from cascading_solr_spark.query.search import highlight
+
+        return highlight(s, _index_for(s, d), Q_MAIN, k=10, window=30).select(
+            "doc_id", F.round("score", 4).alias("score"), "term", "snippet"
+        )
+
+    q["ft_highlight"] = _highlight
+
+    # facet.query (solrconfig.xml:896-897): named arbitrary sub-queries
+    # counted over the base match set — one is a pure keyword filter, one a
+    # ranked term query, both served index-side at k=None
+    def _facet_query(s, d):
+        from cascading_solr_spark.query.search import facet_query_counts
+
+        return facet_query_counts(
+            s, _index_for(s, d), Q_MAIN,
+            {"es_docs": "lang:es", "with_stream": "stream"},
+        )
+
+    q["ft_facet_query"] = _facet_query
+
+    # facet.range (solrconfig.xml:900-914): bucket counts of the matching
+    # docs' stored numeric textlen over [0, 4000) step 500, zero buckets
+    # included (facet.mincount=0 default)
+    def _facet_range(s, d):
+        from cascading_solr_spark.query.search import facet_range_counts
+
+        return facet_range_counts(
+            s, _index_for(s, d), Q_MAIN, "textlen", start=0, end=4000, gap=500
+        )
+
+    q["ft_facet_range"] = _facet_range
     # query-time synonym expansion (SynonymFilter expand=true analogue)
     q["ft_synonym"] = lambda s, d: search(
         s, _index_for(s, d), "join", k=10, with_stored=False,
@@ -476,6 +518,53 @@ scores AS (
 SELECT doc_id, round(score, 4) AS score
 FROM scores WHERE doc_id != 0
 ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+"""
+    o["ft_highlight"] = f"""
+WITH top AS ({_bm25_sql(tuple(Q_MAIN.split()), 10)}),
+cand AS (
+  SELECT t.doc_id, t.score, q.term, d.text,
+         strpos(lower(d.text), q.term) AS pos
+  FROM top t JOIN documents d USING (doc_id),
+       (VALUES ('join'), ('spark')) q(term)),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY CASE WHEN pos > 0 THEN pos ELSE 2147483647 END,
+                     term) AS rn
+  FROM cand)
+SELECT doc_id, score,
+  CASE WHEN pos > 0 THEN term ELSE '' END AS term,
+  CASE WHEN pos > 0 THEN
+    substr(text, greatest(pos - 30, 1), pos - greatest(pos - 30, 1))
+    || '<em>' || substr(text, pos, length(term)) || '</em>'
+    || substr(text, pos + length(term), 30)
+  ELSE substr(text, 1, 60) END AS snippet
+FROM best WHERE rn = 1
+"""
+    o["ft_facet_query"] = f"""
+WITH {_toks_cte()},
+matched AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark', 'join')),
+es AS (SELECT doc_id FROM documents WHERE lang = 'es'),
+st AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'stream')
+SELECT 'es_docs' AS facet,
+       (SELECT count(*) FROM matched JOIN es USING (doc_id))::BIGINT AS n
+UNION ALL
+SELECT 'with_stream' AS facet,
+       (SELECT count(*) FROM matched JOIN st USING (doc_id))::BIGINT AS n
+"""
+    o["ft_facet_range"] = f"""
+WITH {_toks_cte()},
+matched AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark', 'join')),
+cnt AS (
+  SELECT CAST(floor((length(d.text) - 0) / 500) AS BIGINT) AS i,
+         count(*)::BIGINT AS n
+  FROM documents d JOIN matched USING (doc_id)
+  WHERE length(d.text) >= 0 AND length(d.text) < 4000
+  GROUP BY 1),
+spine AS (SELECT unnest(range(0, 8)) AS i)
+SELECT (0 + spine.i * 500)::BIGINT AS range_start,
+       coalesce(cnt.n, 0)::BIGINT AS n
+FROM spine LEFT JOIN cnt USING (i)
+ORDER BY range_start
 """
     o["ft_synonym"] = _bm25_sql(("join", "merge"), 10)
     o["ft_and_query"] = f"""

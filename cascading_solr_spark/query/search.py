@@ -425,6 +425,173 @@ def facet_counts(
     )
 
 
+def highlight(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    k: int = 10,
+    window: int = 30,
+    filters: dict[str, str] | None = None,
+    synonyms: dict[str, list[str]] | None = None,
+    op: str = "OR",
+) -> DataFrame:
+    """Highlighted snippets for the top-k — the Solr highlight component
+    analogue (the reference's /browse handler runs it on EVERY request:
+    ``hl=on`` solrconfig.xml:917, component registered at :1167, wired into
+    the handler at :1177).  Requires the content field stored
+    (``spec.stored_fields``), exactly Solr's stored="true" requirement for
+    highlightable fields.
+
+    Semantics (deterministic, shared bit-for-bit with the DuckDB oracle):
+    the top-k comes from the normal ranked path; per doc the EARLIEST
+    occurring analyzed query term (first substring position in the
+    lowercased stored text, ties by term asc) is wrapped in <em></em> inside
+    a ±``window``-char fragment.  A doc whose stored text contains no term
+    as a raw substring (analyzer-transformed match) falls back to an
+    unhighlighted head fragment with term ''.  All per-row work is Catalyst
+    expressions over the ≤k fetched rows — highlighting adds zero index
+    work on top of the search itself."""
+    spec = index.spec
+    if spec.content_field not in spec.stored_fields:
+        raise ValueError(
+            f"highlighting requires content field {spec.content_field!r} in "
+            f"stored_fields {spec.stored_fields!r} (Solr stored=\"true\")"
+        )
+    qtext, _ = parse_query(query, spec.keyword_fields)
+    qtext, _ = query_op(qtext, default=op)
+    terms = sorted(set(expand_terms(qtext, synonyms)))
+    top = search(
+        spark, index, query, k=k, with_stored=True, filters=filters,
+        synonyms=synonyms, op=op,
+    )
+    text = F.col(spec.content_field)
+    big = 2147483647  # "not found" sentinel > any real position
+    head = F.substring(text, 1, 2 * window)
+    if not terms:
+        return top.select(
+            "doc_id", "score", F.lit("").alias("term"), head.alias("snippet")
+        )
+    low = F.lower(text)
+    cands = [
+        F.struct(
+            F.when(F.locate(t, low) > 0, F.locate(t, low))
+            .otherwise(F.lit(big))
+            .alias("pos"),
+            F.lit(t).alias("term"),
+        )
+        for t in terms
+    ]
+    # struct comparison is lexicographic (pos asc, then term asc) — the
+    # documented earliest-position / term-asc tie rule in one array_min
+    best = F.array_min(F.array(*cands))
+    pos, term = best["pos"], best["term"]
+    start = F.greatest(pos - F.lit(window), F.lit(1))
+    tlen = F.length(term)
+    snip = F.concat(
+        F.substring(text, start, pos - start),
+        F.lit("<em>"),
+        F.substring(text, pos, tlen),
+        F.lit("</em>"),
+        F.substring(text, pos + tlen, F.lit(window)),
+    )
+    return top.select(
+        "doc_id",
+        "score",
+        F.when(pos < big, term).otherwise(F.lit("")).alias("term"),
+        F.when(pos < big, snip).otherwise(head).alias("snippet"),
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def facet_query_counts(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    facet_queries: dict[str, str],
+    filters: dict[str, str] | None = None,
+    op: str = "OR",
+) -> DataFrame:
+    """Named arbitrary-sub-query facets — the Solr ``facet.query`` analogue
+    (the reference's /browse defaults carry facet.query entries,
+    solrconfig.xml:896-897): for each named sub-query, the count of docs
+    matching BOTH the base query and the sub-query.
+
+    Both match sets come from the index-side k=None path (rank machinery,
+    keyword filters, query-string parsing all compose), so each count is a
+    doc_id equi-join of two distributed match sets — never a docs-table
+    scan.  Returns (facet, n) rows, one per entry."""
+    base = search(
+        spark, index, query, k=None, with_stored=False, filters=filters, op=op
+    ).select("doc_id")
+    out: DataFrame | None = None
+    for name in sorted(facet_queries):
+        sub = search(
+            spark, index, facet_queries[name], k=None, with_stored=False
+        ).select("doc_id")
+        cnt = (
+            base.join(sub, "doc_id")
+            .agg(F.count("*").alias("n"))
+            .select(F.lit(name).alias("facet"), "n")
+        )
+        out = cnt if out is None else out.unionByName(cnt)
+    if out is None:
+        return spark.createDataFrame([], "facet string, n long")
+    return out.orderBy("facet")
+
+
+def facet_range_counts(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    field: str,
+    start: int,
+    end: int,
+    gap: int,
+    filters: dict[str, str] | None = None,
+    op: str = "OR",
+) -> DataFrame:
+    """Numeric range facets — the Solr ``facet.range`` analogue (the
+    reference's /browse defaults range-facet price and popularity:
+    facet.range start/end/gap, solrconfig.xml:900-914): bucket counts of the
+    matching docs' stored numeric ``field`` over [start, end) in ``gap``
+    steps, EMPTY BUCKETS INCLUDED (facet.mincount=0, Solr's default).
+
+    The match set is the index-side k=None path; the bucketing joins it to
+    the docs table pruned to (doc_id, field) — two narrow distributed sides,
+    then a bounded groupBy over ≤ (end-start)/gap buckets joined to a
+    generated bucket spine (spark.range — no collect anywhere)."""
+    if field not in index.spec.stored_fields:
+        raise ValueError(
+            f"facet.range field {field!r} is not stored "
+            f"{index.spec.stored_fields!r}"
+        )
+    if gap <= 0 or end <= start:
+        raise ValueError(f"need gap > 0 and end > start, got [{start},{end})/{gap}")
+    matched = search(
+        spark, index, query, k=None, with_stored=False, filters=filters, op=op
+    ).select("doc_id")
+    docs = index.docs(spark).select("doc_id", field)
+    n_buckets = -(-(end - start) // gap)
+    counts = (
+        docs.join(matched, "doc_id")
+        .filter((F.col(field) >= start) & (F.col(field) < end))
+        .groupBy(
+            F.floor((F.col(field) - F.lit(start)) / F.lit(gap)).alias("_b")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    spine = spark.range(n_buckets).select(F.col("id").alias("_b"))
+    return (
+        spine.join(counts, "_b", "left")
+        .select(
+            (F.lit(start) + F.col("_b") * F.lit(gap))
+            .cast("long")
+            .alias("range_start"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+        .orderBy("range_start")
+    )
+
+
 def suggest_terms(
     spark: SparkSession,
     index: Index,

