@@ -277,15 +277,31 @@ def append_documents(
         # append; Index.term_dict serves the folded sum-per-term view and
         # compact_index physically merges segments.  The groupBy exchange
         # already clusters terms, so a local sort suffices for term-ordered
-        # (row-group-prunable) segment files — no second exchange.
+        # (row-group-prunable) segment files — no second exchange.  The
+        # spellcheck ngram index appends a segment for ALL batch terms —
+        # duplicates of already-known (gram, term) pairs are harmless
+        # (suggest_terms counts DISTINCT grams) and detecting new terms
+        # would cost an O(index) read; compact_index folds duplicates away.
         def write_dict() -> None:
-            (
+            seg = (
                 postings.groupBy("term")
                 .agg(F.sum("n_docs").alias("df"))
-                .sortWithinPartitions("term")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            (
+                seg.sortWithinPartitions("term")
                 .write.mode("append")
                 .parquet(index.dict_path)  # meta-pointed generation dir
             )
+            if os.path.exists(index.ngrams_path):
+                from cascading_solr_spark.indexing.build import term_ngram_rows
+
+                (
+                    term_ngram_rows(seg.select("term"))
+                    .write.mode("append")
+                    .parquet(index.ngrams_path)
+                )
+            seg.unpersist()
 
         lineage_future = pool.submit(write_lineage)
         dict_future = pool.submit(write_dict)

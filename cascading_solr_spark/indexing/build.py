@@ -292,6 +292,7 @@ class Index:
     hot_terms: tuple[str, ...] = ()
     postings_dirname: str = "postings"
     dict_dirname: str = "dict"
+    ngrams_dirname: str = "dict_ngrams"
 
     @classmethod
     def load(cls, path: str) -> "Index":
@@ -307,6 +308,7 @@ class Index:
             hot_terms=tuple(meta.get("hot_terms", ())),
             postings_dirname=meta.get("postings_dirname", "postings"),
             dict_dirname=meta.get("dict_dirname", "dict"),
+            ngrams_dirname=meta.get("ngrams_dirname", "dict_ngrams"),
         )
 
     @property
@@ -319,6 +321,12 @@ class Index:
         # the folded dict as dict.genN + an atomic meta flip, so a crash at
         # any step leaves a complete dict dir — never a partially-renamed one
         return os.path.join(self.path, self.dict_dirname)
+
+    @property
+    def ngrams_path(self) -> str:
+        # spellcheck candidate index (padded character bigrams per term),
+        # meta-pointed like dict; may not exist for pre-ngram indexes
+        return os.path.join(self.path, self.ngrams_dirname)
 
     def postings(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.postings_path)
@@ -616,6 +624,32 @@ def _write_postings(
     )
 
 
+def term_ngram_rows(terms: DataFrame) -> DataFrame:
+    """(gram, term) rows: DISTINCT padded character bigrams of '^'+term+'$'
+    per CONTENT term — the spellcheck candidate index (the classic n-gram
+    upgrade over a full-dictionary edit-distance scan; Solr's equivalent
+    structure is the spellcheck component's n-gram field).
+
+    Why padded bigrams: a term within edit distance d of query q shares at
+    least ``(len(q)+1) - 2d - dup(q)`` distinct grams with q (each edit
+    destroys at most 2 bigrams of the padded string; dup(q) = q's duplicate
+    gram count), so filtering candidates by shared-gram count with that
+    threshold NEVER drops a true suggestion — suggest_terms falls back to
+    the full scan when the threshold would be < 1 (very short queries)."""
+    padded = F.concat(F.lit("^"), F.col("term"), F.lit("$"))
+    grams = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, length(_padded) - 1),"
+            " i -> substring(_padded, i, 2))"
+        )
+    )
+    return (
+        terms.filter(~F.col("term").contains(KW_SEP))
+        .withColumn("_padded", padded)
+        .select(F.explode(grams).alias("gram"), "term")
+    )
+
+
 def _write_lineage(
     spark: SparkSession, postings_path: str, lineage_path: str, shards: list[int]
 ) -> None:
@@ -835,6 +869,7 @@ def build_index(
                 "hot_terms": hot_terms,
                 "postings_dirname": "postings",
                 "dict_dirname": "dict",
+                "ngrams_dirname": "dict_ngrams",
             }
             write_meta(out_dir, meta)
 
@@ -899,6 +934,16 @@ def build_index(
                 .write.mode("overwrite")
                 .parquet(os.path.join(out_dir, "dict"))
             )
+            # spellcheck candidate index, derived from the SAME cached vocab
+            # (vocab-sized, never corpus-sized); gram-sorted files so the
+            # query-side gram IN (...) filter row-group-prunes
+            ngram_future = pool.submit(
+                lambda: term_ngram_rows(term_stats.select("term"))
+                .repartition(max(1, spec.num_shards // 4), "gram")
+                .sortWithinPartitions("gram")
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, "dict_ngrams"))
+            )
             # total CONTENT tokens (keyword rows are namespaced with ':')
             total_tokens = int(
                 term_stats.filter(~F.col("term").contains(KW_SEP))
@@ -908,6 +953,7 @@ def build_index(
             )
             avgdl = total_tokens / n_docs if n_docs else 0.0
             lineage_future.result()
+            ngram_future.result()
             # meta v2: final corpus stats (also self-heals a resumed build
             # whose v1 meta carried zeros)
             meta["total_tokens"] = total_tokens

@@ -139,13 +139,37 @@ def compact_index(
         new_dict_dirname = f"dict.gen{dgen + 1}"
         new_dict_path = os.path.join(index.path, new_dict_dirname)
         shutil.rmtree(new_dict_path, ignore_errors=True)
-        (
+        folded = (
             spark.read.parquet(index.dict_path)
             .groupBy("term")
             .agg(F.sum("df").alias("df"))
-            .repartition(max(1, spec.num_shards // 4), "term")
+        )
+        (
+            folded.repartition(max(1, spec.num_shards // 4), "term")
             .sortWithinPartitions("term")
             .write.parquet(new_dict_path)
+        )
+
+    # spellcheck ngram index: append segments accumulate duplicate
+    # (gram, term) pairs (harmless for countDistinct lookups, but they grow)
+    # — regenerate from the freshly-folded vocabulary as a new generation
+    old_ngrams_dirname = index.ngrams_dirname
+    have_ngrams = have_dict and os.path.exists(index.ngrams_path)
+    new_ngrams_dirname = old_ngrams_dirname
+    if have_ngrams:
+        from cascading_solr_spark.indexing.build import term_ngram_rows
+
+        ngen = 0
+        if old_ngrams_dirname.startswith("dict_ngrams.gen"):
+            ngen = int(old_ngrams_dirname.rsplit("gen", 1)[1])
+        new_ngrams_dirname = f"dict_ngrams.gen{ngen + 1}"
+        new_ngrams_path = os.path.join(index.path, new_ngrams_dirname)
+        shutil.rmtree(new_ngrams_path, ignore_errors=True)
+        (
+            term_ngram_rows(spark.read.parquet(new_dict_path).select("term"))
+            .repartition(max(1, spec.num_shards // 4), "gram")
+            .sortWithinPartitions("gram")
+            .write.parquet(new_ngrams_path)
         )
 
     # rebuilt lineage: per-shard stats change once split rows merge (rows are
@@ -169,15 +193,19 @@ def compact_index(
         meta = json.load(fh)
     meta["postings_dirname"] = new_dirname
     meta["dict_dirname"] = new_dict_dirname
+    meta["ngrams_dirname"] = new_ngrams_dirname
     write_meta(index.path, meta)
     shutil.rmtree(lineage_path, ignore_errors=True)
     os.rename(lineage_tmp, lineage_path)
     # deferred GC: keep the generation we just replaced (read-while-compact
     # for handles loaded before the flip); delete anything older.
+    keep = {
+        "postings": (new_dirname, old_dirname),
+        "dict": (new_dict_dirname, old_dict_dirname),
+        "dict_ngrams": (new_ngrams_dirname, old_ngrams_dirname),
+    }
     for name in os.listdir(index.path):
         base = name.split(".gen")[0]
-        if base == "postings" and name not in (new_dirname, old_dirname):
-            shutil.rmtree(os.path.join(index.path, name), ignore_errors=True)
-        if base == "dict" and name not in (new_dict_dirname, old_dict_dirname):
+        if base in keep and name not in keep[base]:
             shutil.rmtree(os.path.join(index.path, name), ignore_errors=True)
     return Index.load(index.path)

@@ -592,34 +592,94 @@ def facet_range_counts(
     )
 
 
+def query_ngrams(q: str) -> list[str]:
+    """Distinct padded character bigrams of '^'+q+'$' (the same derivation
+    as the index side's ``term_ngram_rows``)."""
+    p = f"^{q}$"
+    return sorted({p[i : i + 2] for i in range(len(p) - 1)})
+
+
+def ngram_candidates(
+    spark: SparkSession, index: Index, q: str, max_distance: int
+) -> DataFrame | None:
+    """Bounded spellcheck candidate set from the dict_ngrams index: terms
+    sharing at least ``(len(q)+1) - 2·d - dup(q)`` distinct padded bigrams
+    with ``q`` — a PROVABLE superset of every term within ``max_distance``
+    edits (each edit destroys at most 2 bigrams of the padded string, and
+    dup(q) discounts q's own duplicate grams), so the ngram path returns
+    IDENTICAL suggestions to the full-dictionary scan.
+
+    Returns None when the index has no ngram table or the threshold would
+    drop below 1 (very short queries — the gram bound is vacuous there and
+    pruning could miss true suggestions; callers fall back to the scan)."""
+    import os
+
+    if not os.path.exists(index.ngrams_path):
+        return None
+    grams = query_ngrams(q)
+    threshold = (len(q) + 1) - 2 * max_distance - ((len(q) + 1) - len(grams))
+    if threshold < 1:
+        return None
+    return (
+        spark.read.parquet(index.ngrams_path)
+        .filter(F.col("gram").isin(grams))
+        .groupBy("term")
+        .agg(F.count_distinct("gram").alias("_shared"))
+        .filter(F.col("_shared") >= threshold)
+        .select("term")
+    )
+
+
 def suggest_terms(
     spark: SparkSession,
     index: Index,
     term: str,
     k: int = 5,
     max_distance: int = 2,
+    mode: str = "auto",
 ) -> DataFrame:
     """Spellcheck suggestions — the Solr spellcheck component analogue (the
     reference config runs it on every /browse request,
     solrconfig.xml:932-938, backed by the index's own term dictionary via
     DirectSolrSpellChecker).
 
-    Candidates come from the engine's dict table: terms within
-    ``max_distance`` Levenshtein edits of the (analyzed) input, ranked by
-    (distance asc, df desc, term asc) — most-popular closest terms first,
-    exactly the "more frequent corpus term" suggestion semantics.  Pure
-    Catalyst (JVM ``levenshtein``), prefiltered by the length band
-    |len(t) - len(q)| <= max_distance so most of the vocabulary short-
-    circuits before the edit-distance compute.  At a 10^12-file vocabulary
-    the dict scan is still a single narrow column; the classic upgrade path
-    (an n-gram index over the dict) drops in without changing this
-    surface."""
+    Suggestions are terms within ``max_distance`` Levenshtein edits of the
+    (analyzed) input, ranked by (distance asc, df desc, term asc) —
+    most-popular closest terms first, exactly the "more frequent corpus
+    term" suggestion semantics.
+
+    ``mode`` picks the candidate source:
+
+    * ``"ngram"`` / ``"auto"`` (the scale path): candidates come from the
+      dict_ngrams index — a gram-pruned scan of ``(gram, term)`` rows for
+      the query's ≤ len(q)+1 grams, shared-gram count filter (see
+      :func:`ngram_candidates` for the no-miss proof), then levenshtein on
+      the SHORTLIST only.  At a 10⁹-term vocabulary this touches the row
+      groups of a handful of grams instead of every term.
+    * ``"scan"`` (the oracle path, and the fallback when no ngram table
+      exists or the query is too short for the gram bound): length-banded
+      levenshtein over the full dict — a single narrow column, but a full
+      pass per query.
+
+    Both paths apply identical distance/ordering rules, so they return
+    identical suggestions (asserted in tests/test_round4.py)."""
     q = (analyze_query(term) or [term.lower()])[0]
     d = index.term_dict(spark)
     if d is None:
         return spark.createDataFrame(
             [], "term string, df long, distance int"
         )
+    if mode not in ("auto", "ngram", "scan"):
+        raise ValueError(f"unknown spellcheck mode {mode!r}")
+    if mode in ("auto", "ngram"):
+        cand = ngram_candidates(spark, index, q, max_distance)
+        if cand is not None:
+            d = d.join(cand.hint("shuffle_hash"), "term")
+        elif mode == "ngram":
+            raise ValueError(
+                "ngram mode unavailable: no dict_ngrams table or query too "
+                "short for the gram bound (use mode='auto' to fall back)"
+            )
     lit_q = F.lit(q)
     return (
         d.filter(~F.col("term").contains(KW_SEP))

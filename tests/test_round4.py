@@ -163,3 +163,60 @@ def test_facet_range_rejects_unstored_field(spark, stored_index):
         facet_range_counts(
             spark, stored_index, "parse", "nope", start=0, end=10, gap=5
         )
+
+
+# ---------------------------------------------------------------- spellcheck
+
+
+def test_ngram_spellcheck_identical_and_bounded(spark, stored_index):
+    from cascading_solr_spark.query.search import ngram_candidates, suggest_terms
+
+    vocab = stored_index.term_dict(spark).count()
+    for q in ("parze", "bufer", "streem", "clint"):
+        scan = suggest_terms(
+            spark, stored_index, q, k=5, mode="scan"
+        ).collect()
+        ngram = suggest_terms(
+            spark, stored_index, q, k=5, mode="ngram"
+        ).collect()
+        assert [r.asDict() for r in ngram] == [r.asDict() for r in scan], q
+        # the candidate shortlist is a strict subset of the vocabulary —
+        # the scan the ngram path replaces touched every term
+        n_cand = ngram_candidates(spark, stored_index, q, 2).count()
+        assert 0 < n_cand < vocab, (q, n_cand, vocab)
+
+
+def test_ngram_spellcheck_short_query_falls_back(spark, stored_index):
+    from cascading_solr_spark.query.search import ngram_candidates, suggest_terms
+
+    # len(q)=2: threshold (3 - 4 - dup) < 1 -> gram bound vacuous
+    assert ngram_candidates(spark, stored_index, "if", 2) is None
+    with pytest.raises(ValueError, match="ngram mode unavailable"):
+        suggest_terms(spark, stored_index, "if", mode="ngram")
+    scan = suggest_terms(spark, stored_index, "if", mode="scan").collect()
+    auto = suggest_terms(spark, stored_index, "if", mode="auto").collect()
+    assert [r.asDict() for r in auto] == [r.asDict() for r in scan]
+
+
+def test_ngram_index_survives_append_and_compact(spark, tmp_path):
+    from cascading_solr_spark.indexing.append import append_documents
+    from cascading_solr_spark.indexing.compact import compact_index
+    from cascading_solr_spark.query.search import suggest_terms
+
+    out = str(tmp_path / "ix")
+    ix = build_index(
+        spark, synth_corpus(spark, 120, partitions=2),
+        IndexSpec(num_shards=2, salt_buckets=1), out,
+    )
+    delta = synth_corpus(spark, 60, partitions=2).select(
+        F.col("repo"), F.concat(F.col("path"), F.lit(".v2")).alias("path"),
+        F.col("commit"), F.col("lang"), F.col("content"),
+    )
+    ix = append_documents(spark, out, delta)
+    a = suggest_terms(spark, ix, "bufer", k=5, mode="ngram").collect()
+    b = suggest_terms(spark, ix, "bufer", k=5, mode="scan").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    ix = compact_index(spark, ix)
+    assert ix.ngrams_dirname == "dict_ngrams.gen1"
+    c = suggest_terms(spark, ix, "bufer", k=5, mode="ngram").collect()
+    assert [r.asDict() for r in c] == [r.asDict() for r in b]
