@@ -287,6 +287,76 @@ def keyword_filter(
     return out if k is None else out.limit(k)
 
 
+def match_ids(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    filters: dict[str, str] | None = None,
+    synonyms: dict[str, list[str]] | None = None,
+    op: str = "OR",
+) -> DataFrame:
+    """The match SET of a query — no scores (the Lucene "matching, not
+    ranking" path; what facet counting, filter caches, and delete-by-query
+    consume).  Matching semantics are identical to :func:`search` (analyzed
+    terms under OR/AND, query-string ``field:value`` parsing, keyword
+    filters, synonym expansion), but the kernel decodes ONLY the doc-id
+    buffers: no tf/dl decode, no idf/tf-norm arithmetic, no top-k merge —
+    and the postings scan projects away the tf/dl binary columns entirely,
+    so parquet never reads them.  Returns distinct ``doc_id`` rows."""
+    qtext, parsed_fterms = parse_query(query, index.spec.keyword_fields)
+    qtext, op = query_op(qtext, default=op)
+    terms = expand_terms(qtext, synonyms)
+    fterms = filter_terms_of(filters) | parsed_fterms
+    empty = spark.createDataFrame([], "doc_id long")
+    if not terms:
+        return keyword_filter(spark, index, fterms) if fterms else empty
+    dfs = term_dfs(spark, index, terms)
+    conjunctive = op.upper() == "AND"
+    n_required = len(set(terms))
+    if not dfs or (conjunctive and len(dfs) < n_required):
+        return empty
+    sterms = set(dfs)
+    block_size = index.spec.block_size
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = list(pdf.itertuples(index=False))
+        allowed = allowed_ids(rows, fterms, block_size)
+        if allowed is not None and not len(allowed):
+            return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
+        parts = [
+            decode_doc_ids(r.doc_ids, int(r.n_docs), block_size)
+            for r in rows
+            if r.term in sterms
+        ]
+        if not parts:
+            return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
+        ids = np.concatenate(parts)
+        if conjunctive:
+            # each (term, doc) posting exists once, so the per-doc posting
+            # count IS the matched distinct-term count (same invariant as
+            # the ranked AND kernel)
+            uniq, cnt = np.unique(ids, return_counts=True)
+            uniq = uniq[cnt >= n_required]
+        else:
+            uniq = np.unique(ids)
+        if allowed is not None:
+            pos = np.minimum(np.searchsorted(allowed, uniq), len(allowed) - 1)
+            uniq = uniq[allowed[pos] == uniq]
+        return pd.DataFrame({"doc_id": uniq})
+
+    matched = (
+        index.postings(spark)
+        .filter(F.col("term").isin(list(sterms | fterms)))
+        # id-side columns only: tfs/dls/boffs_tfs/boffs_dls and the block
+        # pruning stats never leave the parquet footer
+        .select(
+            "shard", "term", "n_docs", "n_blocks",
+            "doc_ids", "boffs_ids", "block_last_id",
+        )
+    )
+    return matched.groupBy("shard").applyInPandas(kernel, "doc_id long")
+
+
 def search(
     spark: SparkSession,
     index: Index,
@@ -376,8 +446,9 @@ def facet_counts(
     solrconfig.xml:891-893 and 810-814; facets count ALL matching docs per
     distinct field value, independent of rows/top-k).
 
-    Served INDEX-SIDE at both ends: the match set comes from the same
-    ranked/filtered query plan (k=None — every match), and the value-id
+    Served INDEX-SIDE at both ends: the match set comes from the match-only
+    kernel (:func:`match_ids` — same matching semantics as the ranked path
+    but zero scoring arithmetic and no tf/dl decode), and the value-id
     pairs come from the facet field's ``field:value`` posting rows (a
     prefix-pruned scan of compressed postings: term-sorted files +
     StartsWith pushdown), never from a docs-table scan.  The join is a
@@ -408,10 +479,9 @@ def facet_counts(
                 }
             )
 
-    matched = search(
-        spark, index, query, k=None, with_stored=False, filters=filters,
-        synonyms=synonyms, op=op,
-    ).select("doc_id")
+    matched = match_ids(
+        spark, index, query, filters=filters, synonyms=synonyms, op=op
+    )
     pairs = (
         index.postings(spark)
         .filter(F.col("term").startswith(prefix))
@@ -515,18 +585,15 @@ def facet_query_counts(
     solrconfig.xml:896-897): for each named sub-query, the count of docs
     matching BOTH the base query and the sub-query.
 
-    Both match sets come from the index-side k=None path (rank machinery,
-    keyword filters, query-string parsing all compose), so each count is a
-    doc_id equi-join of two distributed match sets — never a docs-table
-    scan.  Returns (facet, n) rows, one per entry."""
-    base = search(
-        spark, index, query, k=None, with_stored=False, filters=filters, op=op
-    ).select("doc_id")
+    Both match sets come from the index-side match-only kernel
+    (:func:`match_ids` — keyword filters and query-string parsing compose,
+    no scoring arithmetic), so each count is a doc_id equi-join of two
+    distributed match sets — never a docs-table scan.  Returns (facet, n)
+    rows, one per entry."""
+    base = match_ids(spark, index, query, filters=filters, op=op)
     out: DataFrame | None = None
     for name in sorted(facet_queries):
-        sub = search(
-            spark, index, facet_queries[name], k=None, with_stored=False
-        ).select("doc_id")
+        sub = match_ids(spark, index, facet_queries[name])
         cnt = (
             base.join(sub, "doc_id")
             .agg(F.count("*").alias("n"))
@@ -555,7 +622,8 @@ def facet_range_counts(
     matching docs' stored numeric ``field`` over [start, end) in ``gap``
     steps, EMPTY BUCKETS INCLUDED (facet.mincount=0, Solr's default).
 
-    The match set is the index-side k=None path; the bucketing joins it to
+    The match set is the index-side match-only kernel (:func:`match_ids`);
+    the bucketing joins it to
     the docs table pruned to (doc_id, field) — two narrow distributed sides,
     then a bounded groupBy over ≤ (end-start)/gap buckets joined to a
     generated bucket spine (spark.range — no collect anywhere)."""
@@ -566,9 +634,7 @@ def facet_range_counts(
         )
     if gap <= 0 or end <= start:
         raise ValueError(f"need gap > 0 and end > start, got [{start},{end})/{gap}")
-    matched = search(
-        spark, index, query, k=None, with_stored=False, filters=filters, op=op
-    ).select("doc_id")
+    matched = match_ids(spark, index, query, filters=filters, op=op)
     docs = index.docs(spark).select("doc_id", field)
     n_buckets = -(-(end - start) // gap)
     counts = (
@@ -745,6 +811,64 @@ def more_like_this(
     return top
 
 
+def batch_kernel(
+    plans: dict[str, list[str]],
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int,
+    block_size: int,
+    counters: dict | None = None,
+):
+    """Per-shard scorer for MANY queries: each query runs the SAME
+    block-max MaxScore pruning as the single-query path (a batch containing
+    one hot term no longer decodes that term's full posting list — the
+    exhaustive-TAAT shape this replaces did), while full decodes of rows a
+    term shares across queries are memoized in one per-partition cache.
+
+    Exposed at module level so tests/bench can drive it in-process with
+    ``counters`` and assert the skip counters fire."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term: dict[str, list] = {}
+        for r in pdf.itertuples(index=False):
+            if r.term in idf:
+                by_term.setdefault(r.term, []).append(r)
+        cache: dict = {}
+        out_q: list[str] = []
+        out_ids: list[np.ndarray] = []
+        out_scores: list[np.ndarray] = []
+        for qid in sorted(plans):
+            idf_q = {t: idf[t] for t in dict.fromkeys(plans[qid]) if t in idf}
+            qrows = [r for t in idf_q for r in by_term.get(t, [])]
+            if not qrows:
+                continue
+            scorer = maxscore_kernel(
+                idf_q, avgdl, k1, b, k, block_size,
+                counters=counters, decode_cache=cache,
+            )
+            res = scorer.rows(qrows)
+            if not len(res):
+                continue
+            out_q.extend([qid] * len(res))
+            out_ids.append(res["doc_id"].to_numpy())
+            out_scores.append(res["score"].to_numpy())
+        if not out_q:
+            return pd.DataFrame(
+                {"query_id": [], "doc_id": [], "score": []}
+            ).astype({"query_id": "object", "doc_id": "int64", "score": "float64"})
+        return pd.DataFrame(
+            {
+                "query_id": out_q,
+                "doc_id": np.concatenate(out_ids),
+                "score": np.concatenate(out_scores),
+            }
+        )
+
+    return kernel
+
+
 def search_many(
     spark: SparkSession,
     index: Index,
@@ -753,7 +877,9 @@ def search_many(
 ) -> DataFrame:
     """Answer MANY queries in ONE distributed pass (the batch-query path:
     one postings scan filtered to the union of all query terms, one kernel
-    run per shard scoring every query, one global per-query top-k window).
+    run per shard scoring every query with per-query MaxScore pruning and a
+    shared decode cache — see :func:`batch_kernel` — then one global
+    per-query top-k window).
 
     Returns (query_id, doc_id, score) with per-query rank order
     (score desc, doc_id asc), at most k rows per query.
@@ -768,53 +894,11 @@ def search_many(
     dfs = term_dfs(spark, index, all_terms)
     if not dfs:
         return empty
-    n, avgdl = index.n_docs, index.avgdl
     spec = index.spec
-    block_size = spec.block_size
-    idf = {t: bm25_idf(df, n) for t, df in dfs.items()}
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        # decode each posting row ONCE, then accumulate into every query
-        # that contains the term
-        decoded: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
-        for row in pdf.itertuples(index=False):
-            m = int(row.n_docs)
-            ids = decode_doc_ids(row.doc_ids, m, block_size)
-            tfs = decode_varint(row.tfs, m)
-            dls = decode_varint(row.dls, m)
-            contrib = idf[row.term] * bm25_tf_norm(
-                tfs, dls, avgdl, spec.k1, spec.b
-            )
-            decoded.setdefault(row.term, []).append((ids, contrib))
-        out_q: list[str] = []
-        out_ids: list[np.ndarray] = []
-        out_scores: list[np.ndarray] = []
-        for qid, ts in plans.items():
-            segs = [seg for t in ts for seg in decoded.get(t, [])]
-            if not segs:
-                continue
-            ids = np.concatenate([s[0] for s in segs])
-            contrib = np.concatenate([s[1] for s in segs])
-            uniq, inv = np.unique(ids, return_inverse=True)
-            acc = np.zeros(len(uniq))
-            np.add.at(acc, inv, contrib)
-            uniq, acc = topk_ties(uniq, acc, k)
-            order = np.lexsort((uniq, -acc))
-            out_q.extend([qid] * len(uniq))
-            out_ids.append(uniq[order])
-            out_scores.append(acc[order])
-        if not out_q:
-            return pd.DataFrame(
-                {"query_id": [], "doc_id": [], "score": []}
-            ).astype({"query_id": "object", "doc_id": "int64", "score": "float64"})
-        return pd.DataFrame(
-            {
-                "query_id": out_q,
-                "doc_id": np.concatenate(out_ids),
-                "score": np.concatenate(out_scores),
-            }
-        )
-
+    idf = {t: bm25_idf(df, index.n_docs) for t, df in dfs.items()}
+    kernel = batch_kernel(
+        plans, idf, index.avgdl, spec.k1, spec.b, k, spec.block_size
+    )
     matched = index.postings(spark).filter(F.col("term").isin(list(idf)))
     local = matched.groupBy("shard").applyInPandas(
         kernel, "query_id string, doc_id long, score double"

@@ -200,19 +200,29 @@ def maxscore_kernel(
     block_size: int = 128,
     filter_terms: set[str] | None = None,
     counters: dict | None = None,
+    decode_cache: dict | None = None,
 ):
     """Build the per-shard applyInPandas scorer (same contract as TAAT).
 
     ``counters`` (optional, in-process use only: tests/bench tracing) is
-    updated in place with rows/blocks decoded vs skipped."""
+    updated in place with rows/blocks decoded vs skipped.
+
+    ``decode_cache`` (optional) memoizes FULL row decodes keyed by row
+    identity — the batch-query path (search_many) scores many queries over
+    one partition and shares the cache so a term essential to several
+    queries decompresses once.  Pruned partial decodes are never cached
+    (they are the cheap path already).
+
+    The returned callable takes the per-shard pandas frame; its ``.rows``
+    attribute takes a pre-extracted ``itertuples`` list instead (the batch
+    path groups rows per query without re-slicing frames)."""
     filter_terms = filter_terms or set()
 
     def bump(key: str, n: int = 1) -> None:
         if counters is not None:
             counters[key] = counters.get(key, 0) + n
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = list(pdf.itertuples(index=False))
+    def score_rows(rows: list) -> pd.DataFrame:
         allowed = allowed_ids(rows, filter_terms, block_size, counters)
         if allowed is not None and not len(allowed):
             return _EMPTY.copy()
@@ -256,9 +266,20 @@ def maxscore_kernel(
                 n = int(r.n_docs)
                 nb = int(r.n_blocks)
                 if essential:
-                    ids = decode_doc_ids(r.doc_ids, n, block_size)
-                    tfs = decode_varint(r.tfs, n)
-                    dls = decode_varint(r.dls, n)
+                    cached = (
+                        decode_cache.get(id(r))
+                        if decode_cache is not None
+                        else None
+                    )
+                    if cached is None:
+                        ids = decode_doc_ids(r.doc_ids, n, block_size)
+                        tfs = decode_varint(r.tfs, n)
+                        dls = decode_varint(r.dls, n)
+                        if decode_cache is not None:
+                            decode_cache[id(r)] = (ids, tfs, dls)
+                    else:
+                        ids, tfs, dls = cached
+                        bump("rows_decode_cached")
                     contrib = idf[t] * bm25_tf_norm(tfs, dls, avgdl, k1, b)
                     if allowed is not None:
                         keep = _member(ids, allowed)
@@ -362,4 +383,8 @@ def maxscore_kernel(
         order = np.lexsort((acc_ids, -acc))
         return pd.DataFrame({"doc_id": acc_ids[order], "score": acc[order]})
 
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        return score_rows(list(pdf.itertuples(index=False)))
+
+    score.rows = score_rows
     return score

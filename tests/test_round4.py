@@ -165,6 +165,46 @@ def test_facet_range_rejects_unstored_field(spark, stored_index):
         )
 
 
+# ---------------------------------------------------------------- match_ids
+
+
+def test_match_ids_equals_ranked_match_set(spark, stored_index):
+    from cascading_solr_spark.query.search import match_ids
+
+    for q, op in (
+        ("parse buffer", "OR"),
+        ("parse buffer", "AND"),
+        ("lang:go parse", "OR"),
+        ("zzqxv", "OR"),
+    ):
+        ranked = {
+            r["doc_id"]
+            for r in search(
+                spark, stored_index, q, k=None, with_stored=False, op=op
+            ).collect()
+        }
+        matched = {
+            r["doc_id"]
+            for r in match_ids(spark, stored_index, q, op=op).collect()
+        }
+        assert matched == ranked, (q, op)
+
+
+def test_match_ids_plan_never_reads_tf_dl(spark, stored_index):
+    from cascading_solr_spark.query.search import match_ids
+
+    explained = match_ids(
+        spark, stored_index, "parse buffer"
+    )._jdf.queryExecution().executedPlan().toString()
+    scan = [
+        ln for ln in explained.split("\n") if "ReadSchema" in ln or "Scan" in ln
+    ]
+    assert scan, explained
+    assert "tfs" not in explained.split("ReadSchema")[-1].split("\n")[0], (
+        "tf/dl binaries must be projected away before the parquet scan"
+    )
+
+
 # ---------------------------------------------------------------- spellcheck
 
 
@@ -196,6 +236,83 @@ def test_ngram_spellcheck_short_query_falls_back(spark, stored_index):
     scan = suggest_terms(spark, stored_index, "if", mode="scan").collect()
     auto = suggest_terms(spark, stored_index, "if", mode="auto").collect()
     assert [r.asDict() for r in auto] == [r.asDict() for r in scan]
+
+
+# ---------------------------------------------------------------- batch path
+
+
+def test_search_many_rank_identical_to_single(spark, stored_index):
+    from cascading_solr_spark.query.search import search_many
+
+    queries = {"q0": "parse buffer", "q1": "import", "q2": "cache retry"}
+    batch = search_many(spark, stored_index, queries, k=5).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in queries.items():
+        single = [
+            (r["doc_id"], r["score"])
+            for r in search(
+                spark, stored_index, q, k=5, with_stored=False
+            ).collect()
+        ]
+        assert by_q.get(qid, []) == single, qid
+
+
+def test_batch_kernel_prunes_hot_terms(spark, tmp_path):
+    from cascading_solr_spark.codec import bm25_idf
+    from cascading_solr_spark.query.search import batch_kernel, term_dfs
+
+    # 1-shard unsalted index: hot posting rows span many blocks, so MaxScore
+    # has blocks to skip (the salted multi-shard layout splits rows below
+    # one block at this corpus size)
+    spec = IndexSpec(
+        num_shards=1, salt_buckets=1, block_size=16, hot_term_df_ratio=1.1
+    )
+    ix = build_index(
+        spark, synth_corpus(spark, 800, partitions=4), spec, str(tmp_path / "ix")
+    )
+    # selective terms (df band well above k, far below N) + the hottest
+    # term: the rare terms fill the top-k with high-idf scores, the hot
+    # term's tiny max-contribution upper bound then falls below θ and its
+    # posting rows/blocks are skipped instead of decoded
+    rare = [
+        r["term"]
+        for r in ix.term_dict(spark)
+        .filter(
+            (F.col("df") >= 40) & (F.col("df") <= 120)
+            & ~F.col("term").contains(":")
+        )
+        .orderBy("term")
+        .limit(2)
+        .collect()
+    ]
+    assert len(rare) == 2, "corpus should have df-banded selective terms"
+    plans = {
+        "hot_mix": [rare[0], "import"],  # rare term + the hottest term
+        "other": [rare[1], "import"],
+    }
+    terms = sorted({t for ts in plans.values() for t in ts})
+    dfs = term_dfs(spark, ix, terms)
+    idf = {t: bm25_idf(v, ix.n_docs) for t, v in dfs.items()}
+    pdf = ix.postings(spark).filter(F.col("term").isin(terms)).toPandas()
+    counters: dict = {}
+    out = batch_kernel(
+        plans, idf, ix.avgdl, spec.k1, spec.b, 10, spec.block_size,
+        counters=counters,
+    )(pdf)
+    assert counters.get("rows_skipped", 0) + counters.get(
+        "blocks_skipped", 0
+    ) > 0, counters
+    # pruned batch results == per-query ranked results
+    for qid, ts in plans.items():
+        got = out[out["query_id"] == qid][["doc_id", "score"]].to_numpy()
+        want = (
+            search(spark, ix, " ".join(ts), k=10, with_stored=False)
+            .toPandas()[["doc_id", "score"]]
+            .to_numpy()
+        )
+        assert (got == want).all(), qid
 
 
 def test_ngram_index_survives_append_and_compact(spark, tmp_path):
