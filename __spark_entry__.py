@@ -258,6 +258,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ft_facet_range"] = _facet_range
+
+    # match-only kernel (the Lucene matching-not-ranking path facets /
+    # filter caches consume): doc-id decode only, no scoring arithmetic,
+    # tf/dl columns pruned at the parquet scan
+    def _match_only(s, d):
+        from cascading_solr_spark.query.search import match_ids
+
+        return match_ids(s, _index_for(s, d), "lang:es " + Q_MAIN)
+
+    q["ix_match_only"] = _match_only
     # query-time synonym expansion (SynonymFilter expand=true analogue)
     q["ft_synonym"] = lambda s, d: search(
         s, _index_for(s, d), "join", k=10, with_stored=False,
@@ -565,6 +575,12 @@ SELECT (0 + spine.i * 500)::BIGINT AS range_start,
        coalesce(cnt.n, 0)::BIGINT AS n
 FROM spine LEFT JOIN cnt USING (i)
 ORDER BY range_start
+"""
+    o["ix_match_only"] = f"""
+WITH {_toks_cte()}
+SELECT DISTINCT t.doc_id
+FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+WHERE t.term IN ('spark', 'join') AND d.lang = 'es'
 """
     o["ft_synonym"] = _bm25_sql(("join", "merge"), 10)
     o["ft_and_query"] = f"""

@@ -57,10 +57,20 @@ def make_spark(cpus: str) -> SparkSession:
     )
 
 
-def timed(fn) -> float:
-    t0 = time.perf_counter()
-    fn()
-    return time.perf_counter() - t0
+def timed(fn, repeat: int = 1) -> float:
+    """Wall seconds; with repeat > 1, the MIN over that many runs.
+
+    Rationale (BENCH/SCALING.md): host noise on this VM is strictly
+    additive (co-tenant load), so the minimum is the best estimator of the
+    true cost.  Sub-5s queries run min-of-3 — single samples made the r3
+    dedup_minhash_lsh "regression" unattributable; heavyweight builds stay
+    single-sample (their length averages noise out)."""
+    best = float("inf")
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
@@ -86,12 +96,16 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
     n_docs = docs.count()
     doc_spec = IndexSpec(
         content_field="text", key_fields=("doc_id",), doc_id_field="doc_id",
-        stored_fields=("lang", "source"), keyword_fields=("lang", "source"),
+        stored_fields=("lang", "source", "textlen", "text"),
+        keyword_fields=("lang", "source"),
         num_shards=max(cpus // 4, 4),
     )
     ix_docs_dir = os.path.join(work, "ix_docs")
+    from pyspark.sql import functions as _F
+
+    docs_src = docs.withColumn("textlen", _F.length("text"))
     timings["build_documents"] = timed(
-        lambda: build_index(spark, docs, doc_spec, ix_docs_dir)
+        lambda: build_index(spark, docs_src, doc_spec, ix_docs_dir)
     )
     # facet + spellcheck over the documents index (driver-shaped spec)
     from cascading_solr_spark.indexing.build import Index as _Index
@@ -99,10 +113,41 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
 
     ix_docs = _Index.load(ix_docs_dir)
     timings["facet_lang"] = timed(
-        lambda: facet_counts(spark, ix_docs, "spark join", "lang").collect()
+        lambda: facet_counts(spark, ix_docs, "spark join", "lang").collect(),
+        repeat=3,
     )
-    timings["spellcheck"] = timed(
-        lambda: suggest_terms(spark, ix_docs, "sparc", k=5).collect()
+    # scale path (ngram candidate index) vs the full-dict oracle scan
+    timings["spellcheck_ngram"] = timed(
+        lambda: suggest_terms(spark, ix_docs, "sparc", k=5, mode="ngram")
+        .collect(),
+        repeat=3,
+    )
+    timings["spellcheck_scan"] = timed(
+        lambda: suggest_terms(spark, ix_docs, "sparc", k=5, mode="scan")
+        .collect(),
+        repeat=3,
+    )
+    # round-4 /browse components over the docs index
+    from cascading_solr_spark.query.search import (
+        facet_query_counts, facet_range_counts, highlight,
+    )
+
+    timings["facet_query"] = timed(
+        lambda: facet_query_counts(
+            spark, ix_docs, "spark join",
+            {"es_docs": "lang:es", "with_stream": "stream"},
+        ).collect(),
+        repeat=3,
+    )
+    timings["facet_range"] = timed(
+        lambda: facet_range_counts(
+            spark, ix_docs, "spark join", "textlen", 0, 4000, 500
+        ).collect(),
+        repeat=3,
+    )
+    timings["highlight_topk"] = timed(
+        lambda: highlight(spark, ix_docs, "spark join", k=10).collect(),
+        repeat=3,
     )
 
     # ---- 3. query latency over the compressed code index ----
@@ -114,7 +159,8 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
         for q in QUERY_SET:
             t = timed(
                 lambda: search(spark, ix, q, k=10, mode=mode, with_stored=False)
-                .collect()
+                .collect(),
+                repeat=3,
             )
             lat.append(t)
             timings[f"q_{mode}_{q.split()[0]}"] = t
@@ -126,7 +172,7 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
 
     qset = {f"q{i}": q for i, q in enumerate(QUERY_SET)}
     timings["qbatch_all"] = timed(
-        lambda: search_many(spark, ix, qset, k=10).collect()
+        lambda: search_many(spark, ix, qset, k=10).collect(), repeat=3
     )
 
     # ---- 3b. filtered + selective-term queries over the code index ----
@@ -152,12 +198,14 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
     ]
     sel_query = " ".join(rare + ["import"])
     timings["q_selective_mix"] = timed(
-        lambda: search(spark, ix, sel_query, k=10, with_stored=False).collect()
+        lambda: search(spark, ix, sel_query, k=10, with_stored=False).collect(),
+        repeat=3,
     )
     timings["q_selective_mix_taat"] = timed(
         lambda: search(
             spark, ix, sel_query, k=10, mode="taat", with_stored=False
-        ).collect()
+        ).collect(),
+        repeat=3,
     )
     # decode-skip trace on a DEDICATED single-shard, unsalted index: at 100 TB
     # a shard's posting row spans many blocks ((N/shards)/salts >> block), but
@@ -201,51 +249,61 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
     # ---- 4. operator headliners on the driver tables ----
     timings["naive_bm25_documents"] = timed(
         lambda: bm25_topk_df(docs, "spark join stream", k=10, content_col="text")
-        .collect()
+        .collect(),
+        repeat=3,
     )
     timings["dedup_minhash_lsh"] = timed(
-        lambda: dedup.minhash_lsh_pairs(docs, "text", threshold=0.5).count()
+        lambda: dedup.minhash_lsh_pairs(docs, "text", threshold=0.5).count(),
+        repeat=3,
     )
     timings["dedup_minhash_lsh_hashmode"] = timed(
         lambda: dedup.minhash_lsh_pairs(
             docs, "text", threshold=0.5, id_mode="hash"
-        ).count()
+        ).count(),
+        repeat=3,
     )
     timings["dedup_simhash_pairs"] = timed(
         lambda: dedup.simhash_near_pairs(
             docs.select("doc_id", "text"), "text", max_hamming=1
-        ).count()
+        ).count(),
+        repeat=3,
     )
     timings["dedup_simhash_pairs_hashmode"] = timed(
         lambda: dedup.simhash_near_pairs(
             docs.select("doc_id", "text"), "text", max_hamming=1,
             id_mode="hash",
-        ).count()
+        ).count(),
+        repeat=3,
     )
     from cascading_solr_spark.operators import textstats
 
     timings["fingerprint_dense"] = timed(
-        lambda: textstats.fingerprint(docs, "text").count()
+        lambda: textstats.fingerprint(docs, "text").count(), repeat=3
     )
     timings["fingerprint_hashmode"] = timed(
-        lambda: textstats.fingerprint(docs, "text", id_mode="hash").count()
+        lambda: textstats.fingerprint(docs, "text", id_mode="hash").count(),
+        repeat=3,
     )
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     emb_d = emb.withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     timings["sim_cosine_topk"] = timed(
-        lambda: similarity.cosine_topk_to_row(emb, query_id=0, k=10).collect()
+        lambda: similarity.cosine_topk_to_row(emb, query_id=0, k=10).collect(),
+        repeat=3,
     )
     timings["sim_near_pairs_lsh"] = timed(
-        lambda: similarity.embedding_near_pairs_lsh(emb_d, threshold=0.3).count()
+        lambda: similarity.embedding_near_pairs_lsh(emb_d, threshold=0.3)
+        .count(),
+        repeat=3,
     )
     # the 100 TB config: more planes (smaller buckets -> bounded within-
     # bucket pair blowup) x more tables (recall back via banded OR)
     timings["sim_near_pairs_lsh_scale"] = timed(
         lambda: similarity.embedding_near_pairs_lsh(
             emb_d, threshold=0.3, n_planes=12, n_tables=2
-        ).count()
+        ).count(),
+        repeat=3,
     )
     # ANN: build bucket-partitioned indexes, sweep the recall/latency curve
     # vs exact brute force (recall@10 over a deterministic query vector)
@@ -256,13 +314,15 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
 
     def ann_point(ann_dir: str, probes: int, n_tables: int) -> dict:
         rows: list = []
-        sec = timed(
-            lambda: rows.extend(
+        def probe() -> None:
+            rows.clear()
+            rows.extend(
                 similarity.ann_lsh_topk_indexed(
                     spark, ann_dir, qv, k=10, probes=probes, n_tables=n_tables
                 ).collect()
             )
-        )
+
+        sec = timed(probe, repeat=3)
         rec = len(exact_ids & {r["vec_id"] for r in rows}) / max(1, len(exact_ids))
         return {"recall_at_10": round(rec, 3), "sec": round(sec, 4)}
 
@@ -295,17 +355,18 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
         )
 
     n_d1, n_d2 = n_code_files // 10, n_code_files // 4
+    # three DISTINCT 2k batches, min taken: appends are O(batch) (corrupt-
+    # postings test), so each run costs the same and the min estimates the
+    # steady-state micro-batch rate net of the first-append JIT/warm-up
+    tags = iter([".v2a", ".v2b", ".v2c"])
     timings["append_delta"] = timed(
-        lambda: append_documents(spark, ix_dir, mk_delta(n_d1, ".v2"))
+        lambda: append_documents(spark, ix_dir, mk_delta(n_d1, next(tags))),
+        repeat=3,
     )
     timings["append_delta_2"] = timed(
         lambda: append_documents(spark, ix_dir, mk_delta(n_d2, ".v3"))
     )
     append_files_per_sec = n_d1 / timings["append_delta"]
-    # the same fixed ~5-6 s coordination latency governs BOTH batch sizes
-    # (appends are O(batch) — proven by the corrupt-postings test), so the
-    # larger batch's rate shows the amortized throughput a real micro-batch
-    # (millions of files at 100 TB) gets
     append_fps_large = n_d2 / timings["append_delta_2"]
 
     shutil.rmtree(work, ignore_errors=True)
@@ -343,6 +404,8 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
         },
         "ann_recall_at_10": round(ann_recall, 3),
         "ann_curve": ann_curve,
+        "repeat_policy": "sub-5s queries + appends: min of 3 (additive-noise"
+        " estimator, BENCH/SCALING.md); index builds: single sample",
     }
 
 
