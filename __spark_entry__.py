@@ -268,6 +268,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return match_ids(s, _index_for(s, d), "lang:es " + Q_MAIN)
 
     q["ix_match_only"] = _match_only
+
+    # field-sorted retrieval (Solr sort=<field> asc — the reference config's
+    # own warming queries use sort=price asc, solrconfig.xml:600-601; served
+    # match-set-first per useFilterForSortedQuery, :545-559)
+    def _sorted(s, d):
+        from cascading_solr_spark.query.search import search_sorted
+
+        return search_sorted(
+            s, _index_for(s, d), Q_MAIN, "textlen", ascending=True, k=10
+        ).select("doc_id", "textlen")
+
+    q["ft_sorted_query"] = _sorted
+
+    # pagination (Solr start param; /select returns "the range of documents
+    # requested", solrconfig.xml:484): page 2 of the ranked result
+    q["ft_paged_query"] = lambda s, d: search(
+        s, _index_for(s, d), Q_MAIN, k=10, start=10, with_stored=False
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+    # TermsComponent (/terms handler, solrconfig.xml:1458-1466): vocabulary
+    # browse by prefix, terms.sort=count default
+    def _terms(s, d):
+        from cascading_solr_spark.query.search import terms_component
+
+        return terms_component(s, _index_for(s, d), prefix="s", k=10)
+
+    q["ft_terms"] = _terms
     # query-time synonym expansion (SynonymFilter expand=true analogue)
     q["ft_synonym"] = lambda s, d: search(
         s, _index_for(s, d), "join", k=10, with_stored=False,
@@ -581,6 +608,25 @@ WITH {_toks_cte()}
 SELECT DISTINCT t.doc_id
 FROM toks t JOIN documents d ON d.doc_id = t.doc_id
 WHERE t.term IN ('spark', 'join') AND d.lang = 'es'
+"""
+    o["ft_sorted_query"] = f"""
+WITH {_toks_cte()},
+matched AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark', 'join'))
+SELECT d.doc_id, length(d.text)::BIGINT AS textlen
+FROM documents d JOIN matched USING (doc_id)
+ORDER BY length(d.text) ASC, d.doc_id ASC LIMIT 10
+"""
+    o["ft_paged_query"] = f"""
+SELECT doc_id, score FROM ({_bm25_sql(tuple(Q_MAIN.split()), None)})
+ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10
+"""
+    o["ft_terms"] = f"""
+WITH {_toks_cte()},
+vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+          FROM toks GROUP BY 1)
+SELECT term, df FROM vocab
+WHERE term LIKE 's%'
+ORDER BY df DESC, term ASC LIMIT 10
 """
     o["ft_synonym"] = _bm25_sql(("join", "merge"), 10)
     o["ft_and_query"] = f"""

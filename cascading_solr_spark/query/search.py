@@ -367,9 +367,17 @@ def search(
     filters: dict[str, str] | None = None,
     synonyms: dict[str, list[str]] | None = None,
     op: str = "OR",
+    start: int = 0,
 ) -> DataFrame:
     """Top-k BM25 keyword search; returns (doc_id, score[, stored fields,
     sha256]).
+
+    * ``start`` pages the ranked result like Solr's start param (the
+      /select contract returns "the range of documents requested",
+      solrconfig.xml:484; default rows=10/start=0): rows [start, start+k)
+      of the global (score desc, doc_id asc) order.  Shard kernels fetch
+      start+k local candidates, so paging cost grows with depth — Solr's
+      own deep-paging caveat (cursorMark) applies unchanged.
 
     * ``filters`` are exact keyword-field predicates composed index-side
       with the ranked query (fq semantics: they restrict candidates without
@@ -393,14 +401,17 @@ def search(
     dfs = term_dfs(spark, index, terms) if terms else {}
     conjunctive = op.upper() == "AND"
     n_required = len(set(terms))
+    fetch_k = None if k is None else k + start
     if not dfs or (conjunctive and len(dfs) < n_required):
         # Q7 zero-hit short-circuit (schema stays stable below); under AND a
         # term with global df=0 empties the result outright
         if fterms and not terms:
             # pure filter query: matching docs ranked by doc_id, score 0
-            top = keyword_filter(spark, index, fterms, k=k).withColumn(
+            top = keyword_filter(spark, index, fterms, k=fetch_k).withColumn(
                 "score", F.lit(0.0)
             )
+            if start:
+                top = top.offset(start)
         else:
             top = spark.createDataFrame([], _RESULT_SCHEMA)
     else:
@@ -408,24 +419,28 @@ def search(
         spec = index.spec
         if conjunctive:
             kernel = _taat_kernel(
-                idf, index.avgdl, spec.k1, spec.b, k, spec.block_size, fterms,
-                require_n_terms=n_required,
+                idf, index.avgdl, spec.k1, spec.b, fetch_k, spec.block_size,
+                fterms, require_n_terms=n_required,
             )
         elif mode == "taat" or k is None:
             # k=None returns every match — exhaustive TAAT (top-k pruning
             # has nothing to prune against)
             kernel = _taat_kernel(
-                idf, index.avgdl, spec.k1, spec.b, k, spec.block_size, fterms
+                idf, index.avgdl, spec.k1, spec.b, fetch_k, spec.block_size,
+                fterms,
             )
         else:
             kernel = maxscore_kernel(
-                idf, index.avgdl, spec.k1, spec.b, k, spec.block_size, fterms
+                idf, index.avgdl, spec.k1, spec.b, fetch_k, spec.block_size,
+                fterms,
             )
         matched = postings.filter(F.col("term").isin(list(dfs) + list(fterms)))
         local_topk = matched.groupBy("shard").applyInPandas(kernel, _RESULT_SCHEMA)
         top = local_topk.orderBy(F.desc("score"), F.asc("doc_id"))
         if k is not None:  # k=None returns ALL matches (never a huge .limit)
-            top = top.limit(k)
+            top = top.limit(fetch_k)
+            if start:
+                top = top.offset(start)
     if not with_stored:
         return top
     return _fetch_stored(spark, index, top, bounded=k is not None)
@@ -570,6 +585,79 @@ def highlight(
         F.when(pos < big, term).otherwise(F.lit("")).alias("term"),
         F.when(pos < big, snip).otherwise(head).alias("snippet"),
     ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def search_sorted(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    sort_field: str,
+    ascending: bool = True,
+    k: int = 10,
+    start: int = 0,
+    filters: dict[str, str] | None = None,
+    op: str = "OR",
+) -> DataFrame:
+    """Field-sorted retrieval — Solr's ``sort=<field> asc|desc`` (exercised
+    by the reference config's own warming queries, solrconfig.xml:600-601
+    ``sort=price asc`` / ``sort=weight asc``; sortable = stored here, the
+    StrField/numeric ``indexed`` sortability rule of schema.xml:71).
+
+    Shape follows Solr's useFilterForSortedQuery (solrconfig.xml:545-559):
+    when the sort is not score, the match set comes from the FILTER
+    machinery (here :func:`match_ids` — no scoring arithmetic at all), then
+    the sort is applied over the matched docs' stored field.  The join
+    prunes the docs table to (doc_id, sort_field, stored...) and the global
+    order is (field asc|desc, doc_id asc) with a bounded
+    TakeOrderedAndProject (k + start rows) — never a full sort of the
+    table.  ``start`` pages like Solr's start param (deep paging wants a
+    cursor, same caveat as Solr's cursorMark; start+k stays driver-bounded).
+    """
+    if sort_field not in index.spec.stored_fields:
+        raise ValueError(
+            f"sort field {sort_field!r} is not stored "
+            f"{index.spec.stored_fields!r}"
+        )
+    matched = match_ids(spark, index, query, filters=filters, op=op)
+    docs = index.docs(spark).drop("shard")
+    order = [
+        F.asc(sort_field) if ascending else F.desc(sort_field),
+        F.asc("doc_id"),
+    ]
+    out = docs.join(matched.hint("shuffle_hash"), "doc_id").orderBy(*order)
+    if start:
+        return out.offset(start).limit(k)
+    return out.limit(k)
+
+
+def terms_component(
+    spark: SparkSession,
+    index: Index,
+    prefix: str = "",
+    k: int = 10,
+    min_df: int = 1,
+) -> DataFrame:
+    """Vocabulary browse — the solr.TermsComponent analogue (registered in
+    the reference config with its /terms handler, solrconfig.xml:1458-1466):
+    content terms matching ``prefix`` ranked by (df desc, term asc), the
+    terms.sort=count default.
+
+    Served from the term-sorted dict table: the prefix is a StartsWith
+    pushdown (row-group pruning), keyword-field terms are excluded, and
+    only ``k`` rows reach the driver."""
+    d = index.term_dict(spark)
+    if d is None:
+        return spark.createDataFrame([], "term string, df long")
+    out = d.filter(~F.col("term").contains(KW_SEP))
+    if prefix:
+        out = out.filter(F.col("term").startswith(prefix))
+    if min_df > 1:
+        out = out.filter(F.col("df") >= min_df)
+    return (
+        out.orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+        .select("term", "df")
+    )
 
 
 def facet_query_counts(

@@ -238,6 +238,69 @@ def test_ngram_spellcheck_short_query_falls_back(spark, stored_index):
     assert [r.asDict() for r in auto] == [r.asDict() for r in scan]
 
 
+# ------------------------------------------------------- sort / page / terms
+
+
+def test_search_sorted_matches_filter_then_sort(spark, stored_index):
+    from cascading_solr_spark.query.search import match_ids, search_sorted
+
+    rows = search_sorted(
+        spark, stored_index, "parse buffer", "contentlen", ascending=True, k=5
+    ).collect()
+    assert len(rows) == 5
+    vals = [r["contentlen"] for r in rows]
+    assert vals == sorted(vals)
+    matched = {
+        r["doc_id"]
+        for r in match_ids(spark, stored_index, "parse buffer").collect()
+    }
+    assert all(r["doc_id"] in matched for r in rows)
+    # desc ordering + pagination compose
+    page2 = search_sorted(
+        spark, stored_index, "parse buffer", "contentlen",
+        ascending=False, k=3, start=3,
+    ).collect()
+    all6 = search_sorted(
+        spark, stored_index, "parse buffer", "contentlen",
+        ascending=False, k=6,
+    ).collect()
+    assert [r["doc_id"] for r in page2] == [r["doc_id"] for r in all6[3:]]
+    with pytest.raises(ValueError, match="not stored"):
+        search_sorted(spark, stored_index, "parse", "nope")
+
+
+def test_search_pagination_is_a_window_of_the_full_ranking(spark, stored_index):
+    full = search(
+        spark, stored_index, "parse buffer", k=None, with_stored=False
+    ).collect()
+    for start, k in ((0, 10), (10, 10), (25, 10)):
+        page = search(
+            spark, stored_index, "parse buffer", k=k, start=start,
+            with_stored=False,
+        ).collect()
+        want = full[start : start + k]
+        assert [(r["doc_id"], r["score"]) for r in page] == [
+            (r["doc_id"], r["score"]) for r in want
+        ], (start, k)
+    # stored-field fetch composes with paging
+    paged_stored = search(spark, stored_index, "parse buffer", k=5, start=5)
+    assert [r["doc_id"] for r in paged_stored.collect()] == [
+        r["doc_id"] for r in full[5:10]
+    ]
+
+
+def test_terms_component_prefix_browse(spark, stored_index):
+    from cascading_solr_spark.query.search import terms_component
+
+    rows = terms_component(spark, stored_index, prefix="buf", k=10).collect()
+    assert rows, "corpus has buffer* identifiers"
+    assert all(r["term"].startswith("buf") for r in rows)
+    dfs = [r["df"] for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+    # no keyword-field terms ever surface
+    assert all(":" not in r["term"] for r in rows)
+
+
 # ---------------------------------------------------------------- batch path
 
 
