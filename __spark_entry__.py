@@ -295,6 +295,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return terms_component(s, _index_for(s, d), prefix="s", k=10)
 
     q["ft_terms"] = _terms
+
+    # facet.pivot (the /browse defaults pivot cat,inStock,
+    # solrconfig.xml:899): (outer, inner) keyword-value pair counts over the
+    # match set, all sides index-derived
+    def _pivot(s, d):
+        from cascading_solr_spark.query.search import facet_pivot_counts
+
+        return facet_pivot_counts(
+            s, _index_for(s, d), Q_MAIN, ("lang", "source")
+        )
+
+    q["ft_facet_pivot"] = _pivot
+
+    # StatsComponent (solrconfig.xml:1168): numeric stats of a stored field
+    # over the match set
+    def _stats(s, d):
+        from cascading_solr_spark.query.search import stats_field
+
+        return stats_field(s, _index_for(s, d), Q_MAIN, "textlen").select(
+            F.col("n").cast("long").alias("n"),
+            F.col("missing").cast("long").alias("missing"),
+            F.col("min").cast("long").alias("min"),
+            F.col("max").cast("long").alias("max"),
+            F.col("sum").cast("long").alias("sum"),
+            F.round("mean", 4).alias("mean"),
+            F.round("stddev", 4).alias("stddev"),
+        )
+
+    q["ft_stats"] = _stats
+
+    # spellcheck.collate + collateExtendedResults (solrconfig.xml:937-938):
+    # unknown term rewritten by its best suggestion, collation verified by
+    # its hit count
+    def _collate(s, d):
+        from cascading_solr_spark.query.search import spellcheck_collate
+
+        return spellcheck_collate(s, _index_for(s, d), "sparc join")
+
+    q["ft_collate"] = _collate
     # query-time synonym expansion (SynonymFilter expand=true analogue)
     q["ft_synonym"] = lambda s, d: search(
         s, _index_for(s, d), "join", k=10, with_stored=False,
@@ -608,6 +647,45 @@ WITH {_toks_cte()}
 SELECT DISTINCT t.doc_id
 FROM toks t JOIN documents d ON d.doc_id = t.doc_id
 WHERE t.term IN ('spark', 'join') AND d.lang = 'es'
+"""
+    o["ft_facet_pivot"] = f"""
+WITH {_toks_cte()},
+matched AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark', 'join')),
+counts AS (
+  SELECT d.lang AS value_outer, d.source AS value_inner,
+         count(*)::BIGINT AS n
+  FROM documents d JOIN matched USING (doc_id)
+  WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
+  GROUP BY 1, 2)
+SELECT value_outer, value_inner, n,
+       (sum(n) OVER (PARTITION BY value_outer))::BIGINT AS n_outer
+FROM counts
+"""
+    o["ft_stats"] = f"""
+WITH {_toks_cte()},
+matched AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark', 'join'))
+SELECT count(length(d.text))::BIGINT AS n,
+       sum(CASE WHEN d.text IS NULL THEN 1 ELSE 0 END)::BIGINT AS missing,
+       min(length(d.text))::BIGINT AS min,
+       max(length(d.text))::BIGINT AS max,
+       sum(length(d.text))::BIGINT AS sum,
+       round(avg(length(d.text)), 4) AS mean,
+       round(stddev_samp(length(d.text)), 4) AS stddev
+FROM documents d JOIN matched USING (doc_id)
+"""
+    o["ft_collate"] = f"""
+WITH {_toks_cte()},
+vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+          FROM toks GROUP BY 1),
+best AS (SELECT term FROM vocab
+         WHERE term != 'sparc' AND abs(length(term) - 5) <= 2
+           AND levenshtein(term, 'sparc') <= 2
+         ORDER BY levenshtein(term, 'sparc') ASC, df DESC, term ASC
+         LIMIT 1),
+matched AS (SELECT DISTINCT t.doc_id FROM toks t
+            WHERE t.term = (SELECT term FROM best) OR t.term = 'join')
+SELECT (SELECT term FROM best) || ' join' AS collation,
+       (SELECT count(*) FROM matched)::BIGINT AS hits
 """
     o["ft_sorted_query"] = f"""
 WITH {_toks_cte()},

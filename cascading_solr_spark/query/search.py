@@ -469,6 +469,25 @@ def facet_counts(
     StartsWith pushdown), never from a docs-table scan.  The join is a
     doc_id equi-join — at 100 TB both sides are distributed and the facet
     side is bounded by the field's posting size."""
+    matched = match_ids(
+        spark, index, query, filters=filters, synonyms=synonyms, op=op
+    )
+    pairs = facet_value_pairs(spark, index, facet_field)
+    return (
+        pairs.join(matched, "doc_id")
+        .groupBy("value")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("value"))
+    )
+
+
+def facet_value_pairs(
+    spark: SparkSession, index: Index, facet_field: str
+) -> DataFrame:
+    """(value, doc_id) rows of one keyword facet field, decoded from its
+    ``field:value`` posting rows — a prefix-pruned scan of the term-sorted
+    postings (StartsWith pushdown), never a docs-table scan.  Shared by
+    facet.field and facet.pivot."""
     if facet_field not in index.spec.keyword_fields:
         raise ValueError(
             f"facet field {facet_field!r} is not a keyword field "
@@ -494,19 +513,90 @@ def facet_counts(
                 }
             )
 
-    matched = match_ids(
-        spark, index, query, filters=filters, synonyms=synonyms, op=op
-    )
-    pairs = (
+    return (
         index.postings(spark)
         .filter(F.col("term").startswith(prefix))
+        .select("term", "n_docs", "doc_ids")
         .mapInPandas(decode_pairs, "value string, doc_id long")
     )
+
+
+def facet_pivot_counts(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    fields: tuple[str, str],
+    filters: dict[str, str] | None = None,
+    op: str = "OR",
+) -> DataFrame:
+    """Hierarchical pivot facets — the Solr ``facet.pivot`` analogue (the
+    reference's /browse defaults pivot on ``cat,inStock``,
+    solrconfig.xml:899): counts of matching docs per (outer value, inner
+    value) pair of two keyword fields.
+
+    All three sides are index-derived and distributed: the match set from
+    :func:`match_ids`, each field's (value, doc_id) pairs from its
+    prefix-pruned postings (:func:`facet_value_pairs`); two doc_id
+    equi-joins, one bounded groupBy — never a docs-table scan.  Ordered the
+    way Solr renders pivots: outer count desc, outer value asc, then inner
+    count desc, inner value asc."""
+    from pyspark.sql import Window
+
+    outer_f, inner_f = fields
+    matched = match_ids(spark, index, query, filters=filters, op=op)
+    outer = facet_value_pairs(spark, index, outer_f).withColumnRenamed(
+        "value", "value_outer"
+    )
+    inner = facet_value_pairs(spark, index, inner_f).withColumnRenamed(
+        "value", "value_inner"
+    )
+    pairs = outer.join(matched, "doc_id").join(inner, "doc_id")
+    counts = pairs.groupBy("value_outer", "value_inner").agg(
+        F.count("*").alias("n")
+    )
     return (
-        pairs.join(matched, "doc_id")
-        .groupBy("value")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), F.asc("value"))
+        counts.withColumn(
+            "n_outer", F.sum("n").over(Window.partitionBy("value_outer"))
+        )
+        .orderBy(
+            F.desc("n_outer"), F.asc("value_outer"),
+            F.desc("n"), F.asc("value_inner"),
+        )
+        .select("value_outer", "value_inner", "n", "n_outer")
+    )
+
+
+def stats_field(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    field: str,
+    filters: dict[str, str] | None = None,
+    op: str = "OR",
+) -> DataFrame:
+    """Numeric field statistics over the match set — the solr.StatsComponent
+    analogue (registered in the reference config, solrconfig.xml:1168):
+    count / missing / min / max / sum / mean / stddev of a stored numeric
+    field, Solr's stats.field response shape.
+
+    One distributed agg over the match set joined to the docs table pruned
+    to (doc_id, field); stddev is the sample standard deviation (Solr's
+    definition)."""
+    if field not in index.spec.stored_fields:
+        raise ValueError(
+            f"stats field {field!r} is not stored {index.spec.stored_fields!r}"
+        )
+    matched = match_ids(spark, index, query, filters=filters, op=op)
+    docs = index.docs(spark).select("doc_id", field)
+    joined = docs.join(matched, "doc_id")
+    return joined.agg(
+        F.count(field).alias("n"),
+        F.sum(F.col(field).isNull().cast("long")).alias("missing"),
+        F.min(field).alias("min"),
+        F.max(field).alias("max"),
+        F.sum(field).alias("sum"),
+        F.avg(field).alias("mean"),
+        F.stddev_samp(field).alias("stddev"),
     )
 
 
@@ -846,6 +936,47 @@ def suggest_terms(
         .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
         .limit(k)
         .select("term", "df", F.col("distance").cast("int").alias("distance"))
+    )
+
+
+def spellcheck_collate(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Collated spellcheck — the Solr ``spellcheck.collate`` /
+    ``collateExtendedResults`` analogue (the reference's /browse defaults
+    set both, solrconfig.xml:937-938): rewrite the query with every
+    UNKNOWN term (df = 0 in the dictionary) replaced by its best suggestion
+    (:func:`suggest_terms` rank #1), and verify the collation by counting
+    its hits — Solr only trusts a collation that actually produces results.
+
+    Returns one row (collation, hits).  Terms already in the dictionary are
+    never rewritten (DirectSolrSpellChecker behavior); an unknown term with
+    no suggestion within ``max_distance`` stays as-is (its hits contribution
+    is zero, exactly Solr's failed-collation signal)."""
+    terms = analyze_query(query)
+    dfs = term_dfs(spark, index, terms) if terms else {}
+    replaced = False
+    out_terms: list[str] = []
+    for t in terms:
+        if dfs.get(t, 0) > 0:
+            out_terms.append(t)
+            continue
+        sug = suggest_terms(
+            spark, index, t, k=1, max_distance=max_distance
+        ).collect()
+        out_terms.append(sug[0]["term"] if sug else t)
+        replaced = True
+    collation = " ".join(out_terms)
+    if not replaced:
+        # nothing misspelled: Solr returns no collation; hits = the query's
+        # own match count for a stable schema
+        collation = query if not terms else " ".join(terms)
+    hits = match_ids(spark, index, collation).count() if collation else 0
+    return spark.createDataFrame(
+        [(collation, int(hits))], "collation string, hits long"
     )
 
 

@@ -33,7 +33,7 @@ STORED_SPEC = IndexSpec(
     num_shards=2,
     salt_buckets=2,
     block_size=16,
-    keyword_fields=("lang",),
+    keyword_fields=("lang", "repo"),
     # content stored -> highlightable; contentlen -> facet.range field
     stored_fields=("repo", "path", "lang", "contentlen", "content"),
 )
@@ -236,6 +236,78 @@ def test_ngram_spellcheck_short_query_falls_back(spark, stored_index):
     scan = suggest_terms(spark, stored_index, "if", mode="scan").collect()
     auto = suggest_terms(spark, stored_index, "if", mode="auto").collect()
     assert [r.asDict() for r in auto] == [r.asDict() for r in scan]
+
+
+# ------------------------------------------------- pivot / stats / collate
+
+
+def test_facet_pivot_counts(spark, stored_index):
+    from cascading_solr_spark.query.search import (
+        facet_counts,
+        facet_pivot_counts,
+        match_ids,
+    )
+
+    rows = facet_pivot_counts(
+        spark, stored_index, "parse buffer", ("lang", "repo")
+    ).collect()
+    assert rows
+    # inner counts roll up to the outer totals, and outer totals equal the
+    # flat facet.field counts
+    outer_from_pivot: dict = {}
+    for r in rows:
+        outer_from_pivot.setdefault(r["value_outer"], 0)
+        outer_from_pivot[r["value_outer"]] += r["n"]
+        assert r["n"] <= r["n_outer"]
+    flat = {
+        r["value"]: r["n"]
+        for r in facet_counts(
+            spark, stored_index, "parse buffer", "lang"
+        ).collect()
+    }
+    assert outer_from_pivot == flat
+    n_matched = match_ids(spark, stored_index, "parse buffer").count()
+    assert sum(r["n"] for r in rows) == n_matched  # scalar fields: partition
+
+
+def test_stats_field(spark, stored_index):
+    from cascading_solr_spark.query.search import match_ids, stats_field
+
+    row = stats_field(
+        spark, stored_index, "parse buffer", "contentlen"
+    ).collect()[0]
+    matched = match_ids(spark, stored_index, "parse buffer")
+    vals = [
+        r["contentlen"]
+        for r in stored_index.docs(spark)
+        .join(matched, "doc_id")
+        .select("contentlen")
+        .collect()
+    ]
+    assert row["n"] == len(vals) and row["missing"] == 0
+    assert row["min"] == min(vals) and row["max"] == max(vals)
+    assert row["sum"] == sum(vals)
+    assert abs(row["mean"] - sum(vals) / len(vals)) < 1e-6
+    with pytest.raises(ValueError, match="not stored"):
+        stats_field(spark, stored_index, "parse", "nope")
+
+
+def test_spellcheck_collate(spark, stored_index):
+    from cascading_solr_spark.query.search import (
+        match_ids,
+        spellcheck_collate,
+        suggest_terms,
+    )
+
+    row = spellcheck_collate(spark, stored_index, "bufer parse").collect()[0]
+    best = suggest_terms(spark, stored_index, "bufer", k=1).collect()[0]["term"]
+    assert row["collation"] == f"{best} parse"
+    assert row["hits"] == match_ids(
+        spark, stored_index, f"{best} parse"
+    ).count()
+    # known terms are never rewritten
+    row2 = spellcheck_collate(spark, stored_index, "parse buffer").collect()[0]
+    assert row2["collation"] == "parse buffer"
 
 
 # ------------------------------------------------------- sort / page / terms
