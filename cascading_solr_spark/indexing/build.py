@@ -280,6 +280,9 @@ def assign_doc_ids(
     return df.join(ids.hint("shuffle_hash"), list(keys))
 
 
+_UNSET = object()  # dict_cache sentinel: "not computed yet" vs "too big"
+
+
 @dataclass
 class Index:
     """Handle to a built index directory (postings/docs/stats/lineage)."""
@@ -336,6 +339,33 @@ class Index:
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.path, "lineage"))
+
+    #: largest RAW dict row count (pre-fold, parquet-footer-served) that
+    #: term_dfs will cache driver-side: ~10^6 (term, df) entries is tens of
+    #: MB of driver heap; a 10^9-term vocabulary stays distributed.
+    DICT_CACHE_MAX_ROWS = 1_000_000
+
+    def dict_cache(self, spark: SparkSession) -> dict[str, int] | None:
+        """Driver-side {term: df} of the folded dictionary, or None when the
+        vocabulary exceeds DICT_CACHE_MAX_ROWS (raw segment rows, counted
+        from parquet footers — no data scan).
+
+        The cache lives on THIS handle and is consistent with the handle's
+        snapshot semantics: appends return a fresh Index (append_documents'
+        contract), so a reloaded handle re-reads the grown dict.  Saves one
+        Spark job per query (the df-lookup scan) — at bench scale that is
+        the visible floor of per-query latency."""
+        cached = getattr(self, "_dict_cache", _UNSET)
+        if cached is not _UNSET:
+            return cached
+        d = self.term_dict(spark)
+        result: dict[str, int] | None = None
+        if d is not None:
+            n_raw = spark.read.parquet(self.dict_path).count()  # footer-served
+            if n_raw <= self.DICT_CACHE_MAX_ROWS:
+                result = {r["term"]: int(r["df"]) for r in d.collect()}
+        object.__setattr__(self, "_dict_cache", result)
+        return result
 
     def term_dict(self, spark: SparkSession) -> DataFrame | None:
         """Global term -> df dictionary (None for pre-dict indexes).

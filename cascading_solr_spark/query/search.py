@@ -175,9 +175,14 @@ def term_dfs(
     spark: SparkSession, index: Index, terms: list[str]
 ) -> dict[str, int]:
     """Global document frequency per query term — the analogue of the
-    distributed-IDF fetch a sharded Solr performs.  Served from the build's
-    term-sorted ``dict`` table (a tiny pruned scan); falls back to
-    aggregating posting rows for pre-dict indexes."""
+    distributed-IDF fetch a sharded Solr performs.  Small vocabularies are
+    served from the handle's driver-side cache (Index.dict_cache — zero
+    Spark jobs after the first query); larger ones from the build's
+    term-sorted ``dict`` table (a tiny pruned scan); pre-dict indexes fall
+    back to aggregating posting rows."""
+    cache = index.dict_cache(spark)
+    if cache is not None:
+        return {t: cache[t] for t in terms if t in cache}
     d = index.term_dict(spark)
     if d is not None:
         rows = d.filter(F.col("term").isin(terms)).collect()

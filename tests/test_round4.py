@@ -238,6 +238,26 @@ def test_ngram_spellcheck_short_query_falls_back(spark, stored_index):
     assert [r.asDict() for r in auto] == [r.asDict() for r in scan]
 
 
+# ---------------------------------------------------------------- dict cache
+
+
+def test_dict_cache_matches_distributed_lookup(spark, stored_index):
+    from cascading_solr_spark.query.search import term_dfs
+
+    cache = stored_index.dict_cache(spark)
+    assert cache is not None and "buffer" in cache
+    terms = ["parse", "buffer", "zzqxv", "import"]
+    via_cache = term_dfs(spark, stored_index, terms)
+    # force the distributed scan path (simulate a too-big vocabulary)
+    object.__setattr__(stored_index, "_dict_cache", None)
+    try:
+        via_scan = term_dfs(spark, stored_index, terms)
+    finally:
+        object.__setattr__(stored_index, "_dict_cache", cache)
+    assert via_cache == via_scan
+    assert "zzqxv" not in via_cache
+
+
 # ------------------------------------------------- pivot / stats / collate
 
 
