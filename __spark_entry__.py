@@ -70,9 +70,13 @@ _DOC_SPEC = IndexSpec(
 _INDEX_FORMAT_VERSION = 8  # bump on any postings/dict/ANN layout change
 
 
+_INDEX_HANDLES: dict[str, Index] = {}
+
+
 def _index_for(spark: SparkSession, sf_dir: str) -> Index:
     """Build (once, cached on disk keyed by corpus dir + format version) the
-    compressed index."""
+    compressed index.  The HANDLE is memoized too, so per-handle state
+    (Index.dict_cache) survives across the driver's query calls."""
     key = os.path.abspath(sf_dir).replace(os.sep, "_")
     out = os.path.join(
         tempfile.gettempdir(), f"css_index_v{_INDEX_FORMAT_VERSION}{key}"
@@ -81,7 +85,10 @@ def _index_for(spark: SparkSession, sf_dir: str) -> Index:
         shutil.rmtree(out, ignore_errors=True)
         source = _docs(spark, sf_dir).withColumn("textlen", F.length("text"))
         build_index(spark, source, _DOC_SPEC, out)
-    return Index.load(out)
+        _INDEX_HANDLES.pop(out, None)
+    if out not in _INDEX_HANDLES:
+        _INDEX_HANDLES[out] = Index.load(out)
+    return _INDEX_HANDLES[out]
 
 
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -99,6 +99,10 @@ def append_documents(
     if batch_id is not None and batch_id in meta.get("applied_batches", ()):
         return index
     offset = int(meta.get("next_doc_id", meta["n_docs"]))
+    # unique per-append tag: n_docs advances on every committed batch
+    # (next_doc_id does NOT for doc_id_field specs, so offset alone would
+    # repeat across appends and merge distinct segments under one tag)
+    seg_tag = f"append@{int(meta['n_docs'])}"
 
     # ---- scope: AQE's runtime re-planning adds a per-stage scheduling
     # round-trip that is pure overhead on these fixed-shape micro-batch jobs
@@ -127,13 +131,23 @@ def append_documents(
             )
             batch_handle = based.persist(StorageLevel.MEMORY_AND_DISK)
             based = batch_handle
-            # one gate job: id range check + count (check_doc_id_range
-            # folded in so the gate costs a single cache-populating agg)
+            # one gate job: id range + null check + count (check_doc_id_range
+            # folded in so the gate costs a single cache-populating agg).
+            # NULL ids (a non-numeric id column cast to long) must fail here
+            # — they would otherwise write null-doc_id rows silently.
             row = based.agg(
                 F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
                 F.count("*").alias("n"),
+                F.sum(F.col("doc_id").isNull().cast("long")).alias("nulls"),
             ).collect()[0]
             n_new = int(row["n"])
+            if n_new and int(row["nulls"] or 0):
+                from cascading_solr_spark.spec import IndexSpecError
+
+                raise IndexSpecError(
+                    f"{row['nulls']} NULL doc ids in append batch (column "
+                    f"{spec.doc_id_field!r} does not cast to long)"
+                )
             if n_new and (int(row["lo"]) < 0 or int(row["hi"]) > MAX_DOC_ID):
                 from cascading_solr_spark.spec import IndexSpecError
 
@@ -234,7 +248,7 @@ def append_documents(
         # aggregate over the written rows) — no separate stats job at all
         from pyspark.sql import Observation
 
-        obs = Observation(f"append@{offset}")
+        obs = Observation(seg_tag)
         observed = postings.observe(
             obs,
             F.sum(
@@ -265,9 +279,8 @@ def append_documents(
                 F.lit("committed").alias("status"),
                 # per-SEGMENT rows (stats cover this batch only, not the
                 # shard): tagged so per-shard consumers aggregate explicitly
-                # instead of reading any single row as per-shard truth.  The
-                # offset makes the tag unique per append.
-                F.lit(f"append@{offset}").alias("segment"),
+                # instead of reading any single row as per-shard truth.
+                F.lit(seg_tag).alias("segment"),
             )
             lineage.write.mode("append").parquet(
                 os.path.join(index_dir, "lineage")
@@ -286,6 +299,10 @@ def append_documents(
             seg = (
                 postings.groupBy("term")
                 .agg(F.sum("n_docs").alias("df"))
+                # coalesce (no exchange; AQE is off in this scope) bounds
+                # the per-batch segment to num_shards//4 term-sorted files
+                # instead of one per shuffle partition
+                .coalesce(max(1, spec.num_shards // 4))
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
             (

@@ -53,6 +53,7 @@ from cascading_solr_spark.query.wand import (
     RESULT_SCHEMA as _RESULT_SCHEMA,
 )
 from cascading_solr_spark.query.wand import (
+    _member,
     allowed_ids,
     maxscore_kernel,
     topk_ties,
@@ -345,8 +346,7 @@ def match_ids(
         else:
             uniq = np.unique(ids)
         if allowed is not None:
-            pos = np.minimum(np.searchsorted(allowed, uniq), len(allowed) - 1)
-            uniq = uniq[allowed[pos] == uniq]
+            uniq = uniq[_member(uniq, allowed)]
         return pd.DataFrame({"doc_id": uniq})
 
     matched = (
@@ -444,8 +444,8 @@ def search(
         top = local_topk.orderBy(F.desc("score"), F.asc("doc_id"))
         if k is not None:  # k=None returns ALL matches (never a huge .limit)
             top = top.limit(fetch_k)
-            if start:
-                top = top.offset(start)
+        if start:  # paging applies to k=None too (ordered exhaustive result)
+            top = top.offset(start)
     if not with_stored:
         return top
     return _fetch_stored(spark, index, top, bounded=k is not None)
@@ -770,22 +770,34 @@ def facet_query_counts(
 
     Both match sets come from the index-side match-only kernel
     (:func:`match_ids` — keyword filters and query-string parsing compose,
-    no scoring arithmetic), so each count is a doc_id equi-join of two
-    distributed match sets — never a docs-table scan.  Returns (facet, n)
-    rows, one per entry."""
-    base = match_ids(spark, index, query, filters=filters, op=op)
-    out: DataFrame | None = None
-    for name in sorted(facet_queries):
-        sub = match_ids(spark, index, facet_queries[name])
-        cnt = (
-            base.join(sub, "doc_id")
-            .agg(F.count("*").alias("n"))
-            .select(F.lit(name).alias("facet"), "n")
-        )
-        out = cnt if out is None else out.unionByName(cnt)
-    if out is None:
+    no scoring arithmetic).  The counting is ONE pass: the tagged union of
+    all sub-query match sets joins the base set once (the base subtree
+    appears once in the plan, not once per entry), then a bounded groupBy;
+    entries with zero overlap are restored by a left join against the name
+    spine (Solr reports 0-count facet.query entries).  Never a docs-table
+    scan.  Returns (facet, n) rows, one per entry."""
+    if not facet_queries:
         return spark.createDataFrame([], "facet string, n long")
-    return out.orderBy("facet")
+    base = match_ids(spark, index, query, filters=filters, op=op)
+    tagged: DataFrame | None = None
+    for name in sorted(facet_queries):
+        sub = match_ids(spark, index, facet_queries[name]).withColumn(
+            "facet", F.lit(name)
+        )
+        tagged = sub if tagged is None else tagged.unionByName(sub)
+    counts = (
+        base.join(tagged, "doc_id")
+        .groupBy("facet")
+        .agg(F.count("*").alias("n"))
+    )
+    spine = spark.createDataFrame(
+        [(n,) for n in sorted(facet_queries)], "facet string"
+    )
+    return (
+        spine.join(counts, "facet", "left")
+        .select("facet", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+        .orderBy("facet")
+    )
 
 
 def facet_range_counts(

@@ -379,6 +379,11 @@ def test_search_pagination_is_a_window_of_the_full_ranking(spark, stored_index):
     assert [r["doc_id"] for r in paged_stored.collect()] == [
         r["doc_id"] for r in full[5:10]
     ]
+    # k=None (exhaustive) pages too — same offset window of the full order
+    tail = search(
+        spark, stored_index, "parse buffer", k=None, start=7, with_stored=False
+    ).collect()
+    assert [r["doc_id"] for r in tail] == [r["doc_id"] for r in full[7:]]
 
 
 def test_terms_component_prefix_browse(spark, stored_index):
