@@ -341,6 +341,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spellcheck_collate(s, _index_for(s, d), "sparc join")
 
     q["ft_collate"] = _collate
+
+    # TermVectorComponent (/tvrh handler, solrconfig.xml:1326-1346): per-doc
+    # (term, tf, df) vector derived from stored content + the dict
+    def _tv(s, d):
+        from cascading_solr_spark.query.search import term_vectors
+
+        return term_vectors(s, _index_for(s, d), 0)
+
+    q["ft_term_vectors"] = _tv
     # query-time synonym expansion (SynonymFilter expand=true analogue)
     q["ft_synonym"] = lambda s, d: search(
         s, _index_for(s, d), "join", k=10, with_stored=False,
@@ -693,6 +702,15 @@ matched AS (SELECT DISTINCT t.doc_id FROM toks t
             WHERE t.term = (SELECT term FROM best) OR t.term = 'join')
 SELECT (SELECT term FROM best) || ' join' AS collation,
        (SELECT count(*) FROM matched)::BIGINT AS hits
+"""
+    o["ft_term_vectors"] = f"""
+WITH {_toks_cte()},
+tf AS (SELECT term, count(*)::BIGINT AS tf FROM toks WHERE doc_id = 0
+       GROUP BY 1),
+dfreq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks
+          GROUP BY 1)
+SELECT tf.term, tf.tf, dfreq.df
+FROM tf JOIN dfreq USING (term)
 """
     o["ft_sorted_query"] = f"""
 WITH {_toks_cte()},

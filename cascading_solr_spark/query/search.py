@@ -1105,6 +1105,51 @@ def batch_kernel(
     return kernel
 
 
+def term_vectors(
+    spark: SparkSession,
+    index: Index,
+    doc_id: int,
+) -> DataFrame:
+    """Per-document term vector — the solr.TermVectorComponent analogue
+    (registered with its /tvrh handler in the reference config,
+    solrconfig.xml:1326-1346; returns tf and the df option per term of a
+    result document).
+
+    The postings are term-major, so a doc's vector is derived from its
+    STORED content (requires the content field in stored_fields — the same
+    stored="true" rule as highlighting; Solr's own component wants
+    termVectors="true" storage): one partition-pruned docs fetch, the
+    shared analyzer, then df lookups from the dict (driver-cached for
+    bounded vocabularies).  Returns (term, tf, df) ordered (tf desc,
+    term asc), Solr's tv.tf/tv.df response shape."""
+    from collections import Counter
+
+    from cascading_solr_spark.analyzer import tokenize
+
+    spec = index.spec
+    if spec.content_field not in spec.stored_fields:
+        raise ValueError(
+            f"term vectors require content field {spec.content_field!r} in "
+            f"stored_fields {spec.stored_fields!r} (termVectors storage rule)"
+        )
+    shard = int(doc_id) % spec.num_shards
+    rows = (
+        index.docs(spark)
+        .filter((F.col("shard") == shard) & (F.col("doc_id") == int(doc_id)))
+        .select(spec.content_field)
+        .collect()
+    )
+    if not rows:
+        return spark.createDataFrame([], "term string, tf long, df long")
+    counts = Counter(tokenize(rows[0][0]))
+    dfs = term_dfs(spark, index, list(counts))
+    data = sorted(
+        ((t, int(tf), int(dfs.get(t, 0))) for t, tf in counts.items()),
+        key=lambda x: (-x[1], x[0]),
+    )
+    return spark.createDataFrame(data, "term string, tf long, df long")
+
+
 def search_many(
     spark: SparkSession,
     index: Index,

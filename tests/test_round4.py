@@ -238,6 +238,26 @@ def test_ngram_spellcheck_short_query_falls_back(spark, stored_index):
     assert [r.asDict() for r in auto] == [r.asDict() for r in scan]
 
 
+# --------------------------------------------------------------- term vector
+
+
+def test_term_vectors(spark, stored_index):
+    from cascading_solr_spark.analyzer import tokenize
+    from cascading_solr_spark.query.search import term_vectors
+
+    doc = stored_index.docs(spark).filter(F.col("doc_id") == 3).collect()[0]
+    rows = term_vectors(spark, stored_index, 3).collect()
+    from collections import Counter
+
+    want = Counter(tokenize(doc["content"]))
+    assert {r["term"]: r["tf"] for r in rows} == dict(want)
+    tfs = [r["tf"] for r in rows]
+    assert tfs == sorted(tfs, reverse=True)
+    # df comes from the global dict and is at least this doc's own presence
+    assert all(r["df"] >= 1 for r in rows)
+    assert term_vectors(spark, stored_index, 10**9).collect() == []
+
+
 # ---------------------------------------------------------------- dict cache
 
 
