@@ -350,6 +350,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return term_vectors(s, _index_for(s, d), 0)
 
     q["ft_term_vectors"] = _tv
+
+    # composition: query-string keyword filter + field sort (desc) + paging
+    # in one request — the full Solr request shape (q + fq + sort + start)
+    def _sorted_paged(s, d):
+        from cascading_solr_spark.query.search import search_sorted
+
+        return search_sorted(
+            s, _index_for(s, d), "lang:es " + Q_MAIN, "textlen",
+            ascending=False, k=5, start=5,
+        ).select("doc_id", "textlen")
+
+    q["ix_sorted_filtered_paged"] = _sorted_paged
     # query-time synonym expansion (SynonymFilter expand=true analogue)
     q["ft_synonym"] = lambda s, d: search(
         s, _index_for(s, d), "join", k=10, with_stored=False,
@@ -711,6 +723,15 @@ dfreq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks
           GROUP BY 1)
 SELECT tf.term, tf.tf, dfreq.df
 FROM tf JOIN dfreq USING (term)
+"""
+    o["ix_sorted_filtered_paged"] = f"""
+WITH {_toks_cte()},
+matched AS (SELECT DISTINCT t.doc_id FROM toks t
+            JOIN documents d ON d.doc_id = t.doc_id
+            WHERE t.term IN ('spark', 'join') AND d.lang = 'es')
+SELECT d.doc_id, length(d.text)::BIGINT AS textlen
+FROM documents d JOIN matched USING (doc_id)
+ORDER BY length(d.text) DESC, d.doc_id ASC LIMIT 5 OFFSET 5
 """
     o["ft_sorted_query"] = f"""
 WITH {_toks_cte()},
