@@ -103,6 +103,7 @@ def append_documents(
     # (next_doc_id does NOT for doc_id_field specs, so offset alone would
     # repeat across appends and merge distinct segments under one tag)
     seg_tag = f"append@{int(meta['n_docs'])}"
+    bootstrap_ngrams = int(meta["n_docs"]) == 0
 
     # ---- scope: AQE's runtime re-planning adds a per-stage scheduling
     # round-trip that is pure overhead on these fixed-shape micro-batch jobs
@@ -310,7 +311,13 @@ def append_documents(
                 .write.mode("append")
                 .parquet(index.dict_path)  # meta-pointed generation dir
             )
-            if os.path.exists(index.ngrams_path):
+            # bootstrap_ngrams: a 0-doc index has no ngram dir yet but no
+            # prior vocabulary either, so creating it here is complete; a
+            # PRE-ngram index (built before the feature) must NOT get a
+            # partial one — its old vocab would be invisible to the ngram
+            # path — so absent dir + nonzero n_docs means scan-only forever
+            # (until a compact of a rebuilt index).
+            if os.path.exists(index.ngrams_path) or bootstrap_ngrams:
                 from cascading_solr_spark.indexing.build import term_ngram_rows
 
                 (

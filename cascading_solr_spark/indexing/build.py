@@ -332,13 +332,33 @@ class Index:
         return os.path.join(self.path, self.ngrams_dirname)
 
     def postings(self, spark: SparkSession) -> DataFrame:
+        # a 0-doc index (Solr's empty-core analogue) has no postings dir yet
+        # — the first append creates it; until then serve a schema-correct
+        # empty frame so every query path works unchanged
+        if not os.path.exists(self.postings_path):
+            return spark.createDataFrame([], POSTINGS_SCHEMA)
         return spark.read.parquet(self.postings_path)
 
     def docs(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.path, "docs"))
+        p = os.path.join(self.path, "docs")
+        if not os.path.exists(p):
+            from pyspark.sql import types as T
+
+            with open(os.path.join(self.path, "meta.json")) as fh:
+                meta = json.load(fh)
+            schema = T.StructType.fromJson(json.loads(meta["docs_schema"]))
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(p)
 
     def lineage(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.path, "lineage"))
+        p = os.path.join(self.path, "lineage")
+        if not os.path.exists(p):
+            return spark.createDataFrame(
+                [],
+                "shard int, terms long, postings long, bytes long, "
+                "skew_ratio double, status string, segment string",
+            )
+        return spark.read.parquet(p)
 
     #: largest RAW dict row count (pre-fold, parquet-footer-served) that
     #: term_dfs will cache driver-side: ~10^6 (term, df) entries is tens of
@@ -791,6 +811,39 @@ def build_index(
     elif n_docs is None:
         # doc_id_field path: parquet sources answer count() from footers
         n_docs = source.count()
+
+    if not n_docs:
+        # 0-doc corpus -> a valid EMPTY index (the Solr empty-core
+        # analogue): meta only.  The postings/docs/dict dirs are created by
+        # the first append; Index serves schema-correct empty frames until
+        # then, so every query/facet/spellcheck path works on the empty
+        # index unchanged (tests/test_round4.py).
+        docs_schema = based.select(
+            "doc_id",
+            *[c for c in spec.stored_fields],
+            F.sha2(F.col(spec.content_field), 256).alias("sha256"),
+            F.pmod(F.col("doc_id"), F.lit(spec.num_shards))
+            .cast("int")
+            .alias("shard"),
+        ).schema
+        write_meta(
+            out_dir,
+            {
+                "spec": _spec_meta(spec),
+                "n_docs": 0,
+                "avgdl": 0.0,
+                "total_tokens": 0,
+                "next_doc_id": 0,
+                "hot_terms": [],
+                "postings_dirname": "postings",
+                "dict_dirname": "dict",
+                "ngrams_dirname": "dict_ngrams",
+                "docs_schema": json.dumps(docs_schema.jsonValue()),
+            },
+        )
+        if ids_handle is not None:
+            ids_handle.unpersist()
+        return Index.load(out_dir)
 
     pool = ThreadPoolExecutor(max_workers=3)
     term_stats: DataFrame | None = None

@@ -83,6 +83,9 @@ def compact_index(
     """Merge-rewrite the postings of ``index`` into a new generation dir;
     returns a refreshed handle."""
     spec = index.spec
+    if not os.path.exists(index.postings_path):
+        # 0-doc index (no postings dir yet): nothing to merge
+        return index
     old_dirname = index.postings_dirname
     old_path = index.postings_path
     gen = 0

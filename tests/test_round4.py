@@ -238,6 +238,34 @@ def test_ngram_spellcheck_short_query_falls_back(spark, stored_index):
     assert [r.asDict() for r in auto] == [r.asDict() for r in scan]
 
 
+# --------------------------------------------------------------- empty index
+
+
+def test_empty_corpus_builds_a_valid_index(spark, tmp_path):
+    from cascading_solr_spark.indexing.append import append_documents
+    from cascading_solr_spark.indexing.compact import compact_index
+    from cascading_solr_spark.query.search import facet_counts, suggest_terms
+
+    out = str(tmp_path / "ix")
+    spec = IndexSpec(num_shards=2, keyword_fields=("lang",))
+    empty = synth_corpus(spark, 10, partitions=2).limit(0)
+    ix = build_index(spark, empty, spec, out)
+    assert ix.n_docs == 0
+    # every read path serves schema-correct empty results
+    assert search(spark, ix, "parse", k=5).collect() == []
+    assert facet_counts(spark, ix, "parse", "lang").collect() == []
+    assert suggest_terms(spark, ix, "parze", k=3).collect() == []
+    assert compact_index(spark, ix).n_docs == 0  # no-op, not a crash
+    # the first append bootstraps the real tables INCLUDING the ngram index
+    # (safe: a 0-doc index has no prior vocabulary to miss)
+    ix = append_documents(spark, out, synth_corpus(spark, 80, partitions=2))
+    assert ix.n_docs == 80
+    assert len(search(spark, ix, "parse buffer", k=5).collect()) == 5
+    a = suggest_terms(spark, ix, "bufer", k=3, mode="ngram").collect()
+    b = suggest_terms(spark, ix, "bufer", k=3, mode="scan").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b] and a
+
+
 # --------------------------------------------------------------- term vector
 
 
