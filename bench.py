@@ -149,6 +149,48 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
         lambda: highlight(spark, ix_docs, "spark join", k=10).collect(),
         repeat=3,
     )
+    from cascading_solr_spark.query.search import (
+        facet_pivot_counts,
+        search_sorted,
+        spellcheck_collate,
+        stats_field,
+        term_vectors,
+        terms_component,
+    )
+
+    timings["facet_pivot"] = timed(
+        lambda: facet_pivot_counts(
+            spark, ix_docs, "spark join", ("lang", "source")
+        ).collect(),
+        repeat=3,
+    )
+    timings["stats_textlen"] = timed(
+        lambda: stats_field(spark, ix_docs, "spark join", "textlen").collect(),
+        repeat=3,
+    )
+    timings["sorted_query"] = timed(
+        lambda: search_sorted(
+            spark, ix_docs, "spark join", "textlen", k=10
+        ).collect(),
+        repeat=3,
+    )
+    timings["paged_query"] = timed(
+        lambda: search(
+            spark, ix_docs, "spark join", k=10, start=10, with_stored=False
+        ).collect(),
+        repeat=3,
+    )
+    timings["terms_browse"] = timed(
+        lambda: terms_component(spark, ix_docs, prefix="s", k=10).collect(),
+        repeat=3,
+    )
+    timings["collate"] = timed(
+        lambda: spellcheck_collate(spark, ix_docs, "sparc join").collect(),
+        repeat=3,
+    )
+    timings["term_vectors_doc0"] = timed(
+        lambda: term_vectors(spark, ix_docs, 0).collect(), repeat=3
+    )
 
     # ---- 3. query latency over the compressed code index ----
     from cascading_solr_spark.indexing.build import Index
