@@ -444,11 +444,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_cosine_topk"] = lambda s, d: similarity.cosine_topk_to_row(
         _emb(s, d), query_id=0, k=10
     )
+    # threshold 0.3 (not 0.95): the synthetic embeddings yield ZERO pairs
+    # above ~0.8, which made this check pass vacuously in r4 — at 0.3 the
+    # exact path returns a non-empty superset of sim_near_pairs_lsh's pairs
     q["sim_near_pairs"] = lambda s, d: similarity.embedding_near_pairs(
         _emb(s, d).withColumn(
             "embedding", F.transform("embedding", lambda x: x.cast("double"))
         ),
-        threshold=0.8,
+        threshold=0.3,
     )
     q["sim_lsh_buckets"] = lambda s, d: (
         similarity.lsh_buckets(_emb(s, d))
@@ -676,18 +679,24 @@ SELECT DISTINCT t.doc_id
 FROM toks t JOIN documents d ON d.doc_id = t.doc_id
 WHERE t.term IN ('spark', 'join') AND d.lang = 'es'
 """
+    # n_outer from the outer field alone (Solr: pivot outer counts are
+    # independent of the inner field); inner pairs LEFT-joined so an outer
+    # bucket with no inner values survives as (outer, NULL, 0, n_outer)
     o["ft_facet_pivot"] = f"""
 WITH {_toks_cte()},
 matched AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark', 'join')),
+om AS (SELECT d.doc_id, d.lang AS value_outer
+       FROM documents d JOIN matched USING (doc_id)
+       WHERE d.lang IS NOT NULL),
+nout AS (SELECT value_outer, count(*)::BIGINT AS n_outer FROM om GROUP BY 1),
 counts AS (
-  SELECT d.lang AS value_outer, d.source AS value_inner,
-         count(*)::BIGINT AS n
-  FROM documents d JOIN matched USING (doc_id)
-  WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
+  SELECT om.value_outer, d.source AS value_inner, count(*)::BIGINT AS n
+  FROM om JOIN documents d USING (doc_id)
+  WHERE d.source IS NOT NULL
   GROUP BY 1, 2)
-SELECT value_outer, value_inner, n,
-       (sum(n) OVER (PARTITION BY value_outer))::BIGINT AS n_outer
-FROM counts
+SELECT nout.value_outer, counts.value_inner,
+       coalesce(counts.n, 0)::BIGINT AS n, nout.n_outer
+FROM nout LEFT JOIN counts USING (value_outer)
 """
     o["ft_stats"] = f"""
 WITH {_toks_cte()},
@@ -922,7 +931,7 @@ WITH e AS (SELECT vec_id,
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({_cos.format(a="a.v", b="b.v")}, 4) AS cos_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round({_cos.format(a="a.v", b="b.v")}, 4) >= 0.8
+WHERE round({_cos.format(a="a.v", b="b.v")}, 4) >= 0.3
 """
     _buckets_cte = """
 dims AS (SELECT vec_id, unnest(embedding) AS x,

@@ -314,9 +314,10 @@ def append_documents(
             # bootstrap_ngrams: a 0-doc index has no ngram dir yet but no
             # prior vocabulary either, so creating it here is complete; a
             # PRE-ngram index (built before the feature) must NOT get a
-            # partial one — its old vocab would be invisible to the ngram
-            # path — so absent dir + nonzero n_docs means scan-only forever
-            # (until a compact of a rebuilt index).
+            # partial one here — its old vocab would be invisible to the
+            # ngram path — so absent dir + nonzero n_docs stays scan-only
+            # until the next compact_index, which bootstraps the ngram table
+            # from the complete folded vocabulary (indexing/compact.py).
             if os.path.exists(index.ngrams_path) or bootstrap_ngrams:
                 from cascading_solr_spark.indexing.build import term_ngram_rows
 

@@ -155,9 +155,13 @@ def compact_index(
 
     # spellcheck ngram index: append segments accumulate duplicate
     # (gram, term) pairs (harmless for countDistinct lookups, but they grow)
-    # — regenerate from the freshly-folded vocabulary as a new generation
+    # — regenerate from the freshly-folded vocabulary as a new generation.
+    # The folded dict IS the complete vocabulary at compact time, so a
+    # PRE-ngram index (built before the feature) safely bootstraps its ngram
+    # table here — gated on have_dict alone, not on a pre-existing ngram dir
+    # (append.py can only bootstrap at n_docs=0; compact has the full vocab).
     old_ngrams_dirname = index.ngrams_dirname
-    have_ngrams = have_dict and os.path.exists(index.ngrams_path)
+    have_ngrams = have_dict
     new_ngrams_dirname = old_ngrams_dirname
     if have_ngrams:
         from cascading_solr_spark.indexing.build import term_ngram_rows

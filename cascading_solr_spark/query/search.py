@@ -544,9 +544,13 @@ def facet_pivot_counts(
     prefix-pruned postings (:func:`facet_value_pairs`); two doc_id
     equi-joins, one bounded groupBy — never a docs-table scan.  Ordered the
     way Solr renders pivots: outer count desc, outer value asc, then inner
-    count desc, inner value asc."""
-    from pyspark.sql import Window
+    count desc, inner value asc.
 
+    ``n_outer`` is computed from the outer field's match alone — Solr's
+    facet.pivot reports the outer bucket count independent of the inner
+    field, so a matched doc with no inner-field value still counts toward
+    its outer bucket; such a bucket surfaces as one (value_outer, NULL
+    value_inner, n=0) row when it has no inner pairs at all."""
     outer_f, inner_f = fields
     matched = match_ids(spark, index, query, filters=filters, op=op)
     outer = facet_value_pairs(spark, index, outer_f).withColumnRenamed(
@@ -555,19 +559,25 @@ def facet_pivot_counts(
     inner = facet_value_pairs(spark, index, inner_f).withColumnRenamed(
         "value", "value_inner"
     )
-    pairs = outer.join(matched, "doc_id").join(inner, "doc_id")
-    counts = pairs.groupBy("value_outer", "value_inner").agg(
-        F.count("*").alias("n")
+    om = outer.join(matched, "doc_id")
+    n_outer = om.groupBy("value_outer").agg(F.count("*").alias("n_outer"))
+    counts = (
+        om.join(inner, "doc_id")
+        .groupBy("value_outer", "value_inner")
+        .agg(F.count("*").alias("n"))
     )
     return (
-        counts.withColumn(
-            "n_outer", F.sum("n").over(Window.partitionBy("value_outer"))
+        n_outer.join(counts, "value_outer", "left")
+        .select(
+            "value_outer",
+            "value_inner",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            "n_outer",
         )
         .orderBy(
             F.desc("n_outer"), F.asc("value_outer"),
             F.desc("n"), F.asc("value_inner"),
         )
-        .select("value_outer", "value_inner", "n", "n_outer")
     )
 
 
@@ -956,18 +966,76 @@ def suggest_terms(
     )
 
 
+def suggest_many(
+    spark: SparkSession,
+    index: Index,
+    terms: list[str],
+    k: int = 1,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Ranked suggestions for MANY (already-analyzed) terms in ONE job.
+
+    Per input term the candidate frame is the same as :func:`suggest_terms`
+    (ngram-pruned when the dict_ngrams table + gram bound allow, the full
+    length-banded dict scan otherwise); the frames are tagged with their
+    query term and unioned, so one distance + window pass ranks every
+    term's suggestions — a query with m misspelled terms costs one Spark
+    job instead of m sequential collects.  Identical (distance asc, df
+    desc, term asc) ranking per term.  Returns (query_term, term, df,
+    distance), top ``k`` per query term."""
+    from pyspark.sql import Window
+
+    empty = spark.createDataFrame(
+        [], "query_term string, term string, df long, distance int"
+    )
+    d = index.term_dict(spark)
+    if d is None or not terms:
+        return empty
+    tagged: DataFrame | None = None
+    for qt in sorted(set(terms)):
+        cand = ngram_candidates(spark, index, qt, max_distance)
+        base = d if cand is None else d.join(cand.hint("shuffle_hash"), "term")
+        frame = base.withColumn("query_term", F.lit(qt))
+        tagged = frame if tagged is None else tagged.unionByName(frame)
+    w = Window.partitionBy("query_term").orderBy(
+        F.asc("distance"), F.desc("df"), F.asc("term")
+    )
+    return (
+        tagged.filter(~F.col("term").contains(KW_SEP))
+        .filter(
+            (F.abs(F.length("term") - F.length("query_term")) <= max_distance)
+            & (F.col("term") != F.col("query_term"))
+        )
+        .withColumn(
+            "distance", F.levenshtein("term", F.col("query_term")).cast("int")
+        )
+        .filter(F.col("distance") <= max_distance)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_term", "term", "df", "distance")
+    )
+
+
 def spellcheck_collate(
     spark: SparkSession,
     index: Index,
     query: str,
     max_distance: int = 2,
+    filters: dict[str, str] | None = None,
+    op: str = "OR",
 ) -> DataFrame:
     """Collated spellcheck — the Solr ``spellcheck.collate`` /
     ``collateExtendedResults`` analogue (the reference's /browse defaults
     set both, solrconfig.xml:937-938): rewrite the query with every
     UNKNOWN term (df = 0 in the dictionary) replaced by its best suggestion
-    (:func:`suggest_terms` rank #1), and verify the collation by counting
-    its hits — Solr only trusts a collation that actually produces results.
+    (:func:`suggest_many` rank #1 — ONE batched job for all unknown terms),
+    and verify the collation by counting its hits — Solr only trusts a
+    collation that actually produces results.
+
+    ``filters``/``op`` are the ORIGINAL request's parameters: Solr runs the
+    collation check under the original query params, so the hit count here
+    is computed with the same keyword filters and boolean op as the request
+    being corrected.
 
     Returns one row (collation, hits).  Terms already in the dictionary are
     never rewritten (DirectSolrSpellChecker behavior); an unknown term with
@@ -975,23 +1043,28 @@ def spellcheck_collate(
     is zero, exactly Solr's failed-collation signal)."""
     terms = analyze_query(query)
     dfs = term_dfs(spark, index, terms) if terms else {}
-    replaced = False
-    out_terms: list[str] = []
-    for t in terms:
-        if dfs.get(t, 0) > 0:
-            out_terms.append(t)
-            continue
-        sug = suggest_terms(
-            spark, index, t, k=1, max_distance=max_distance
-        ).collect()
-        out_terms.append(sug[0]["term"] if sug else t)
-        replaced = True
+    unknown = [t for t in dict.fromkeys(terms) if dfs.get(t, 0) == 0]
+    best: dict[str, str] = {}
+    if unknown:
+        best = {
+            r["query_term"]: r["term"]
+            for r in suggest_many(
+                spark, index, unknown, k=1, max_distance=max_distance
+            ).collect()
+        }
+    out_terms = [
+        best.get(t, t) if dfs.get(t, 0) == 0 else t for t in terms
+    ]
     collation = " ".join(out_terms)
-    if not replaced:
+    if not unknown:
         # nothing misspelled: Solr returns no collation; hits = the query's
         # own match count for a stable schema
         collation = query if not terms else " ".join(terms)
-    hits = match_ids(spark, index, collation).count() if collation else 0
+    hits = (
+        match_ids(spark, index, collation, filters=filters, op=op).count()
+        if collation
+        else 0
+    )
     return spark.createDataFrame(
         [(collation, int(hits))], "collation string, hits long"
     )

@@ -207,11 +207,14 @@ def maxscore_kernel(
     ``counters`` (optional, in-process use only: tests/bench tracing) is
     updated in place with rows/blocks decoded vs skipped.
 
-    ``decode_cache`` (optional) memoizes FULL row decodes keyed by row
-    identity — the batch-query path (search_many) scores many queries over
-    one partition and shares the cache so a term essential to several
-    queries decompresses once.  Pruned partial decodes are never cached
-    (they are the cheap path already).
+    ``decode_cache`` (optional) memoizes FULL row decodes — the batch-query
+    path (search_many) scores many queries over one partition and shares the
+    cache so a term essential to several queries decompresses once.  Keys
+    are ROW CONTENT, not ``id(row)``: (term, salt, n_docs, last doc id) —
+    unique per posting row within a partition because segments cover
+    disjoint doc-id ranges, and safe across row lifetimes (an id() key
+    could silently alias a recycled CPython object).  Pruned partial
+    decodes are never cached (they are the cheap path already).
 
     The returned callable takes the per-shard pandas frame; its ``.rows``
     attribute takes a pre-extracted ``itertuples`` list instead (the batch
@@ -221,6 +224,12 @@ def maxscore_kernel(
     def bump(key: str, n: int = 1) -> None:
         if counters is not None:
             counters[key] = counters.get(key, 0) + n
+
+    def cache_key(r) -> tuple:
+        # content-stable (see docstring): disjoint segment id ranges make
+        # the trailing block_last_id unique per (term, salt, n_docs)
+        last = r.block_last_id
+        return (r.term, int(r.salt), int(r.n_docs), int(last[len(last) - 1]))
 
     def score_rows(rows: list) -> pd.DataFrame:
         allowed = allowed_ids(rows, filter_terms, block_size, counters)
@@ -266,8 +275,9 @@ def maxscore_kernel(
                 n = int(r.n_docs)
                 nb = int(r.n_blocks)
                 if essential:
+                    ck = cache_key(r) if decode_cache is not None else None
                     cached = (
-                        decode_cache.get(id(r))
+                        decode_cache.get(ck)
                         if decode_cache is not None
                         else None
                     )
@@ -276,7 +286,7 @@ def maxscore_kernel(
                         tfs = decode_varint(r.tfs, n)
                         dls = decode_varint(r.dls, n)
                         if decode_cache is not None:
-                            decode_cache[id(r)] = (ids, tfs, dls)
+                            decode_cache[ck] = (ids, tfs, dls)
                     else:
                         ids, tfs, dls = cached
                         bump("rows_decode_cached")
