@@ -57,9 +57,11 @@ _DOC_SPEC = IndexSpec(
     content_field="text",
     key_fields=("doc_id",),
     # "text" stored -> highlighting (Solr stored="true" requirement);
-    # "textlen" (= length(text), derived at index time) is the stored
-    # numeric field facet.range buckets over
-    stored_fields=("lang", "source", "textlen", "text"),
+    # "textlen" (= length(text)) and "docdate" (deterministic DATE derived
+    # from doc_id) are derived at index time: the numeric and DATE fields
+    # facet.range buckets over (the reference range-facets price and
+    # manufacturedate_dt the same way, solrconfig.xml:900-914)
+    stored_fields=("lang", "source", "textlen", "docdate", "text"),
     keyword_fields=("lang", "source"),  # exact filters served index-side
     doc_id_field="doc_id",
     num_shards=8,
@@ -67,7 +69,7 @@ _DOC_SPEC = IndexSpec(
 )
 
 
-_INDEX_FORMAT_VERSION = 8  # bump on any postings/dict/ANN layout change
+_INDEX_FORMAT_VERSION = 9  # bump on any postings/dict/ANN layout change
 
 
 _INDEX_HANDLES: dict[str, Index] = {}
@@ -83,7 +85,19 @@ def _index_for(spark: SparkSession, sf_dir: str) -> Index:
     )
     if not os.path.exists(os.path.join(out, "meta.json")):
         shutil.rmtree(out, ignore_errors=True)
-        source = _docs(spark, sf_dir).withColumn("textlen", F.length("text"))
+        source = (
+            _docs(spark, sf_dir)
+            .withColumn("textlen", F.length("text"))
+            # deterministic DATE spread over ~3 years (oracle-reproducible:
+            # DATE '2020-01-01' + (doc_id*37 mod 1100) days)
+            .withColumn(
+                "docdate",
+                F.date_add(
+                    F.to_date(F.lit("2020-01-01")),
+                    F.pmod(F.col("doc_id") * 37, F.lit(1100)).cast("int"),
+                ),
+            )
+        )
         build_index(spark, source, _DOC_SPEC, out)
         _INDEX_HANDLES.pop(out, None)
     if out not in _INDEX_HANDLES:
@@ -155,26 +169,56 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """EXACTLY 50 entries: the driver's oracle check caps at 50 (discovered
+    round 4 — CORRECTNESS_r04 recorded precisely the first 50 of 54 keys in
+    dict order, silently dropping ft_batch_search / ft_topk_per_lang /
+    ev_sessionize / ix_lineage).  Near-duplicate entries are merged into
+    tagged unions (each merged path still runs AND oracle-checks), so the
+    checked set equals the full set; tests/test_entry_parity.py fails
+    loudly if the count ever exceeds the cap again."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # --- full-text engine (SURVEY.md §2.2 Q1-Q10) ---
-    q["ft_bm25_topk"] = lambda s, d: bm25_topk_df(_docs(s, d), Q_MAIN, k=10)
-    q["ft_bm25_multiterm"] = lambda s, d: bm25_topk_df(_docs(s, d), Q_MULTI, k=10)
-    q["ix_search_compressed"] = lambda s, d: search(
-        s, _index_for(s, d), Q_MAIN, k=10, with_stored=False
-    ).select("doc_id", F.round("score", 4).alias("score"))
-    q["ix_search_taat"] = lambda s, d: search(
-        s, _index_for(s, d), Q_MULTI, k=10, mode="taat", with_stored=False
-    ).select("doc_id", F.round("score", 4).alias("score"))
-    q["ft_keyword_hits"] = lambda s, d: _docs(s, d).agg(
+    # naive oracle-adjacent BM25, both headline queries in one tagged union
+    # (merged r5: was ft_bm25_topk + ft_bm25_multiterm)
+    q["ft_bm25_naive"] = lambda s, d: (
+        bm25_topk_df(_docs(s, d), Q_MAIN, k=10)
+        .select(F.lit("q0").alias("query_id"), "doc_id", "score")
+        .unionByName(
+            bm25_topk_df(_docs(s, d), Q_MULTI, k=10).select(
+                F.lit("q1").alias("query_id"), "doc_id", "score"
+            )
+        )
+    )
+    # compressed-index retrieval through BOTH shard kernels (merged r5: was
+    # ix_search_compressed [MaxScore] + ix_search_taat [exhaustive TAAT])
+    q["ix_search_kernels"] = lambda s, d: (
+        search(s, _index_for(s, d), Q_MAIN, k=10, with_stored=False)
+        .select(
+            F.lit("maxscore").alias("kernel"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+        .unionByName(
+            search(
+                s, _index_for(s, d), Q_MULTI, k=10, mode="taat",
+                with_stored=False,
+            ).select(
+                F.lit("taat").alias("kernel"),
+                "doc_id",
+                F.round("score", 4).alias("score"),
+            )
+        )
+    )
+    # hit counting incl. the zero-hit short-circuit (merged r5: was
+    # ft_keyword_hits + ft_zero_hit)
+    q["ft_hit_counts"] = lambda s, d: _docs(s, d).agg(
         F.sum(
             F.array_contains(textstats.simple_tokens("text"), "stream").cast("long")
-        ).alias("n_hits")
-    )
-    q["ft_zero_hit"] = lambda s, d: _docs(s, d).agg(
+        ).alias("n_stream"),
         F.sum(
             F.array_contains(textstats.simple_tokens("text"), "zzqxv").cast("long")
-        ).alias("n_hits")
+        ).alias("n_zzqxv"),
     )
     q["ft_field_scoped"] = lambda s, d: (
         _docs(s, d)
@@ -266,6 +310,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_facet_range"] = _facet_range
 
+    # DATE-typed facet.range with month-gap arithmetic + facet.range.other
+    # buckets (the reference range-facets manufacturedate_dt with +1YEAR
+    # gaps, solrconfig.xml:909-914, and sets other=after for price, :900):
+    # quarterly buckets over the stored docdate, before/after/between rows
+    # included (other=all)
+    def _facet_range_date(s, d):
+        from cascading_solr_spark.query.search import facet_range_counts_date
+
+        return facet_range_counts_date(
+            s, _index_for(s, d), Q_MAIN, "docdate",
+            start="2020-03-01", end="2022-03-01", gap_months=3, other=True,
+        )
+
+    q["ft_facet_range_date"] = _facet_range_date
+
     # match-only kernel (the Lucene matching-not-ranking path facets /
     # filter caches consume): doc-id decode only, no scoring arithmetic,
     # tf/dl columns pruned at the parquet scan
@@ -293,6 +352,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_paged_query"] = lambda s, d: search(
         s, _index_for(s, d), Q_MAIN, k=10, start=10, with_stored=False
     ).select("doc_id", F.round("score", 4).alias("score"))
+
+    # cursorMark deep paging (Solr's cursorMark; search_after): page 2
+    # fetched BY CURSOR from page 1's last (score, doc_id) — page-N work is
+    # page-1 work, no start+k growth; equals offset paging on the ranking
+    def _cursor_page(s, d):
+        from cascading_solr_spark.query.search import next_cursor, search_after
+
+        ix = _index_for(s, d)
+        page1 = search_after(s, ix, Q_MULTI, k=10).collect()
+        return search_after(
+            s, ix, Q_MULTI, cursor=next_cursor(page1), k=10
+        ).select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_cursor_page"] = _cursor_page
 
     # TermsComponent (/terms handler, solrconfig.xml:1458-1466): vocabulary
     # browse by prefix, terms.sort=count default
@@ -367,28 +440,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _index_for(s, d), "join", k=10, with_stored=False,
         synonyms={"join": ["merge"]},
     ).select("doc_id", F.round("score", 4).alias("score"))
-    q["ft_and_query"] = lambda s, d: (
-        # tokens projected ONCE as a named column: Catalyst does not CSE two
-        # regexp_extract_all calls inside one filter
+    # conjunctive matching through BOTH paths in one tagged union (merged
+    # r5: was ft_and_query [naive docs scan] + ix_and_query [index-side
+    # postings intersection, the Lucene-parser +term/AND form,
+    # schema.xml:239 default OR overridden]); tokens projected ONCE as a
+    # named column — Catalyst does not CSE two regexp_extract_all calls
+    q["and_query_paths"] = lambda s, d: (
         _docs(s, d)
         .select("doc_id", textstats.simple_tokens("text").alias("_toks"))
         .filter(
             F.array_contains("_toks", "spark") & F.array_contains("_toks", "join")
         )
-        .select("doc_id")
+        .select(F.lit("naive").alias("path"), "doc_id")
+        .unionByName(
+            search(
+                s, _index_for(s, d), Q_MAIN, k=None, op="AND",
+                with_stored=False,
+            ).select(F.lit("index").alias("path"), "doc_id")
+        )
     )
-    # conjunctive ranked query served INDEX-SIDE (op="AND": a postings
-    # intersection in the shard kernels, never a docs-table scan — the
-    # Lucene-parser +term/AND form, schema.xml:239 default OR overridden)
-    q["ix_and_query"] = lambda s, d: search(
-        s, _index_for(s, d), Q_MAIN, k=None, op="AND", with_stored=False
-    ).select("doc_id")
     # the reference's own query-string form (q=cat:Japanese through the
     # Lucene parser, AbstractSolrSchemeTest.java:163-165): field:value tokens
     # parsed against spec.keyword_fields into index-side filters
     q["ix_query_string"] = lambda s, d: search(
         s, _index_for(s, d), "lang:es " + Q_MAIN, k=10, with_stored=False
     ).select("doc_id", F.round("score", 4).alias("score"))
+
+    # --- batched multi-query search (one distributed pass for N queries);
+    # r5: full single-query-surface parity — q2 carries a keyword filter
+    # through the batch kernel (restored to the checked set after the r4
+    # cap-drop, see the queries() docstring) ---
+    def _batch(s, d):
+        from cascading_solr_spark.query.search import search_many
+
+        return search_many(
+            s,
+            _index_for(s, d),
+            {
+                "q0": Q_MAIN,
+                "q1": Q_MULTI,
+                "q2": {"q": Q_MAIN, "filters": {"lang": "es"}},
+            },
+            k=10,
+        ).select("query_id", "doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_batch_search"] = _batch
+
+    # --- top-k per group (window over BM25 scores; restored, see above) ---
+    def _topk_per_lang(s, d):
+        from pyspark.sql import Window
+
+        scores = bm25_topk_df(_docs(s, d), Q_MAIN, k=None)
+        joined = scores.join(_docs(s, d).select("doc_id", "lang"), "doc_id")
+        w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            joined.withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= 3)
+            .select("lang", "doc_id", "score", "rn")
+        )
+
+    q["ft_topk_per_lang"] = _topk_per_lang
+
+    # --- sessionization (gap-based, window functions; restored) ---
+    def _sessions(s, d):
+        from cascading_solr_spark.operators.sessions import sessionize
+
+        return sessionize(_events(s, d), gap_seconds=1800)
+
+    q["ev_sessionize"] = _sessions
     q["ft_df_stats"] = lambda s, d: (
         tokens_long(_docs(s, d), "text", "doc_id")
         .filter(F.col("term").isin(list(DF_TERMS)))
@@ -470,8 +589,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select("vec_id", F.col("bucket").cast("long").alias("bucket"), "cos_sim")
 
     # --- text analysis ---
-    q["ts_token_count"] = lambda s, d: _docs(s, d).select(
-        "doc_id", textstats.token_count("text").cast("long").alias("n_tokens")
+    # token counting + rolling-hash fingerprint joined per doc (merged r5:
+    # was ts_token_count + ts_fingerprint; fingerprint covers docs with >=1
+    # token, left-joined so token counts keep full coverage)
+    q["ts_tokens_fp"] = lambda s, d: (
+        _docs(s, d)
+        .select(
+            "doc_id",
+            textstats.token_count("text").cast("long").alias("n_tokens"),
+        )
+        .join(
+            textstats.fingerprint(_docs(s, d), "text").select(
+                "doc_id", "fingerprint"
+            ),
+            "doc_id",
+            "left",
+        )
     )
     q["ts_quality"] = lambda s, d: textstats.quality_features(
         _docs(s, d), "text"
@@ -487,22 +620,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.col("n_es").cast("long").alias("n_es"),
         F.col("n_fr").cast("long").alias("n_fr"),
     )
-    q["ts_fingerprint"] = lambda s, d: textstats.fingerprint(_docs(s, d), "text")
-
     # --- multimodal plumbing ---
-    q["mm_binary_meta"] = lambda s, d: multimodal.as_media(_docs(s, d), "text").select(
-        "doc_id", "media_type", F.col("byte_len").cast("long").alias("byte_len")
-    )
-    q["mm_features"] = lambda s, d: multimodal.extract_features(
-        multimodal.as_media(_docs(s, d), "text")
-    ).select(
-        "doc_id",
-        F.col("byte_len").cast("long").alias("byte_len"),
-        F.col("width").cast("long").alias("width"),
-        F.col("height").cast("long").alias("height"),
-        F.col("n_frames").cast("long").alias("n_frames"),
-        "checksum",
-    )
+    # binary wrap + typed metadata + Arrow feature extraction in one result
+    # (merged r5: was mm_binary_meta + mm_features)
+    def _mm(s, d):
+        media = multimodal.as_media(_docs(s, d), "text")
+        return multimodal.extract_features(media).join(
+            media.select("doc_id", "media_type"), "doc_id"
+        ).select(
+            "doc_id",
+            "media_type",
+            F.col("byte_len").cast("long").alias("byte_len"),
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.col("n_frames").cast("long").alias("n_frames"),
+            "checksum",
+        )
+
+    q["mm_pipeline"] = _mm
 
     # --- events (batch windowed aggregation; streaming twin in streaming/) ---
     q["ev_windowed_counts"] = lambda s, d: (
@@ -511,39 +646,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_type", "n", "total_value",
         )
     )
-
-    # --- batched multi-query search (one distributed pass for N queries) ---
-    def _batch(s, d):
-        from cascading_solr_spark.query.search import search_many
-
-        return search_many(
-            s, _index_for(s, d), {"q0": Q_MAIN, "q1": Q_MULTI}, k=10
-        ).select("query_id", "doc_id", F.round("score", 4).alias("score"))
-
-    q["ft_batch_search"] = _batch
-
-    # --- top-k per group (window over BM25 scores) ---
-    def _topk_per_lang(s, d):
-        from pyspark.sql import Window
-
-        scores = bm25_topk_df(_docs(s, d), Q_MAIN, k=None)
-        joined = scores.join(_docs(s, d).select("doc_id", "lang"), "doc_id")
-        w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
-        return (
-            joined.withColumn("rn", F.row_number().over(w).cast("long"))
-            .filter(F.col("rn") <= 3)
-            .select("lang", "doc_id", "score", "rn")
-        )
-
-    q["ft_topk_per_lang"] = _topk_per_lang
-
-    # --- sessionization (gap-based, window functions) ---
-    def _sessions(s, d):
-        from cascading_solr_spark.operators.sessions import sessionize
-
-        return sessionize(_events(s, d), gap_seconds=1800)
-
-    q["ev_sessionize"] = _sessions
 
     # --- index internals (rows-only checks; binary/non-SQL) ---
     q["ix_lineage"] = lambda s, d: _index_for(s, d).lineage(s).select(
@@ -557,17 +659,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
-    o["ft_bm25_topk"] = _bm25_sql(tuple(Q_MAIN.split()), 10)
-    o["ft_bm25_multiterm"] = _bm25_sql(tuple(Q_MULTI.split()), 10)
-    o["ix_search_compressed"] = _bm25_sql(tuple(Q_MAIN.split()), 10)
-    o["ix_search_taat"] = _bm25_sql(tuple(Q_MULTI.split()), 10)
-    o["ft_keyword_hits"] = f"""
-WITH {_toks_cte()}
-SELECT count(DISTINCT doc_id)::BIGINT AS n_hits FROM toks WHERE term = 'stream'
+    o["ft_bm25_naive"] = f"""
+SELECT 'q0' AS query_id, doc_id, score
+FROM ({_bm25_sql(tuple(Q_MAIN.split()), 10)}) a
+UNION ALL
+SELECT 'q1' AS query_id, doc_id, score
+FROM ({_bm25_sql(tuple(Q_MULTI.split()), 10)}) b
 """
-    o["ft_zero_hit"] = f"""
+    o["ix_search_kernels"] = f"""
+SELECT 'maxscore' AS kernel, doc_id, score
+FROM ({_bm25_sql(tuple(Q_MAIN.split()), 10)}) a
+UNION ALL
+SELECT 'taat' AS kernel, doc_id, score
+FROM ({_bm25_sql(tuple(Q_MULTI.split()), 10)}) b
+"""
+    o["ft_hit_counts"] = f"""
 WITH {_toks_cte()}
-SELECT count(DISTINCT doc_id)::BIGINT AS n_hits FROM toks WHERE term = 'zzqxv'
+SELECT (SELECT count(DISTINCT doc_id) FROM toks
+        WHERE term = 'stream')::BIGINT AS n_stream,
+       (SELECT count(DISTINCT doc_id) FROM toks
+        WHERE term = 'zzqxv')::BIGINT AS n_zzqxv
 """
     o["ft_field_scoped"] = f"""
 WITH {_toks_cte()}
@@ -673,6 +784,39 @@ SELECT (0 + spine.i * 500)::BIGINT AS range_start,
 FROM spine LEFT JOIN cnt USING (i)
 ORDER BY range_start
 """
+    # date range facet: docdate = 2020-01-01 + (doc_id*37 mod 1100) days;
+    # quarterly buckets from 2020-03-01 (day-of-month 1 -> pure month
+    # arithmetic), 8 buckets to the boundary end 2022-03-01, other=all
+    o["ft_facet_range_date"] = f"""
+WITH {_toks_cte()},
+matched AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark', 'join')),
+dd AS (SELECT doc_id,
+              (DATE '2020-01-01'
+               + ((doc_id * 37) % 1100)::INT * INTERVAL 1 DAY)::DATE AS v
+       FROM documents),
+j AS (SELECT v FROM dd JOIN matched USING (doc_id)),
+b AS (SELECT CASE WHEN v < DATE '2020-03-01' THEN -1
+                  WHEN v >= DATE '2022-03-01' THEN 8
+                  ELSE ((12 * year(v) + month(v)) - (12 * 2020 + 3)) // 3
+             END AS _b
+      FROM j),
+cnt AS (SELECT _b, count(*)::BIGINT AS n FROM b GROUP BY 1),
+spine AS (SELECT unnest(range(0, 8)) AS _b)
+SELECT strftime(DATE '2020-03-01' + (spine._b * 3)::INT * INTERVAL 1 MONTH,
+                '%Y-%m-%d') AS bucket,
+       coalesce(cnt.n, 0)::BIGINT AS n
+FROM spine LEFT JOIN cnt USING (_b)
+UNION ALL
+SELECT 'before' AS bucket,
+       coalesce((SELECT n FROM cnt WHERE _b = -1), 0)::BIGINT AS n
+UNION ALL
+SELECT 'after' AS bucket,
+       coalesce((SELECT n FROM cnt WHERE _b = 8), 0)::BIGINT AS n
+UNION ALL
+SELECT 'between' AS bucket,
+       coalesce((SELECT sum(n) FROM cnt WHERE _b BETWEEN 0 AND 7),
+                0)::BIGINT AS n
+"""
     o["ix_match_only"] = f"""
 WITH {_toks_cte()}
 SELECT DISTINCT t.doc_id
@@ -753,6 +897,11 @@ ORDER BY length(d.text) ASC, d.doc_id ASC LIMIT 10
 SELECT doc_id, score FROM ({_bm25_sql(tuple(Q_MAIN.split()), None)})
 ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10
 """
+    # cursor paging must equal offset paging on the full ranking
+    o["ft_cursor_page"] = f"""
+SELECT doc_id, score FROM ({_bm25_sql(tuple(Q_MULTI.split()), None)})
+ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10
+"""
     o["ft_terms"] = f"""
 WITH {_toks_cte()},
 vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
@@ -762,13 +911,18 @@ WHERE term LIKE 's%'
 ORDER BY df DESC, term ASC LIMIT 10
 """
     o["ft_synonym"] = _bm25_sql(("join", "merge"), 10)
-    o["ft_and_query"] = f"""
+    # both conjunctive paths (naive scan / index-side postings intersection)
+    # produce the same match set
+    _and_sql = f"""
 WITH {_toks_cte()}
 SELECT doc_id FROM toks WHERE term IN ('spark', 'join')
 GROUP BY doc_id HAVING count(DISTINCT term) = 2
 """
-    # index-side conjunctive query: same semantics, served from postings
-    o["ix_and_query"] = o["ft_and_query"]
+    o["and_query_paths"] = f"""
+SELECT 'naive' AS path, doc_id FROM ({_and_sql}) a
+UNION ALL
+SELECT 'index' AS path, doc_id FROM ({_and_sql}) b
+"""
     # query-string parser path: 'lang:es spark join' == filter + ranked query
     o["ix_query_string"] = f"""
 WITH scores AS ({_bm25_sql(tuple(Q_MAIN.split()), None)})
@@ -1013,10 +1167,25 @@ FROM cand
 ORDER BY round({_cos.format(a="v", b="qv")}, 4) DESC, vec_id ASC LIMIT 10
 """
 
-    o["ts_token_count"] = f"""
-SELECT doc_id,
-       len(regexp_extract_all(lower(text), '{SIMPLE}'))::BIGINT AS n_tokens
-FROM documents
+    o["ts_tokens_fp"] = f"""
+WITH tc AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{SIMPLE}'))::BIGINT AS n_tokens
+  FROM documents),
+base AS (SELECT doc_id,
+                regexp_extract_all(lower(text), '{SIMPLE}') AS l
+         FROM documents),
+ptoks AS (SELECT doc_id, unnest(l) AS term,
+                 unnest(range(1, len(l) + 1)) AS pos
+          FROM base),
+vocab AS (SELECT term, dense_rank() OVER (ORDER BY term) AS term_id
+          FROM (SELECT DISTINCT term FROM ptoks)),
+fp AS (SELECT doc_id,
+              CAST(sum(term_id * ((pos % 31) + 1)) % 1000003 AS BIGINT)
+                AS fingerprint
+       FROM ptoks JOIN vocab USING (term) GROUP BY doc_id)
+SELECT tc.doc_id, tc.n_tokens, fp.fingerprint
+FROM tc LEFT JOIN fp USING (doc_id)
 """
     stop_list = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
     o["ts_quality"] = f"""
@@ -1068,29 +1237,9 @@ SELECT doc_id,
        n_en, n_es, n_fr
 FROM counts
 """
-    o["ts_fingerprint"] = f"""
-WITH base AS (SELECT doc_id,
-                     regexp_extract_all(lower(text), '{SIMPLE}') AS l
-              FROM documents),
-ptoks AS (SELECT doc_id, unnest(l) AS term,
-                 unnest(range(1, len(l) + 1)) AS pos
-          FROM base),
-vocab AS (SELECT term, dense_rank() OVER (ORDER BY term) AS term_id
-          FROM (SELECT DISTINCT term FROM ptoks))
-SELECT doc_id,
-       CAST(sum(term_id * ((pos % 31) + 1)) % 1000003 AS BIGINT) AS fingerprint,
-       count(*)::BIGINT AS n_tokens
-FROM ptoks JOIN vocab USING (term) GROUP BY doc_id
-"""
-
-    o["mm_binary_meta"] = """
-SELECT doc_id, 'application/octet-stream' AS media_type,
-       octet_length(encode(text))::BIGINT AS byte_len
-FROM documents
-"""
     # the deterministic fake features ARE SQL-expressible: byte lengths and a
     # byte-sum checksum over the UTF-8 payload (hex-pair extraction)
-    o["mm_features"] = """
+    o["mm_pipeline"] = """
 WITH b AS (SELECT doc_id, encode(text) AS p FROM documents),
 f AS (SELECT doc_id,
              octet_length(p)::BIGINT AS byte_len,
@@ -1099,7 +1248,7 @@ f AS (SELECT doc_id,
                  i -> ('0x' || substr(hex(p), (i - 1) * 2 + 1, 2))::INT
              )), 0)::BIGINT AS checksum
       FROM b)
-SELECT doc_id, byte_len,
+SELECT doc_id, 'application/octet-stream' AS media_type, byte_len,
        (byte_len % 640)::BIGINT AS width,
        (byte_len % 480)::BIGINT AS height,
        (byte_len // 1024 + 1)::BIGINT AS n_frames,
@@ -1111,6 +1260,14 @@ FROM f
 SELECT 'q0' AS query_id, doc_id, score FROM ({_bm25_sql(tuple(Q_MAIN.split()), 10)}) a
 UNION ALL
 SELECT 'q1' AS query_id, doc_id, score FROM ({_bm25_sql(tuple(Q_MULTI.split()), 10)}) b
+UNION ALL
+SELECT 'q2' AS query_id, doc_id, score FROM (
+  WITH scores AS ({_bm25_sql(tuple(Q_MAIN.split()), None)})
+  SELECT s.doc_id, s.score
+  FROM scores s JOIN documents d USING (doc_id)
+  WHERE d.lang = 'es'
+  ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+) c
 """
     o["ft_topk_per_lang"] = f"""
 WITH scores AS ({_bm25_sql(tuple(Q_MAIN.split()), None)}),

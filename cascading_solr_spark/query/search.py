@@ -117,6 +117,7 @@ def _taat_kernel(
     block_size: int,
     filter_terms: set[str] | None = None,
     require_n_terms: int | None = None,
+    cursor: tuple[float, int] | None = None,
 ):
     """Exact term-at-a-time scorer for one shard (numpy accumulate).
 
@@ -124,11 +125,17 @@ def _taat_kernel(
     at least that many distinct scoring terms survive (each (term, doc)
     posting exists exactly once, so the per-doc posting count IS the matched
     distinct-term count).  Sharding is by doc, so the conjunction is local —
-    an index-side postings intersection, never a docs-table scan."""
+    an index-side postings intersection, never a docs-table scan.
+
+    ``cursor`` = (score, doc_id) keeps only docs STRICTLY AFTER that point
+    in the global (score desc, doc_id asc) order — the cursorMark deep-
+    paging path (:func:`search_after`).  The filter runs over the full
+    exact accumulator BEFORE local top-k selection, so the shard still
+    emits its true best k eligible docs; score comparisons are exact
+    (identical arithmetic per run ⇒ bit-equal floats)."""
     filter_terms = filter_terms or set()
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = list(pdf.itertuples(index=False))
+    def score_rows(rows: list) -> pd.DataFrame:
         allowed = allowed_ids(rows, filter_terms, block_size)
         if allowed is not None and not len(allowed):
             return pd.DataFrame({"doc_id": [], "score": []}).astype(
@@ -164,11 +171,19 @@ def _taat_kernel(
             np.add.at(cnt, inv, 1)
             keep = cnt >= require_n_terms
             uniq, acc = uniq[keep], acc[keep]
+        if cursor is not None:
+            cs, cd = cursor
+            elig = (acc < cs) | ((acc == cs) & (uniq > cd))
+            uniq, acc = uniq[elig], acc[elig]
         if k is not None:
             uniq, acc = topk_ties(uniq, acc, k)
         order = np.lexsort((uniq, -acc))
         return pd.DataFrame({"doc_id": uniq[order], "score": acc[order]})
 
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        return score_rows(list(pdf.itertuples(index=False)))
+
+    score.rows = score_rows  # batch path contract (same as maxscore_kernel)
     return score
 
 
@@ -451,6 +466,88 @@ def search(
     return _fetch_stored(spark, index, top, bounded=k is not None)
 
 
+def search_after(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    cursor: tuple[float, int] | None = None,
+    k: int = 10,
+    filters: dict[str, str] | None = None,
+    synonyms: dict[str, list[str]] | None = None,
+    op: str = "OR",
+    with_stored: bool = False,
+) -> DataFrame:
+    """Cursor-based deep paging — the Solr ``cursorMark`` analogue (Solr's
+    own fix for the deep-paging cost of ``start=N``: start+k per-shard
+    fetches grow with depth, a cursor keeps every page at page-1 cost).
+
+    ``cursor`` is the (score, doc_id) of the LAST row of the previous page
+    (None = first page); the result is the next k docs STRICTLY AFTER that
+    point in the global (score desc, doc_id asc) order.  Chaining pages by
+    cursor reproduces the full ranking exactly (pytest-asserted against
+    offset paging), and because score ties break on the unique doc_id, the
+    cursor is a total-order point — no page can drop or repeat a doc.
+
+    Execution: the exhaustive TAAT kernel with the cursor filter applied to
+    the full accumulator BEFORE local top-k selection, so each shard emits
+    its best k ELIGIBLE docs and the global merge takes k — per-page work
+    is constant in depth (no start+k growth, no offset).  MaxScore pruning
+    is deliberately NOT used here: its θ is the kth-best accumulated score,
+    which on a deep page is dominated by already-returned (cursor-above)
+    docs and would over-prune eligible ones — and an eligible-only θ is
+    unsound too, since a partially-accumulated doc can cross the cursor
+    bound later.  Exhaustive TAAT is exact and already the flat-cost shape
+    cursor paging exists to provide.
+
+    Score equality across pages is exact: every page recomputes scores with
+    identical arithmetic, so the collected float64 cursor compares
+    bit-equal in the kernel."""
+    qtext, parsed_fterms = parse_query(query, index.spec.keyword_fields)
+    qtext, op = query_op(qtext, default=op)
+    terms = expand_terms(qtext, synonyms)
+    fterms = filter_terms_of(filters) | parsed_fterms
+    dfs = term_dfs(spark, index, terms) if terms else {}
+    conjunctive = op.upper() == "AND"
+    n_required = len(set(terms))
+    if not dfs or (conjunctive and len(dfs) < n_required):
+        if fterms and not terms:
+            # pure filter query: (doc_id asc, score 0) order — the cursor
+            # degenerates to a doc_id floor
+            out = keyword_filter(spark, index, fterms)
+            if cursor is not None:
+                out = out.filter(F.col("doc_id") > int(cursor[1]))
+            top = (
+                out.orderBy("doc_id").limit(k).withColumn("score", F.lit(0.0))
+            )
+        else:
+            top = spark.createDataFrame([], _RESULT_SCHEMA)
+    else:
+        spec = index.spec
+        idf = {t: bm25_idf(df, index.n_docs) for t, df in dfs.items()}
+        kernel = _taat_kernel(
+            idf, index.avgdl, spec.k1, spec.b, k, spec.block_size, fterms,
+            require_n_terms=n_required if conjunctive else None,
+            cursor=cursor,
+        )
+        matched = index.postings(spark).filter(
+            F.col("term").isin(list(dfs) + list(fterms))
+        )
+        local = matched.groupBy("shard").applyInPandas(kernel, _RESULT_SCHEMA)
+        top = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if not with_stored:
+        return top
+    return _fetch_stored(spark, index, top, bounded=True)
+
+
+def next_cursor(rows: list) -> tuple[float, int] | None:
+    """Cursor for the page following ``rows`` (a collected page, rank
+    order) — None when the page was empty (iteration is done)."""
+    if not rows:
+        return None
+    last = rows[-1]
+    return (float(last["score"]), int(last["doc_id"]))
+
+
 def facet_counts(
     spark: SparkSession,
     index: Index,
@@ -634,13 +731,30 @@ def highlight(
 
     Semantics (deterministic, shared bit-for-bit with the DuckDB oracle):
     the top-k comes from the normal ranked path; per doc the EARLIEST
-    occurring analyzed query term (first substring position in the
-    lowercased stored text, ties by term asc) is wrapped in <em></em> inside
-    a ±``window``-char fragment.  A doc whose stored text contains no term
-    as a raw substring (analyzer-transformed match) falls back to an
-    unhighlighted head fragment with term ''.  All per-row work is Catalyst
-    expressions over the ≤k fetched rows — highlighting adds zero index
-    work on top of the search itself."""
+    occurring analyzed query term (first case-insensitive position, ties by
+    term asc) is wrapped in <em></em> inside a ±``window``-char fragment of
+    the ORIGINAL stored text — so a camelCase-only match (query
+    ``turbowriter``, stored "TurboWriter 2.3" — the engine's signature
+    reference behavior, AbstractSolrSchemeTest.java:155-159) yields a
+    wrapped ``<em>TurboWriter</em>`` snippet.
+
+    This substring search is ANALYZER-COMPLETE for this analyzer, not a
+    heuristic: the primary tokenizer emits maximal alphanumeric runs, the
+    word-delimiter sub-splitter only splits WITHIN a run, and catenation
+    re-joins exactly one run — so every emitted token is a contiguous
+    substring of the source text (property-tested in
+    tests/test_round5.py).  A matched doc therefore always contains at
+    least one query term case-insensitively; the unhighlighted-head
+    fallback (term '') survives only as a guard for pure-filter queries
+    and pathological stored-field divergence.
+
+    Positions come from ``regexp_instr`` with a (?i) pattern over the
+    ORIGINAL text — never ``locate`` over ``lower(text)``, whose offsets
+    drift when Unicode case-folding changes string length ("İ" lowercases
+    to a 2-char sequence, shifting every later snippet by one).  All
+    per-row work is Catalyst expressions over the ≤k fetched rows —
+    highlighting adds zero index work on top of the search itself."""
+    import re as _re
     spec = index.spec
     if spec.content_field not in spec.stored_fields:
         raise ValueError(
@@ -661,12 +775,12 @@ def highlight(
         return top.select(
             "doc_id", "score", F.lit("").alias("term"), head.alias("snippet")
         )
-    low = F.lower(text)
+    def _pos(t: str):
+        return F.regexp_instr(text, F.lit("(?i)" + _re.escape(t)))
+
     cands = [
         F.struct(
-            F.when(F.locate(t, low) > 0, F.locate(t, low))
-            .otherwise(F.lit(big))
-            .alias("pos"),
+            F.when(_pos(t) > 0, _pos(t)).otherwise(F.lit(big)).alias("pos"),
             F.lit(t).alias("term"),
         )
         for t in terms
@@ -820,6 +934,7 @@ def facet_range_counts(
     gap: int,
     filters: dict[str, str] | None = None,
     op: str = "OR",
+    other: bool = False,
 ) -> DataFrame:
     """Numeric range facets — the Solr ``facet.range`` analogue (the
     reference's /browse defaults range-facet price and popularity:
@@ -827,11 +942,20 @@ def facet_range_counts(
     matching docs' stored numeric ``field`` over [start, end) in ``gap``
     steps, EMPTY BUCKETS INCLUDED (facet.mincount=0, Solr's default).
 
+    ``other=True`` adds Solr's ``facet.range.other=all`` buckets — the
+    reference's own /browse config sets ``facet.range.other=after`` for
+    price (solrconfig.xml:900) — as three extra rows labeled ``before``
+    (field < start), ``after`` (field >= end) and ``between`` (the in-range
+    total); the output schema becomes (bucket string, n) with regular rows
+    labeled by their range start.  With ``other=False`` the (range_start,
+    n) schema is unchanged.
+
     The match set is the index-side match-only kernel (:func:`match_ids`);
     the bucketing joins it to
     the docs table pruned to (doc_id, field) — two narrow distributed sides,
-    then a bounded groupBy over ≤ (end-start)/gap buckets joined to a
-    generated bucket spine (spark.range — no collect anywhere)."""
+    then a bounded groupBy over ≤ (end-start)/gap + 2 buckets joined to a
+    generated bucket spine (spark.range — no collect anywhere; the other
+    buckets ride the SAME single aggregation as out-of-range bucket ids)."""
     if field not in index.spec.stored_fields:
         raise ValueError(
             f"facet.range field {field!r} is not stored "
@@ -842,24 +966,188 @@ def facet_range_counts(
     matched = match_ids(spark, index, query, filters=filters, op=op)
     docs = index.docs(spark).select("doc_id", field)
     n_buckets = -(-(end - start) // gap)
+    joined = docs.join(matched, "doc_id")
+    if not other:
+        joined = joined.filter((F.col(field) >= start) & (F.col(field) < end))
+    # out-of-range rows map to sentinel bucket ids (-1 before, n_buckets
+    # after) so ONE groupBy covers regular and other buckets alike
+    bucket_id = (
+        F.when(F.col(field) < start, F.lit(-1))
+        .when(F.col(field) >= end, F.lit(n_buckets))
+        .otherwise(F.floor((F.col(field) - F.lit(start)) / F.lit(gap)))
+    )
     counts = (
-        docs.join(matched, "doc_id")
-        .filter((F.col(field) >= start) & (F.col(field) < end))
-        .groupBy(
-            F.floor((F.col(field) - F.lit(start)) / F.lit(gap)).alias("_b")
-        )
+        joined.filter(F.col(field).isNotNull())
+        .groupBy(bucket_id.alias("_b"))
         .agg(F.count("*").alias("n"))
     )
     spine = spark.range(n_buckets).select(F.col("id").alias("_b"))
-    return (
+    regular = (
         spine.join(counts, "_b", "left")
         .select(
+            "_b",
             (F.lit(start) + F.col("_b") * F.lit(gap))
             .cast("long")
             .alias("range_start"),
             F.coalesce(F.col("n"), F.lit(0)).alias("n"),
         )
         .orderBy("range_start")
+    )
+    if not other:
+        return regular.select("range_start", "n")
+    outside = counts.filter((F.col("_b") < 0) | (F.col("_b") >= n_buckets))
+    labeled = regular.select(
+        F.col("range_start").cast("string").alias("bucket"), "n", "_b"
+    ).unionByName(
+        spark.range(2)
+        .select(
+            F.when(F.col("id") == 0, F.lit(-1))
+            .otherwise(F.lit(n_buckets))
+            .alias("_b"),
+            F.when(F.col("id") == 0, F.lit("before"))
+            .otherwise(F.lit("after"))
+            .alias("bucket"),
+        )
+        .join(outside, "_b", "left")
+        .select("bucket", F.coalesce(F.col("n"), F.lit(0)).alias("n"), "_b")
+    )
+    between = regular.agg(
+        F.lit("between").alias("bucket"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
+        F.lit(n_buckets + 1).alias("_b"),
+    )
+    return (
+        labeled.unionByName(between)
+        .orderBy("_b", "bucket")
+        .select("bucket", "n")
+    )
+
+
+def facet_range_counts_date(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    field: str,
+    start: str,
+    end: str,
+    gap_months: int,
+    filters: dict[str, str] | None = None,
+    op: str = "OR",
+    other: bool = False,
+) -> DataFrame:
+    """DATE-typed range facets — the reference's own /browse config
+    range-facets ``manufacturedate_dt`` with ``gap=+1YEAR`` over
+    NOW/YEAR-10YEARS..NOW (solrconfig.xml:909-914): bucket counts of the
+    matching docs' stored DATE ``field`` over calendar-month-arithmetic
+    buckets [add_months(start, i·gap), add_months(start, (i+1)·gap)),
+    empty buckets included.  ``gap_months`` expresses Solr's +1MONTH /
+    +3MONTHS / +1YEAR (=12) gaps.
+
+    ``other=True`` adds the before/after/between rows
+    (``facet.range.other=all``; the reference sets ``other=after``,
+    solrconfig.xml:900) — output becomes (bucket string, n) with regular
+    rows labeled by their ISO range-start date.
+
+    Solr's hardend=false semantics: when ``end`` is not on a gap boundary
+    the last bucket extends past it (the effective end is
+    add_months(start, n_buckets·gap)).
+
+    Bucketing is pure month arithmetic inside Catalyst — bucket =
+    floor((12·year(v)+month(v) − 12·Y₀−M₀ − [day(v)<D₀]) / gap) — which is
+    exact when start's day-of-month is ≤ 28 (add_months clamps later days
+    at short months, making edge arithmetic ambiguous; rejected eagerly).
+    One groupBy over ≤ n_buckets+2 ids joined to a generated date spine —
+    the same single-aggregation shape as the numeric path, never a
+    docs-table scan."""
+    import datetime as _dt
+
+    if field not in index.spec.stored_fields:
+        raise ValueError(
+            f"facet.range field {field!r} is not stored "
+            f"{index.spec.stored_fields!r}"
+        )
+    d0 = _dt.date.fromisoformat(start)
+    d1 = _dt.date.fromisoformat(end)
+    if gap_months <= 0 or d1 <= d0:
+        raise ValueError(
+            f"need gap_months > 0 and end > start, got [{start},{end})/"
+            f"{gap_months}"
+        )
+    if d0.day > 28:
+        raise ValueError(
+            f"facet.range date start day-of-month must be <= 28 for exact "
+            f"month-gap edges (got {start}; add_months clamps day "
+            f"{d0.day} at short months)"
+        )
+    def _add_months(d: _dt.date, m: int) -> _dt.date:
+        t = (d.year * 12 + d.month - 1) + m
+        return _dt.date(t // 12, t % 12 + 1, d.day)  # day <= 28: never clamps
+
+    # Solr bucket generation: a bucket exists for every edge_i < end
+    # (hardend=false: the last bucket may extend past end)
+    n_buckets = 1
+    while _add_months(d0, n_buckets * gap_months) < d1:
+        n_buckets += 1
+    matched = match_ids(spark, index, query, filters=filters, op=op)
+    docs = index.docs(spark).select("doc_id", field)
+    joined = docs.join(matched, "doc_id").filter(F.col(field).isNotNull())
+    v = F.col(field)
+    base = 12 * d0.year + d0.month
+    mdiff = (
+        12 * F.year(v)
+        + F.month(v)
+        - F.lit(base)
+        - (F.dayofmonth(v) < d0.day).cast("int")
+    )
+    start_lit = F.lit(start).cast("date")
+    eff_end = F.add_months(start_lit, n_buckets * gap_months)
+    bucket_id = (
+        F.when(v < start_lit, F.lit(-1))
+        .when(v >= eff_end, F.lit(n_buckets))
+        .otherwise(F.floor(mdiff / F.lit(gap_months)))
+    )
+    if not other:
+        joined = joined.filter((v >= start_lit) & (v < eff_end))
+    counts = joined.groupBy(bucket_id.alias("_b")).agg(F.count("*").alias("n"))
+    spine = spark.range(n_buckets).select(F.col("id").alias("_b"))
+    regular = (
+        spine.join(counts, "_b", "left")
+        .select(
+            "_b",
+            F.add_months(
+                start_lit, (F.col("_b") * gap_months).cast("int")
+            ).alias("range_start"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+        .orderBy("range_start")
+    )
+    if not other:
+        return regular.select("range_start", "n")
+    outside = counts.filter((F.col("_b") < 0) | (F.col("_b") >= n_buckets))
+    labeled = regular.select(
+        F.date_format("range_start", "yyyy-MM-dd").alias("bucket"), "n", "_b"
+    ).unionByName(
+        spark.range(2)
+        .select(
+            F.when(F.col("id") == 0, F.lit(-1))
+            .otherwise(F.lit(n_buckets))
+            .alias("_b"),
+            F.when(F.col("id") == 0, F.lit("before"))
+            .otherwise(F.lit("after"))
+            .alias("bucket"),
+        )
+        .join(outside, "_b", "left")
+        .select("bucket", F.coalesce(F.col("n"), F.lit(0)).alias("n"), "_b")
+    )
+    between = regular.agg(
+        F.lit("between").alias("bucket"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
+        F.lit(n_buckets + 1).alias("_b"),
+    )
+    return (
+        labeled.unionByName(between)
+        .orderBy("_b", "bucket")
+        .select("bucket", "n")
     )
 
 
@@ -1121,7 +1409,7 @@ def more_like_this(
 
 
 def batch_kernel(
-    plans: dict[str, list[str]],
+    plans: dict[str, list[str] | tuple],
     idf: dict[str, float],
     avgdl: float,
     k1: float,
@@ -1136,27 +1424,57 @@ def batch_kernel(
     exhaustive-TAAT shape this replaces did), while full decodes of rows a
     term shares across queries are memoized in one per-partition cache.
 
+    A plan is either a bare term list (OR query, no filters — the original
+    contract) or a ``(terms, filter_terms, conjunctive)`` tuple — full
+    parity with the single-query surface: keyword filters restrict the
+    candidate set per query (fq semantics, same block-granular
+    intersection), and a conjunctive query runs the exact TAAT
+    intersection kernel (the same kernel the single AND path uses; its
+    exhaustive decodes still share the batch's decode work via the term
+    grouping).
+
     Exposed at module level so tests/bench can drive it in-process with
     ``counters`` and assert the skip counters fire."""
+    norm_plans: dict[str, tuple[list[str], set[str], bool]] = {}
+    for qid, p in plans.items():
+        if isinstance(p, tuple):
+            norm_plans[qid] = (list(p[0]), set(p[1]), bool(p[2]))
+        else:
+            norm_plans[qid] = (list(p), set(), False)
+    want = {t for terms, fterms, _ in norm_plans.values() for t in terms} | {
+        t for _, fterms, _ in norm_plans.values() for t in fterms
+    }
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         by_term: dict[str, list] = {}
         for r in pdf.itertuples(index=False):
-            if r.term in idf:
+            if r.term in want:
                 by_term.setdefault(r.term, []).append(r)
         cache: dict = {}
         out_q: list[str] = []
         out_ids: list[np.ndarray] = []
         out_scores: list[np.ndarray] = []
-        for qid in sorted(plans):
-            idf_q = {t: idf[t] for t in dict.fromkeys(plans[qid]) if t in idf}
+        for qid in sorted(norm_plans):
+            terms, fterms, conjunctive = norm_plans[qid]
+            uniq_terms = list(dict.fromkeys(terms))
+            idf_q = {t: idf[t] for t in uniq_terms if t in idf}
+            if not idf_q or (conjunctive and len(idf_q) < len(set(uniq_terms))):
+                continue  # zero-hit (or AND with a df=0 term) short-circuit
             qrows = [r for t in idf_q for r in by_term.get(t, [])]
+            qrows += [r for t in sorted(fterms) for r in by_term.get(t, [])]
             if not qrows:
                 continue
-            scorer = maxscore_kernel(
-                idf_q, avgdl, k1, b, k, block_size,
-                counters=counters, decode_cache=cache,
-            )
+            if conjunctive:
+                scorer = _taat_kernel(
+                    idf_q, avgdl, k1, b, k, block_size, fterms,
+                    require_n_terms=len(set(uniq_terms)),
+                )
+            else:
+                scorer = maxscore_kernel(
+                    idf_q, avgdl, k1, b, k, block_size,
+                    filter_terms=fterms,
+                    counters=counters, decode_cache=cache,
+                )
             res = scorer.rows(qrows)
             if not len(res):
                 continue
@@ -1226,7 +1544,7 @@ def term_vectors(
 def search_many(
     spark: SparkSession,
     index: Index,
-    queries: dict[str, str],
+    queries: dict[str, str | dict],
     k: int = 10,
 ) -> DataFrame:
     """Answer MANY queries in ONE distributed pass (the batch-query path:
@@ -1235,13 +1553,32 @@ def search_many(
     shared decode cache — see :func:`batch_kernel` — then one global
     per-query top-k window).
 
+    Each queries value is a query STRING or a request dict with the full
+    single-query surface — ``{"q": ..., "filters": {...}, "op": "AND",
+    "synonyms": {...}}`` — parsed exactly like :func:`search` (query-string
+    ``field:value`` tokens, ``AND``/``+term`` operators, synonym
+    expansion), so a batch entry is rank-identical to its single-query
+    twin (pytest-asserted).  Filter terms join the one postings scan; the
+    per-query intersection happens inside the shard kernel.
+
     Returns (query_id, doc_id, score) with per-query rank order
     (score desc, doc_id asc), at most k rows per query.
     """
     from pyspark.sql import Window
 
-    plans = {qid: analyze_query(q) for qid, q in queries.items()}
-    all_terms = sorted({t for ts in plans.values() for t in ts})
+    plans: dict[str, tuple[list[str], set[str], bool]] = {}
+    for qid, req in queries.items():
+        if isinstance(req, str):
+            req = {"q": req}
+        qtext, parsed_fterms = parse_query(
+            req["q"], index.spec.keyword_fields
+        )
+        qtext, op = query_op(qtext, default=req.get("op", "OR"))
+        terms = expand_terms(qtext, req.get("synonyms"))
+        fterms = filter_terms_of(req.get("filters")) | parsed_fterms
+        plans[qid] = (terms, fterms, op.upper() == "AND")
+    all_terms = sorted({t for ts, _, _ in plans.values() for t in ts})
+    all_fterms = sorted({t for _, fs, _ in plans.values() for t in fs})
     empty = spark.createDataFrame([], "query_id string, doc_id long, score double")
     if not all_terms:
         return empty
@@ -1253,7 +1590,9 @@ def search_many(
     kernel = batch_kernel(
         plans, idf, index.avgdl, spec.k1, spec.b, k, spec.block_size
     )
-    matched = index.postings(spark).filter(F.col("term").isin(list(idf)))
+    matched = index.postings(spark).filter(
+        F.col("term").isin(list(idf) + all_fterms)
+    )
     local = matched.groupBy("shard").applyInPandas(
         kernel, "query_id string, doc_id long, score double"
     )

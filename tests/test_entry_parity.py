@@ -43,8 +43,56 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.reset_index(drop=True)
 
 
+#: The driver's oracle check stops after this many entries — discovered in
+#: round 4, where CORRECTNESS_r04 recorded precisely the first 50 of 54
+#: queries() keys in dict order and SILENTLY dropped the rest
+#: (ft_batch_search, ft_topk_per_lang, ev_sessionize, ix_lineage).  Keeping
+#: the registry at or under the cap is the only way every entry gets its
+#: per-round correctness signal; merge near-duplicates into tagged unions
+#: rather than exceeding it.
+DRIVER_ORACLE_CAP = 50
+
+
 def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_registry_fits_the_driver_cap():
+    """FAIL LOUDLY if an added entry would silently fall out of the driver's
+    per-round check (the round-4 regression this guards against)."""
+    assert len(QUERIES) <= DRIVER_ORACLE_CAP, (
+        f"queries() has {len(QUERIES)} entries but the driver only checks "
+        f"the first {DRIVER_ORACLE_CAP}; these would be silently unchecked: "
+        f"{list(QUERIES)[DRIVER_ORACLE_CAP:]} — merge entries instead"
+    )
+
+
+def test_checked_set_never_shrinks_vs_last_round():
+    """Every current queries() key must appear in the most recent
+    CORRECTNESS_r{N}.json (when one exists for this registry version) or be
+    positioned within the driver cap so the NEXT round checks it."""
+    import json
+    import re
+
+    repo = os.path.dirname(os.path.abspath(entrymod.__file__))
+    rounds = sorted(
+        (
+            int(m.group(1)), os.path.join(repo, f)
+        )
+        for f in os.listdir(repo)
+        for m in [re.match(r"CORRECTNESS_r(\d+)\.json$", f)]
+        if m
+    )
+    assert rounds, "no CORRECTNESS files found"
+    with open(rounds[-1][1]) as fh:
+        checked = set(json.load(fh))
+    within_cap = set(list(QUERIES)[:DRIVER_ORACLE_CAP])
+    for name in QUERIES:
+        assert name in checked or name in within_cap, (
+            f"{name} is neither in the latest CORRECTNESS file nor within "
+            f"the first {DRIVER_ORACLE_CAP} positions — it would never be "
+            f"oracle-checked"
+        )
 
 
 def test_entry_smoke(spark):
