@@ -96,14 +96,20 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
     n_docs = docs.count()
     doc_spec = IndexSpec(
         content_field="text", key_fields=("doc_id",), doc_id_field="doc_id",
-        stored_fields=("lang", "source", "textlen", "text"),
+        stored_fields=("lang", "source", "textlen", "docdate", "text"),
         keyword_fields=("lang", "source"),
         num_shards=max(cpus // 4, 4),
     )
     ix_docs_dir = os.path.join(work, "ix_docs")
     from pyspark.sql import functions as _F
 
-    docs_src = docs.withColumn("textlen", _F.length("text"))
+    docs_src = docs.withColumn("textlen", _F.length("text")).withColumn(
+        "docdate",
+        _F.date_add(
+            _F.to_date(_F.lit("2020-01-01")),
+            _F.pmod(_F.col("doc_id") * 37, _F.lit(1100)).cast("int"),
+        ),
+    )
     timings["build_documents"] = timed(
         lambda: build_index(spark, docs_src, doc_spec, ix_docs_dir)
     )
@@ -145,6 +151,15 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
         ).collect(),
         repeat=3,
     )
+    from cascading_solr_spark.query.search import facet_range_counts_date
+
+    timings["facet_range_date"] = timed(
+        lambda: facet_range_counts_date(
+            spark, ix_docs, "spark join", "docdate",
+            "2020-03-01", "2022-03-01", 3, other=True,
+        ).collect(),
+        repeat=3,
+    )
     timings["highlight_topk"] = timed(
         lambda: highlight(spark, ix_docs, "spark join", k=10).collect(),
         repeat=3,
@@ -177,6 +192,33 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
     timings["paged_query"] = timed(
         lambda: search(
             spark, ix_docs, "spark join", k=10, start=10, with_stored=False
+        ).collect(),
+        repeat=3,
+    )
+    # deep paging: offset start=500 (per-shard fetch grows with depth) vs a
+    # cursor at the same depth (flat page-1 cost — the cursorMark property;
+    # the depth-500 cursor is derived OUTSIDE the timed region)
+    from cascading_solr_spark.query.search import next_cursor, search_after
+
+    timings["paged_query_deep500"] = timed(
+        lambda: search(
+            spark, ix_docs, "spark join", k=10, start=500, with_stored=False
+        ).collect(),
+        repeat=3,
+    )
+    _deep_rows = search(
+        spark, ix_docs, "spark join", k=500, mode="taat", with_stored=False
+    ).collect()
+    _deep_cursor = next_cursor(_deep_rows)
+    timings["cursor_page_first"] = timed(
+        lambda: search_after(
+            spark, ix_docs, "spark join", k=10
+        ).collect(),
+        repeat=3,
+    )
+    timings["cursor_page_deep500"] = timed(
+        lambda: search_after(
+            spark, ix_docs, "spark join", cursor=_deep_cursor, k=10
         ).collect(),
         repeat=3,
     )
@@ -446,6 +488,20 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
         },
         "ann_recall_at_10": round(ann_recall, 3),
         "ann_curve": ann_curve,
+        # cursorMark property: page ~50 by cursor costs ~page 1, while
+        # offset start=500 pays the growing per-shard fetch
+        "cursor_paging": {
+            "cursor_deep_vs_first": round(
+                timings["cursor_page_deep500"]
+                / max(timings["cursor_page_first"], 1e-9),
+                3,
+            ),
+            "offset_deep_vs_cursor_deep": round(
+                timings["paged_query_deep500"]
+                / max(timings["cursor_page_deep500"], 1e-9),
+                3,
+            ),
+        },
         "repeat_policy": "sub-5s queries + appends: min of 3 (additive-noise"
         " estimator, BENCH/SCALING.md); index builds: single sample",
     }

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
@@ -68,6 +69,10 @@ from cascading_solr_spark.indexing.build import (
 #: replay-detection ring size: foreachBatch only ever replays the most
 #: recent uncommitted epoch, so a bounded history is sufficient.
 MAX_APPLIED_BATCHES = 256
+
+#: serializes appends in-process: enforces the single-writer contract and
+#: makes the AQE conf toggle/restore pair race-free (see append_documents).
+_AQE_LOCK = threading.RLock()
 
 #: batches at or below this row count get their dense ids from a single-task
 #: window (ONE Spark job: the count/duplicate-check agg; the window itself
@@ -108,9 +113,15 @@ def append_documents(
     # ---- scope: AQE's runtime re-planning adds a per-stage scheduling
     # round-trip that is pure overhead on these fixed-shape micro-batch jobs
     # (measured ~0.3-0.4 s per append at 2k files); restored in the finally.
-    # Writers are single-threaded by contract (see module docstring), and
-    # for concurrent readers the flag only affects plan latency, never
-    # results.
+    # The toggle mutates the SHARED session conf (a per-job conf scope does
+    # not exist for an externally-supplied DataFrame, and Spark Classic
+    # cannot re-root one into a cloned session), so: (a) _AQE_LOCK makes
+    # overlapping appends impossible — the single-writer contract is now
+    # ENFORCED, not assumed, and the restore can never race another
+    # append's toggle; (b) for concurrent query threads on the same session
+    # the flag only affects plan latency during the append window, never
+    # results (documented trade-off).
+    _AQE_LOCK.acquire()
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
 
@@ -352,6 +363,7 @@ def append_documents(
     finally:
         pool.shutdown(wait=True)
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        _AQE_LOCK.release()
         for h in (postings, ids_handle, batch_handle):
             if h is not None:
                 h.unpersist()
