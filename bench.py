@@ -233,6 +233,15 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
     timings["term_vectors_doc0"] = timed(
         lambda: term_vectors(spark, ix_docs, 0).collect(), repeat=3
     )
+    from cascading_solr_spark.query.search import more_like_this
+
+    _mlt_src = docs.filter(_F.col("doc_id") == 0).collect()[0]["text"]
+    timings["mlt_doc0"] = timed(
+        lambda: more_like_this(
+            spark, ix_docs, _mlt_src, k=10, max_terms=10, exclude_doc_id=0
+        ).collect(),
+        repeat=3,
+    )
 
     # ---- 3. query latency over the compressed code index ----
     from cascading_solr_spark.indexing.build import Index
