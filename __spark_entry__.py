@@ -737,11 +737,18 @@ SELECT doc_id, round(score, 4) AS score
 FROM scores WHERE doc_id != 0
 ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
 """
+    # positions via case-insensitive regexp over the ORIGINAL text (length
+    # of the lazy prefix group + 1) — matching the engine's regexp_instr
+    # semantics exactly; strpos(lower(text)) would drift where Unicode case
+    # folding changes string length (the r5 engine fix)
     o["ft_highlight"] = f"""
 WITH top AS ({_bm25_sql(tuple(Q_MAIN.split()), 10)}),
 cand AS (
   SELECT t.doc_id, t.score, q.term, d.text,
-         strpos(lower(d.text), q.term) AS pos
+         CASE WHEN regexp_matches(d.text, '(?is)' || q.term)
+              THEN length(regexp_extract(d.text,
+                          '(?is)^(.*?)' || q.term, 1)) + 1
+              ELSE 0 END AS pos
   FROM top t JOIN documents d USING (doc_id),
        (VALUES ('join'), ('spark')) q(term)),
 best AS (

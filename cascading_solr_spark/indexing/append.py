@@ -121,10 +121,6 @@ def append_documents(
     # append's toggle; (b) for concurrent query threads on the same session
     # the flag only affects plan latency during the append window, never
     # results (documented trade-off).
-    _AQE_LOCK.acquire()
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-
     # ---- doc ids above the current max (caller-provided ids are trusted:
     # the caller owns uniqueness, exactly like Solr's uniqueKey).  The batch
     # is PERSISTED up front and the gating agg populates the cache, so every
@@ -135,8 +131,15 @@ def append_documents(
     ids_handle = None
     batch_handle = None
     postings: DataFrame | None = None
-    pool = ThreadPoolExecutor(max_workers=3)
+    aqe_before: str | None = None
+    pool: ThreadPoolExecutor | None = None
+    _AQE_LOCK.acquire()
     try:
+        # inside the try so ANY failure (even between these lines) releases
+        # the lock and restores the conf — no permanent AQE-off leak
+        aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        pool = ThreadPoolExecutor(max_workers=3)
         if spec.doc_id_field:
             based = batch.withColumn(
                 "doc_id", F.col(spec.doc_id_field).cast("long")
@@ -361,8 +364,10 @@ def append_documents(
         # fully-committed batch is always detected via applied_batches
         write_meta(index_dir, meta)
     finally:
-        pool.shutdown(wait=True)
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        if pool is not None:
+            pool.shutdown(wait=True)
+        if aqe_before is not None:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         _AQE_LOCK.release()
         for h in (postings, ids_handle, batch_handle):
             if h is not None:

@@ -56,6 +56,7 @@ from cascading_solr_spark.query.wand import (
     _member,
     allowed_ids,
     maxscore_kernel,
+    row_cache_key,
     topk_ties,
 )
 
@@ -118,8 +119,13 @@ def _taat_kernel(
     filter_terms: set[str] | None = None,
     require_n_terms: int | None = None,
     cursor: tuple[float, int] | None = None,
+    decode_cache: dict | None = None,
 ):
     """Exact term-at-a-time scorer for one shard (numpy accumulate).
+
+    ``decode_cache`` memoizes full (ids, tfs, dls) row decodes keyed by
+    row content (wand.row_cache_key) — shared across the queries of one
+    batch_kernel invocation, same contract as maxscore_kernel's cache.
 
     With ``require_n_terms`` the kernel is CONJUNCTIVE: only docs matched by
     at least that many distinct scoring terms survive (each (term, doc)
@@ -131,11 +137,15 @@ def _taat_kernel(
     in the global (score desc, doc_id asc) order — the cursorMark deep-
     paging path (:func:`search_after`).  The filter runs over the full
     exact accumulator BEFORE local top-k selection, so the shard still
-    emits its true best k eligible docs; score comparisons are exact
-    (identical arithmetic per run ⇒ bit-equal floats)."""
+    emits its true best k eligible docs.  Rows are processed in a CANONICAL
+    content order (row_cache_key sort) so the float accumulation order —
+    and therefore every last-ULP score — is identical across separate jobs
+    even if shuffle-fetch row order differs; cursor equality comparisons
+    are exact because of this, not by luck."""
     filter_terms = filter_terms or set()
 
     def score_rows(rows: list) -> pd.DataFrame:
+        rows = sorted(rows, key=row_cache_key)
         allowed = allowed_ids(rows, filter_terms, block_size)
         if allowed is not None and not len(allowed):
             return pd.DataFrame({"doc_id": [], "score": []}).astype(
@@ -147,9 +157,16 @@ def _taat_kernel(
             if row.term not in idf:
                 continue
             n = int(row.n_docs)
-            ids = decode_doc_ids(row.doc_ids, n, block_size)
-            tfs = decode_varint(row.tfs, n)
-            dls = decode_varint(row.dls, n)
+            ck = row_cache_key(row) if decode_cache is not None else None
+            cached = decode_cache.get(ck) if decode_cache is not None else None
+            if cached is None:
+                ids = decode_doc_ids(row.doc_ids, n, block_size)
+                tfs = decode_varint(row.tfs, n)
+                dls = decode_varint(row.dls, n)
+                if decode_cache is not None:
+                    decode_cache[ck] = (ids, tfs, dls)
+            else:
+                ids, tfs, dls = cached
             contrib = idf[row.term] * bm25_tf_norm(tfs, dls, avgdl, k1, b)
             if allowed is not None:
                 pos = np.minimum(np.searchsorted(allowed, ids), len(allowed) - 1)
@@ -499,9 +516,20 @@ def search_after(
     bound later.  Exhaustive TAAT is exact and already the flat-cost shape
     cursor paging exists to provide.
 
-    Score equality across pages is exact: every page recomputes scores with
-    identical arithmetic, so the collected float64 cursor compares
-    bit-equal in the kernel."""
+    Score equality across pages is exact BY CONSTRUCTION, not scheduling
+    luck: the kernel accumulates rows in a canonical content order
+    (row_cache_key sort), so a doc's float64 score is bit-identical across
+    separate page jobs even when shuffle row arrival differs; the collected
+    cursor therefore compares exactly."""
+    if cursor == CURSOR_END:
+        return (
+            spark.createDataFrame([], _RESULT_SCHEMA)
+            if not with_stored
+            else _fetch_stored(
+                spark, index, spark.createDataFrame([], _RESULT_SCHEMA),
+                bounded=True,
+            )
+        )
     qtext, parsed_fterms = parse_query(query, index.spec.keyword_fields)
     qtext, op = query_op(qtext, default=op)
     terms = expand_terms(qtext, synonyms)
@@ -539,11 +567,19 @@ def search_after(
     return _fetch_stored(spark, index, top, bounded=True)
 
 
-def next_cursor(rows: list) -> tuple[float, int] | None:
+#: terminal cursor: returned by next_cursor when a page comes back empty.
+#: DISTINCT from None (= first page) so a drain loop that naively feeds
+#: next_cursor back into search_after terminates with empty pages instead
+#: of silently wrapping around to page 1.
+CURSOR_END = ("CURSOR_END", -1)
+
+
+def next_cursor(rows: list) -> tuple:
     """Cursor for the page following ``rows`` (a collected page, rank
-    order) — None when the page was empty (iteration is done)."""
+    order) — :data:`CURSOR_END` when the page was empty (iteration done;
+    feeding it back yields empty pages, never a page-1 restart)."""
     if not rows:
-        return None
+        return CURSOR_END
     last = rows[-1]
     return (float(last["score"]), int(last["doc_id"]))
 
@@ -945,17 +981,24 @@ def facet_range_counts(
     ``other=True`` adds Solr's ``facet.range.other=all`` buckets — the
     reference's own /browse config sets ``facet.range.other=after`` for
     price (solrconfig.xml:900) — as three extra rows labeled ``before``
-    (field < start), ``after`` (field >= end) and ``between`` (the in-range
-    total); the output schema becomes (bucket string, n) with regular rows
-    labeled by their range start.  With ``other=False`` the (range_start,
-    n) schema is unchanged.
+    (field < start), ``after`` (field >= effective end) and ``between``
+    (the in-range total); the output schema becomes (bucket string, n)
+    with regular rows labeled by their range start.  With ``other=False``
+    the (range_start, n) schema is unchanged.
+
+    Solr's hardend=false semantics (same as the date path): when ``end``
+    is not on a gap boundary the last bucket extends past it — the
+    effective end is start + n_buckets·gap, and ``after`` starts THERE.
 
     The match set is the index-side match-only kernel (:func:`match_ids`);
-    the bucketing joins it to
-    the docs table pruned to (doc_id, field) — two narrow distributed sides,
-    then a bounded groupBy over ≤ (end-start)/gap + 2 buckets joined to a
-    generated bucket spine (spark.range — no collect anywhere; the other
-    buckets ride the SAME single aggregation as out-of-range bucket ids)."""
+    the bucketing joins it to the docs table pruned to (doc_id, field) —
+    two narrow distributed sides, then ONE bounded groupBy over
+    ≤ (end-start)/gap + 2 bucket ids (out-of-range rows map to sentinel
+    ids -1/n_buckets, so the other buckets ride the same aggregation);
+    the ≤ n_buckets+2 count rows are assembled into the response
+    driver-side (:func:`_assemble_range_other`) — referencing the
+    aggregate subtree once, never re-running the match kernel per
+    other-bucket."""
     if field not in index.spec.stored_fields:
         raise ValueError(
             f"facet.range field {field!r} is not stored "
@@ -966,14 +1009,15 @@ def facet_range_counts(
     matched = match_ids(spark, index, query, filters=filters, op=op)
     docs = index.docs(spark).select("doc_id", field)
     n_buckets = -(-(end - start) // gap)
+    eff_end = start + n_buckets * gap  # hardend=false effective end
     joined = docs.join(matched, "doc_id")
     if not other:
-        joined = joined.filter((F.col(field) >= start) & (F.col(field) < end))
-    # out-of-range rows map to sentinel bucket ids (-1 before, n_buckets
-    # after) so ONE groupBy covers regular and other buckets alike
+        joined = joined.filter(
+            (F.col(field) >= start) & (F.col(field) < eff_end)
+        )
     bucket_id = (
         F.when(F.col(field) < start, F.lit(-1))
-        .when(F.col(field) >= end, F.lit(n_buckets))
+        .when(F.col(field) >= eff_end, F.lit(n_buckets))
         .otherwise(F.floor((F.col(field) - F.lit(start)) / F.lit(gap)))
     )
     counts = (
@@ -981,46 +1025,41 @@ def facet_range_counts(
         .groupBy(bucket_id.alias("_b"))
         .agg(F.count("*").alias("n"))
     )
-    spine = spark.range(n_buckets).select(F.col("id").alias("_b"))
-    regular = (
-        spine.join(counts, "_b", "left")
-        .select(
-            "_b",
-            (F.lit(start) + F.col("_b") * F.lit(gap))
-            .cast("long")
-            .alias("range_start"),
-            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
-        )
-        .orderBy("range_start")
-    )
     if not other:
-        return regular.select("range_start", "n")
-    outside = counts.filter((F.col("_b") < 0) | (F.col("_b") >= n_buckets))
-    labeled = regular.select(
-        F.col("range_start").cast("string").alias("bucket"), "n", "_b"
-    ).unionByName(
-        spark.range(2)
-        .select(
-            F.when(F.col("id") == 0, F.lit(-1))
-            .otherwise(F.lit(n_buckets))
-            .alias("_b"),
-            F.when(F.col("id") == 0, F.lit("before"))
-            .otherwise(F.lit("after"))
-            .alias("bucket"),
+        spine = spark.range(n_buckets).select(F.col("id").alias("_b"))
+        return (
+            spine.join(counts, "_b", "left")
+            .select(
+                (F.lit(start) + F.col("_b") * F.lit(gap))
+                .cast("long")
+                .alias("range_start"),
+                F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            )
+            .orderBy("range_start")
         )
-        .join(outside, "_b", "left")
-        .select("bucket", F.coalesce(F.col("n"), F.lit(0)).alias("n"), "_b")
-    )
-    between = regular.agg(
-        F.lit("between").alias("bucket"),
-        F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
-        F.lit(n_buckets + 1).alias("_b"),
-    )
-    return (
-        labeled.unionByName(between)
-        .orderBy("_b", "bucket")
-        .select("bucket", "n")
-    )
+    labels = [str(start + i * gap) for i in range(n_buckets)]
+    return _assemble_range_other(spark, counts, labels)
+
+
+def _assemble_range_other(
+    spark: SparkSession, counts: DataFrame, labels: list[str]
+) -> DataFrame:
+    """(bucket, n) response for an other=all range facet from the single
+    bounded aggregate ``counts`` ((_b, n) rows, _b ∈ [-1, n_buckets]).
+
+    The counts are COLLECTED (≤ len(labels)+2 rows — a facet response is
+    driver-bounded by definition, exactly like Solr's) and assembled in
+    Python: the aggregate — whose lineage contains the match kernel and
+    the postings scan — executes exactly once, instead of appearing as
+    three plan subtrees (regular/other/between) and relying on exchange
+    reuse to dedupe the work."""
+    n_buckets = len(labels)
+    got = {int(r["_b"]): int(r["n"]) for r in counts.collect()}
+    rows = [(lbl, got.get(i, 0)) for i, lbl in enumerate(labels)]
+    rows.append(("before", got.get(-1, 0)))
+    rows.append(("after", got.get(n_buckets, 0)))
+    rows.append(("between", sum(got.get(i, 0) for i in range(n_buckets))))
+    return spark.createDataFrame(rows, "bucket string, n long")
 
 
 def facet_range_counts_date(
@@ -1109,46 +1148,22 @@ def facet_range_counts_date(
     if not other:
         joined = joined.filter((v >= start_lit) & (v < eff_end))
     counts = joined.groupBy(bucket_id.alias("_b")).agg(F.count("*").alias("n"))
-    spine = spark.range(n_buckets).select(F.col("id").alias("_b"))
-    regular = (
-        spine.join(counts, "_b", "left")
-        .select(
-            "_b",
-            F.add_months(
-                start_lit, (F.col("_b") * gap_months).cast("int")
-            ).alias("range_start"),
-            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
-        )
-        .orderBy("range_start")
-    )
     if not other:
-        return regular.select("range_start", "n")
-    outside = counts.filter((F.col("_b") < 0) | (F.col("_b") >= n_buckets))
-    labeled = regular.select(
-        F.date_format("range_start", "yyyy-MM-dd").alias("bucket"), "n", "_b"
-    ).unionByName(
-        spark.range(2)
-        .select(
-            F.when(F.col("id") == 0, F.lit(-1))
-            .otherwise(F.lit(n_buckets))
-            .alias("_b"),
-            F.when(F.col("id") == 0, F.lit("before"))
-            .otherwise(F.lit("after"))
-            .alias("bucket"),
+        spine = spark.range(n_buckets).select(F.col("id").alias("_b"))
+        return (
+            spine.join(counts, "_b", "left")
+            .select(
+                F.add_months(
+                    start_lit, (F.col("_b") * gap_months).cast("int")
+                ).alias("range_start"),
+                F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            )
+            .orderBy("range_start")
         )
-        .join(outside, "_b", "left")
-        .select("bucket", F.coalesce(F.col("n"), F.lit(0)).alias("n"), "_b")
-    )
-    between = regular.agg(
-        F.lit("between").alias("bucket"),
-        F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
-        F.lit(n_buckets + 1).alias("_b"),
-    )
-    return (
-        labeled.unionByName(between)
-        .orderBy("_b", "bucket")
-        .select("bucket", "n")
-    )
+    labels = [
+        _add_months(d0, i * gap_months).isoformat() for i in range(n_buckets)
+    ]
+    return _assemble_range_other(spark, counts, labels)
 
 
 def query_ngrams(q: str) -> list[str]:
@@ -1458,6 +1473,20 @@ def batch_kernel(
             terms, fterms, conjunctive = norm_plans[qid]
             uniq_terms = list(dict.fromkeys(terms))
             idf_q = {t: idf[t] for t in uniq_terms if t in idf}
+            if not uniq_terms and fterms:
+                # pure keyword-filter query: doc_ids (score 0.0), the same
+                # result shape the single-query path serves via
+                # keyword_filter — first k by doc_id per shard, the global
+                # (score desc, doc_id asc) window then equals doc_id order
+                frows = [r for t in sorted(fterms) for r in by_term.get(t, [])]
+                allowed = allowed_ids(frows, fterms, block_size)
+                if allowed is None or not len(allowed):
+                    continue
+                hits = allowed[:k]
+                out_q.extend([qid] * len(hits))
+                out_ids.append(hits)
+                out_scores.append(np.zeros(len(hits), dtype=np.float64))
+                continue
             if not idf_q or (conjunctive and len(idf_q) < len(set(uniq_terms))):
                 continue  # zero-hit (or AND with a df=0 term) short-circuit
             qrows = [r for t in idf_q for r in by_term.get(t, [])]
@@ -1468,6 +1497,7 @@ def batch_kernel(
                 scorer = _taat_kernel(
                     idf_q, avgdl, k1, b, k, block_size, fterms,
                     require_n_terms=len(set(uniq_terms)),
+                    decode_cache=cache,
                 )
             else:
                 scorer = maxscore_kernel(
@@ -1580,10 +1610,10 @@ def search_many(
     all_terms = sorted({t for ts, _, _ in plans.values() for t in ts})
     all_fterms = sorted({t for _, fs, _ in plans.values() for t in fs})
     empty = spark.createDataFrame([], "query_id string, doc_id long, score double")
-    if not all_terms:
+    if not all_terms and not all_fterms:
         return empty
-    dfs = term_dfs(spark, index, all_terms)
-    if not dfs:
+    dfs = term_dfs(spark, index, all_terms) if all_terms else {}
+    if not dfs and not all_fterms:
         return empty
     spec = index.spec
     idf = {t: bm25_idf(df, index.n_docs) for t, df in dfs.items()}

@@ -191,6 +191,15 @@ def allowed_ids(
     return allowed
 
 
+def row_cache_key(r) -> tuple:
+    """Content-stable decode-cache key for one posting row: segments cover
+    disjoint doc-id ranges, so the trailing block_last_id makes
+    (term, salt, n_docs, last_id) unique per row within a partition —
+    safe across row lifetimes, unlike an id(row) key (CPython id reuse)."""
+    last = r.block_last_id
+    return (r.term, int(r.salt), int(r.n_docs), int(last[len(last) - 1]))
+
+
 def maxscore_kernel(
     idf: dict[str, float],
     avgdl: float,
@@ -225,24 +234,24 @@ def maxscore_kernel(
         if counters is not None:
             counters[key] = counters.get(key, 0) + n
 
-    def cache_key(r) -> tuple:
-        # content-stable (see docstring): disjoint segment id ranges make
-        # the trailing block_last_id unique per (term, salt, n_docs)
-        last = r.block_last_id
-        return (r.term, int(r.salt), int(r.n_docs), int(last[len(last) - 1]))
+    cache_key = row_cache_key
 
     def score_rows(rows: list) -> pd.DataFrame:
         allowed = allowed_ids(rows, filter_terms, block_size, counters)
         if allowed is not None and not len(allowed):
             return _EMPTY.copy()
 
-        # group scoring rows (one per salt/segment) by term
+        # group scoring rows (one per salt/segment) by term, each term's
+        # rows in canonical content order (accumulation-order determinism
+        # across jobs — same reason as the TAAT kernel's row sort)
         segs: dict[str, list] = {}
         for row in rows:
             if row.term in idf:
                 segs.setdefault(row.term, []).append(row)
         if not segs:
             return _EMPTY.copy()
+        for trows in segs.values():
+            trows.sort(key=row_cache_key)
 
         # per-term max possible contribution from stored block metadata only
         row_ubs: dict[int, np.ndarray] = {}  # id(row) -> per-block ub
@@ -258,7 +267,10 @@ def maxscore_kernel(
                 row_ubs[id(r)] = ub
                 m = max(m, float(ub.max()))
             terms.append((m, t))
-        terms.sort(key=lambda x: -x[0])
+        # ties in max contribution break on the term string: the processing
+        # order (and so the float accumulation order) is canonical across
+        # jobs regardless of row arrival order
+        terms.sort(key=lambda x: (-x[0], x[1]))
         maxes = np.array([m for m, _ in terms])
         # rem_incl[i] = sum of maxes from i to end
         rem_incl = np.cumsum(maxes[::-1])[::-1]

@@ -110,9 +110,18 @@ def test_cursor_paging_with_filters_and_op(spark, r5_index):
 
 
 def test_cursor_paging_exhausts_and_pure_filter(spark, r5_index):
-    # drain a zero-hit query: empty first page, next_cursor None
+    from cascading_solr_spark.query.search import CURSOR_END
+
+    # drain a zero-hit query: empty page -> CURSOR_END, and feeding it back
+    # yields empty pages (a drain loop terminates, never restarts at page 1)
     page = search_after(spark, r5_index, "zzqxv", k=10).collect()
-    assert page == [] and next_cursor(page) is None
+    assert page == [] and next_cursor(page) == CURSOR_END
+    hits = search_after(spark, r5_index, "parse", k=3).collect()
+    assert hits
+    assert (
+        search_after(spark, r5_index, "parse", cursor=CURSOR_END, k=3).collect()
+        == []
+    )
     # pure keyword-filter query: doc_id-ordered pages, cursor = id floor
     p1 = search_after(spark, r5_index, "lang:java", k=5).collect()
     p2 = search_after(
@@ -208,6 +217,26 @@ def test_facet_range_numeric_other_buckets(spark, r5_index):
         spark, r5_index, "parse", "contentlen", 300, 600, 100
     ).collect()
     assert [r["n"] for r in plain] == [rows["300"], rows["400"], rows["500"]]
+    # hardend=false: end mid-gap -> the last bucket extends past it and
+    # 'after' starts at the effective end (start + n_buckets*gap), the same
+    # semantics as the date path
+    hrows = {
+        r["bucket"]: r["n"]
+        for r in facet_range_counts(
+            spark, r5_index, "parse", "contentlen", 300, 650, 100, other=True
+        ).collect()
+    }
+    assert set(hrows) == {"300", "400", "500", "600", "before", "after", "between"}
+    docs = r5_index.docs(spark)
+    matched = search(
+        spark, r5_index, "parse", k=None, with_stored=False
+    ).select("doc_id")
+    in_last = (
+        docs.join(matched, "doc_id")
+        .filter((F.col("contentlen") >= 600) & (F.col("contentlen") < 700))
+        .count()
+    )
+    assert hrows["600"] == in_last
 
 
 # ------------------------------------------------------- highlight fidelity
@@ -277,10 +306,12 @@ def test_search_many_full_request_parity(spark, r5_index):
         "andq": {"q": "parse buffer", "op": "AND"},
         "syn": {"q": "parse", "synonyms": {"parse": ["buffer"]}},
         "qstr": {"q": "lang:java parse buffer"},
+        "pure": {"q": "lang:java"},  # filter-only: no scoring terms at all
     }
     batch = search_many(spark, r5_index, reqs, k=10).collect()
     singles = {
         "plain": search(spark, r5_index, "parse buffer", k=10, with_stored=False),
+        "pure": search(spark, r5_index, "lang:java", k=10, with_stored=False),
         "filt": search(
             spark, r5_index, "parse buffer", k=10, with_stored=False,
             filters={"lang": "java"},
