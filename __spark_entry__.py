@@ -239,16 +239,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ix_keyword_filter"] = lambda s, d: keyword_filter(
         s, _index_for(s, d), {"lang": "es"}
     )
-    # facet counts (Solr facet.field analogue; the reference config facets
-    # its keyword fields, solrconfig.xml:891-893): ALL matching docs counted
-    # per keyword-field value, served from facet-field postings
-    # (prefix-pruned) joined to the match set — no docs-table scan
+    # facet.field (solrconfig.xml:891-893) + facet.query (:896-897) in one
+    # kind-tagged union (merged r5b: was ft_facets + ft_facet_query) — both
+    # served from the match-only kernel, never a docs-table scan
     def _facets(s, d):
-        from cascading_solr_spark.query.search import facet_counts
+        from cascading_solr_spark.query.search import (
+            facet_counts,
+            facet_query_counts,
+        )
 
-        return facet_counts(s, _index_for(s, d), Q_MAIN, "lang")
+        ix = _index_for(s, d)
+        field = facet_counts(s, ix, Q_MAIN, "lang").select(
+            F.lit("field").alias("kind"),
+            F.col("value").alias("facet"),
+            "n",
+        )
+        fq = facet_query_counts(
+            s, ix, Q_MAIN, {"es_docs": "lang:es", "with_stream": "stream"}
+        ).select(F.lit("query").alias("kind"), "facet", "n")
+        return field.unionByName(fq)
 
-    q["ft_facets"] = _facets
+    q["ft_facet_counts"] = _facets
 
     # spellcheck suggestions (Solr spellcheck component, solrconfig.xml:932):
     # closest dict terms to a misspelled query term, (distance, df desc) rank
@@ -284,19 +295,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ft_highlight"] = _highlight
-
-    # facet.query (solrconfig.xml:896-897): named arbitrary sub-queries
-    # counted over the base match set — one is a pure keyword filter, one a
-    # ranked term query, both served index-side at k=None
-    def _facet_query(s, d):
-        from cascading_solr_spark.query.search import facet_query_counts
-
-        return facet_query_counts(
-            s, _index_for(s, d), Q_MAIN,
-            {"es_docs": "lang:es", "with_stream": "stream"},
-        )
-
-    q["ft_facet_query"] = _facet_query
 
     # facet.range (solrconfig.xml:900-914): bucket counts of the matching
     # docs' stored numeric textlen over [0, 4000) step 500, zero buckets
@@ -349,23 +347,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # pagination (Solr start param; /select returns "the range of documents
     # requested", solrconfig.xml:484): page 2 of the ranked result
-    q["ft_paged_query"] = lambda s, d: search(
-        s, _index_for(s, d), Q_MAIN, k=10, start=10, with_stored=False
-    ).select("doc_id", F.round("score", 4).alias("score"))
-
-    # cursorMark deep paging (Solr's cursorMark; search_after): page 2
-    # fetched BY CURSOR from page 1's last (score, doc_id) — page-N work is
-    # page-1 work, no start+k growth; equals offset paging on the ranking
-    def _cursor_page(s, d):
+    # both deep-paging surfaces in one mode-tagged union (merged r5b: was
+    # ft_paged_query [offset start=N] + ft_cursor_page [cursorMark
+    # analogue: page 2 fetched BY CURSOR from page 1's last (score,
+    # doc_id), page-N work = page-1 work])
+    def _deep_paging(s, d):
         from cascading_solr_spark.query.search import next_cursor, search_after
 
         ix = _index_for(s, d)
+        off = search(s, ix, Q_MAIN, k=10, start=10, with_stored=False).select(
+            F.lit("offset").alias("mode"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
         page1 = search_after(s, ix, Q_MULTI, k=10).collect()
-        return search_after(
+        cur = search_after(
             s, ix, Q_MULTI, cursor=next_cursor(page1), k=10
-        ).select("doc_id", F.round("score", 4).alias("score"))
+        ).select(
+            F.lit("cursor").alias("mode"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+        return off.unionByName(cur)
 
-    q["ft_cursor_page"] = _cursor_page
+    q["ft_deep_paging"] = _deep_paging
+
+    # QueryElevationComponent (/elevate + elevate.xml,
+    # solrconfig.xml:1485-1499): pinned ids first in config order with
+    # their real BM25 scores, one exclude, normal ranked tail
+    def _elevate(s, d):
+        from cascading_solr_spark.query.search import search_elevated
+
+        return search_elevated(
+            s, _index_for(s, d), Q_MAIN,
+            {Q_MAIN: [3, 5, (1, True)]}, k=10,
+        ).select("doc_id", F.round("score", 4).alias("score"), "elevated")
+
+    q["ft_elevate"] = _elevate
+
+    # DebugComponent (debugQuery=true, solrconfig.xml:1169,1179): per-term
+    # BM25 explanation of the top-ranked doc — pieces from the INDEX
+    # (dict df + postings tf/dl), sum(contribution) = the ranked score
+    def _explain(s, d):
+        from cascading_solr_spark.query.search import explain_score
+
+        ix = _index_for(s, d)
+        top = search(s, ix, Q_MAIN, k=1, with_stored=False).collect()[0]
+        return explain_score(s, ix, Q_MAIN, top["doc_id"]).select(
+            "term", "df", "tf", "dl",
+            F.round("idf", 6).alias("idf"),
+            F.round("tf_norm", 6).alias("tf_norm"),
+            F.round("contribution", 6).alias("contribution"),
+        )
+
+    q["ft_explain"] = _explain
+
+    # RealTimeGetHandler (/get, solrconfig.xml:843-851): stored fields by
+    # unique key, partition-pruned to the ids' shards + row groups
+    def _rt_get(s, d):
+        from cascading_solr_spark.query.search import realtime_get
+
+        return realtime_get(s, _index_for(s, d), [1, 2, 3, 5, 8]).select(
+            "doc_id", "lang", "source",
+            F.col("textlen").cast("long").alias("textlen"),
+            "sha256",
+        )
+
+    q["ft_rt_get"] = _rt_get
 
     # TermsComponent (/terms handler, solrconfig.xml:1458-1466): vocabulary
     # browse by prefix, terms.sort=count default
@@ -606,19 +654,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "left",
         )
     )
-    q["ts_quality"] = lambda s, d: textstats.quality_features(
-        _docs(s, d), "text"
-    ).select(
-        "doc_id",
-        F.col("n_chars").cast("long").alias("n_chars"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        "avg_token_len", "alnum_ratio", "stopword_ratio", "quality_score",
-    )
-    q["ts_langid"] = lambda s, d: textstats.language_id(_docs(s, d), "text").select(
-        "doc_id", "pred_lang",
-        F.col("n_en").cast("long").alias("n_en"),
-        F.col("n_es").cast("long").alias("n_es"),
-        F.col("n_fr").cast("long").alias("n_fr"),
+    # quality scoring + language-ID joined per doc (merged r5b: was
+    # ts_quality + ts_langid — both 1-row-per-doc Catalyst-only features)
+    q["ts_quality_lang"] = lambda s, d: (
+        textstats.quality_features(_docs(s, d), "text")
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "avg_token_len", "alnum_ratio", "stopword_ratio", "quality_score",
+        )
+        .join(
+            textstats.language_id(_docs(s, d), "text").select(
+                "doc_id", "pred_lang",
+                F.col("n_en").cast("long").alias("n_en"),
+                F.col("n_es").cast("long").alias("n_es"),
+                F.col("n_fr").cast("long").alias("n_fr"),
+            ),
+            "doc_id",
+        )
     )
     # --- multimodal plumbing ---
     # binary wrap + typed metadata + Arrow feature extraction in one result
@@ -694,13 +748,21 @@ WHERE d.lang = 'es'
 ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
 """
     o["ix_keyword_filter"] = "SELECT doc_id FROM documents WHERE lang = 'es'"
-    o["ft_facets"] = f"""
+    o["ft_facet_counts"] = f"""
 WITH {_toks_cte()},
 matched AS (SELECT DISTINCT doc_id FROM toks
-            WHERE term IN ('spark', 'join'))
-SELECT d.lang AS value, count(*)::BIGINT AS n
+            WHERE term IN ('spark', 'join')),
+es AS (SELECT doc_id FROM documents WHERE lang = 'es'),
+st AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'stream')
+SELECT 'field' AS kind, d.lang AS facet, count(*)::BIGINT AS n
 FROM documents d JOIN matched USING (doc_id)
-GROUP BY 1
+GROUP BY 2
+UNION ALL
+SELECT 'query' AS kind, 'es_docs' AS facet,
+       (SELECT count(*) FROM matched JOIN es USING (doc_id))::BIGINT AS n
+UNION ALL
+SELECT 'query' AS kind, 'with_stream' AS facet,
+       (SELECT count(*) FROM matched JOIN st USING (doc_id))::BIGINT AS n
 """
     o["ft_spellcheck"] = f"""
 WITH {_toks_cte()},
@@ -764,17 +826,6 @@ SELECT doc_id, score,
     || substr(text, pos + length(term), 30)
   ELSE substr(text, 1, 60) END AS snippet
 FROM best WHERE rn = 1
-"""
-    o["ft_facet_query"] = f"""
-WITH {_toks_cte()},
-matched AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark', 'join')),
-es AS (SELECT doc_id FROM documents WHERE lang = 'es'),
-st AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'stream')
-SELECT 'es_docs' AS facet,
-       (SELECT count(*) FROM matched JOIN es USING (doc_id))::BIGINT AS n
-UNION ALL
-SELECT 'with_stream' AS facet,
-       (SELECT count(*) FROM matched JOIN st USING (doc_id))::BIGINT AS n
 """
     o["ft_facet_range"] = f"""
 WITH {_toks_cte()},
@@ -900,14 +951,69 @@ SELECT d.doc_id, length(d.text)::BIGINT AS textlen
 FROM documents d JOIN matched USING (doc_id)
 ORDER BY length(d.text) ASC, d.doc_id ASC LIMIT 10
 """
-    o["ft_paged_query"] = f"""
-SELECT doc_id, score FROM ({_bm25_sql(tuple(Q_MAIN.split()), None)})
-ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10
+    # offset paging and cursor paging both equal OFFSET on the full ranking
+    o["ft_deep_paging"] = f"""
+SELECT 'offset' AS mode, doc_id, score FROM (
+  SELECT doc_id, score FROM ({_bm25_sql(tuple(Q_MAIN.split()), None)}) a
+  ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10
+) x
+UNION ALL
+SELECT 'cursor' AS mode, doc_id, score FROM (
+  SELECT doc_id, score FROM ({_bm25_sql(tuple(Q_MULTI.split()), None)}) b
+  ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10
+) y
 """
-    # cursor paging must equal offset paging on the full ranking
-    o["ft_cursor_page"] = f"""
-SELECT doc_id, score FROM ({_bm25_sql(tuple(Q_MULTI.split()), None)})
-ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10
+    # QueryElevationComponent: pinned [3, 5] in config order with their
+    # real BM25 scores (0 when the doc has no match), doc 1 excluded,
+    # ranked tail of 8
+    o["ft_elevate"] = f"""
+WITH scores AS ({_bm25_sql(tuple(Q_MAIN.split()), None)}),
+elev(doc_id, ord) AS (VALUES (3, 0), (5, 1))
+SELECT e.doc_id, coalesce(s.score, 0.0) AS score, TRUE AS elevated
+FROM elev e LEFT JOIN scores s USING (doc_id)
+UNION ALL
+SELECT doc_id, score, FALSE AS elevated FROM (
+  SELECT doc_id, score FROM scores
+  WHERE doc_id NOT IN (1, 3, 5)
+  ORDER BY score DESC, doc_id ASC LIMIT 8
+) t
+"""
+    # DebugComponent: per-term BM25 pieces of the top-ranked doc
+    o["ft_explain"] = f"""
+WITH {_toks_cte()},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+q(term) AS (VALUES ('spark'), ('join')),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+          WHERE term IN (SELECT term FROM q) GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY 1),
+top1 AS (SELECT doc_id FROM scores
+         ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 1)
+SELECT t.term, d.df, t.tf, dl.dl,
+       round(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)), 6) AS idf,
+       round((t.tf * (1.2 + 1.0))
+             / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6)
+         AS tf_norm,
+       round(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * (1.2 + 1.0))
+             / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6)
+         AS contribution
+FROM tf t JOIN top1 USING (doc_id) JOIN dfreq d USING (term)
+     JOIN dl USING (doc_id) CROSS JOIN stats s
+"""
+    # RealTimeGetHandler: stored fields by unique key
+    o["ft_rt_get"] = """
+SELECT doc_id, lang, source, length(text)::BIGINT AS textlen,
+       sha256(text) AS sha256
+FROM documents WHERE doc_id IN (1, 2, 3, 5, 8)
 """
     o["ft_terms"] = f"""
 WITH {_toks_cte()},
@@ -1195,7 +1301,7 @@ SELECT tc.doc_id, tc.n_tokens, fp.fingerprint
 FROM tc LEFT JOIN fp USING (doc_id)
 """
     stop_list = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
-    o["ts_quality"] = f"""
+    o["ts_quality_lang"] = f"""
 WITH base AS (
   SELECT doc_id,
          coalesce(text, '') AS t,
@@ -1208,8 +1314,9 @@ feat AS (
          length(regexp_replace(t, '[^a-zA-Z0-9 ]', '', 'g')) AS alnum_chars,
          len(list_filter(toks, x -> x IN ({stop_list}))) AS n_stop,
          list_sum(list_transform(toks, x -> length(x))) AS tok_chars
-  FROM base)
-SELECT doc_id, n_chars, n_tokens,
+  FROM base),
+quality AS (
+  SELECT doc_id, n_chars, n_tokens,
        round(CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens ELSE 0.0 END, 4)
          AS avg_token_len,
        round(CASE WHEN n_chars > 0 THEN alnum_chars / n_chars ELSE 0.0 END, 4)
@@ -1219,31 +1326,34 @@ SELECT doc_id, n_chars, n_tokens,
        round((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 0.5
              + (CASE WHEN n_chars > 0 THEN alnum_chars / n_chars ELSE 0.0 END) * 0.3
              + least(n_tokens, 100) / 100.0 * 0.2, 4) AS quality_score
-FROM feat
-"""
-    marker_sql = {
-        lang: ", ".join(f"'{w}'" for w in words)
-        for lang, words in textstats.LANG_MARKERS.items()
-    }
-    o["ts_langid"] = f"""
-WITH base AS (
+  FROM feat),
+lang_counts AS (
   SELECT doc_id,
-         regexp_extract_all(lower(coalesce(text, '')), '{SIMPLE}') AS toks
-  FROM documents),
-counts AS (
+         len(list_filter(toks, x -> x IN ({{EN}})))::BIGINT AS n_en,
+         len(list_filter(toks, x -> x IN ({{ES}})))::BIGINT AS n_es,
+         len(list_filter(toks, x -> x IN ({{FR}})))::BIGINT AS n_fr
+  FROM base),
+langid AS (
   SELECT doc_id,
-         len(list_filter(toks, x -> x IN ({marker_sql['en']})))::BIGINT AS n_en,
-         len(list_filter(toks, x -> x IN ({marker_sql['es']})))::BIGINT AS n_es,
-         len(list_filter(toks, x -> x IN ({marker_sql['fr']})))::BIGINT AS n_fr
-  FROM base)
-SELECT doc_id,
        CASE WHEN greatest(n_en, n_es, n_fr) = 0 THEN 'und'
             WHEN n_en = greatest(n_en, n_es, n_fr) THEN 'en'
             WHEN n_es = greatest(n_en, n_es, n_fr) THEN 'es'
             ELSE 'fr' END AS pred_lang,
        n_en, n_es, n_fr
-FROM counts
+  FROM lang_counts)
+SELECT q.*, l.pred_lang, l.n_en, l.n_es, l.n_fr
+FROM quality q JOIN langid l USING (doc_id)
 """
+    marker_sql = {
+        lang: ", ".join(f"'{w}'" for w in words)
+        for lang, words in textstats.LANG_MARKERS.items()
+    }
+    o["ts_quality_lang"] = (
+        o["ts_quality_lang"]
+        .replace("{EN}", marker_sql["en"])
+        .replace("{ES}", marker_sql["es"])
+        .replace("{FR}", marker_sql["fr"])
+    )
     # the deterministic fake features ARE SQL-expressible: byte lengths and a
     # byte-sum checksum over the UTF-8 payload (hex-pair extraction)
     o["mm_pipeline"] = """

@@ -567,6 +567,233 @@ def search_after(
     return _fetch_stored(spark, index, top, bounded=True)
 
 
+def _doc_scores_for_ids(
+    spark: SparkSession,
+    index: Index,
+    terms: list[str],
+    ids: list[int],
+) -> dict[int, dict[str, tuple[int, int]]]:
+    """(tf, dl) per (doc_id, term) read from the INDEX postings for a tiny
+    id set — the primitive behind score explanation and elevation scoring.
+
+    The postings scan is pruned to the query terms AND the ids' shards
+    (partition pruning: shard = doc_id % num_shards), the kernel intersects
+    each term's doc ids against the sorted target ids (searchsorted — no
+    full materialization beyond the term rows themselves), and only
+    |ids| × |terms| tiny rows reach the driver."""
+    if not terms or not ids:
+        return {}
+    want = np.array(sorted(set(int(i) for i in ids)), dtype=np.int64)
+    shards = sorted({int(i) % index.spec.num_shards for i in ids})
+    block_size = index.spec.block_size
+    sterms = set(terms)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_t: list[str] = []
+        out_i: list[np.ndarray] = []
+        out_tf: list[np.ndarray] = []
+        out_dl: list[np.ndarray] = []
+        for r in sorted(
+            (r for r in pdf.itertuples(index=False) if r.term in sterms),
+            key=row_cache_key,
+        ):
+            n = int(r.n_docs)
+            rids = decode_doc_ids(r.doc_ids, n, block_size)
+            keep = _member(rids, want)
+            if not keep.any():
+                continue
+            tfs = decode_varint(r.tfs, n)
+            dls = decode_varint(r.dls, n)
+            out_t.extend([r.term] * int(keep.sum()))
+            out_i.append(rids[keep])
+            out_tf.append(tfs[keep])
+            out_dl.append(dls[keep])
+        if not out_t:
+            return pd.DataFrame(
+                {"term": [], "doc_id": [], "tf": [], "dl": []}
+            ).astype(
+                {"term": "object", "doc_id": "int64", "tf": "int64",
+                 "dl": "int64"}
+            )
+        return pd.DataFrame(
+            {
+                "term": out_t,
+                "doc_id": np.concatenate(out_i),
+                "tf": np.concatenate(out_tf).astype(np.int64),
+                "dl": np.concatenate(out_dl).astype(np.int64),
+            }
+        )
+
+    rows = (
+        index.postings(spark)
+        .filter(F.col("shard").isin(shards) & F.col("term").isin(list(sterms)))
+        .groupBy("shard")
+        .applyInPandas(kernel, "term string, doc_id long, tf long, dl long")
+        .collect()
+    )
+    out: dict[int, dict[str, tuple[int, int]]] = {}
+    for r in rows:
+        out.setdefault(int(r["doc_id"]), {})[r["term"]] = (
+            int(r["tf"]), int(r["dl"])
+        )
+    return out
+
+
+def explain_score(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    doc_id: int,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Score explanation — the solr.DebugComponent analogue (``debug`` runs
+    after every /browse component chain, solrconfig.xml:1169,1179;
+    ``debugQuery=true`` returns Lucene's per-term explain tree).
+
+    Returns one row per analyzed query term PRESENT in the doc:
+    (term, df, tf, dl, idf, tf_norm, contribution) with the BM25 pieces
+    exactly as the kernels compute them — contribution = idf · tf_norm and
+    sum(contribution) is bit-equal to the doc's ranked score (same
+    float64 arithmetic; asserted in tests).  Stats come from the INDEX
+    (dict df + postings tf/dl), not from re-analyzing stored text, so the
+    explanation is the ground truth of what scored."""
+    qtext, _ = parse_query(query, index.spec.keyword_fields)
+    qtext, _ = query_op(qtext)
+    terms = expand_terms(qtext, synonyms)
+    dfs = term_dfs(spark, index, terms) if terms else {}
+    schema = (
+        "term string, df long, tf long, dl long, idf double, "
+        "tf_norm double, contribution double"
+    )
+    if not dfs:
+        return spark.createDataFrame([], schema)
+    stats = _doc_scores_for_ids(
+        spark, index, list(dfs), [int(doc_id)]
+    ).get(int(doc_id), {})
+    spec = index.spec
+    data = []
+    for t in sorted(stats):
+        tf, dl = stats[t]
+        idf = bm25_idf(dfs[t], index.n_docs)
+        tf_norm = float(
+            bm25_tf_norm(
+                np.array([tf]), np.array([dl]), index.avgdl, spec.k1, spec.b
+            )[0]
+        )
+        data.append(
+            (t, int(dfs[t]), tf, dl, float(idf), tf_norm, float(idf * tf_norm))
+        )
+    return spark.createDataFrame(data, schema)
+
+
+def realtime_get(
+    spark: SparkSession,
+    index: Index,
+    ids: list[int],
+) -> DataFrame:
+    """Stored-field lookup by unique key — the solr.RealTimeGetHandler
+    analogue (the reference config registers ``/get``,
+    solrconfig.xml:843-851: "guaranteed to return the latest stored fields
+    of any document, without the need to commit").
+
+    The docs table is append-on-write (indexing/append.py writes the batch
+    docs rows before meta publishes), so freshly appended documents are
+    visible here immediately — the engine's natural equivalent of Solr's
+    updateLog-backed realtime get.  The fetch is partition-pruned to the
+    ids' shards + doc_id row groups (a |ids|-row read at any index size),
+    ordered by doc_id."""
+    ids = sorted({int(i) for i in ids})
+    if not ids:
+        return index.docs(spark).drop("shard").limit(0)
+    shards = sorted({i % index.spec.num_shards for i in ids})
+    return (
+        index.docs(spark)
+        .filter(F.col("shard").isin(shards) & F.col("doc_id").isin(ids))
+        .drop("shard")
+        .orderBy("doc_id")
+    )
+
+
+def search_elevated(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    elevations: dict[str, list],
+    k: int = 10,
+    filters: dict[str, str] | None = None,
+    op: str = "OR",
+) -> DataFrame:
+    """Editorial result pinning — the solr.QueryElevationComponent analogue
+    (the reference config registers the ``elevator`` component with its
+    ``elevate.xml`` config file and an /elevate handler,
+    solrconfig.xml:1485-1499: "configure the top results for a given query
+    regardless of the normal lucene scoring").
+
+    ``elevations`` mirrors elevate.xml: raw query text → ordered doc ids;
+    an entry may be ``(doc_id, True)`` to EXCLUDE the doc instead (the
+    ``exclude="true"`` attribute).  Lookup is exact on the query string
+    (``queryFieldType=string``, solrconfig.xml:1487 — the config's own
+    untokenized matching).
+
+    Result: the elevated ids first IN CONFIG ORDER flagged
+    ``elevated=true`` (each with its REAL BM25 score when it matches the
+    query — scored index-side via a pruned (ids × terms) postings probe,
+    :func:`_doc_scores_for_ids` — or 0.0 when pinned despite not
+    matching), then the normal ranked tail with elevated and excluded ids
+    removed, k rows total.  Without a config entry for the query this is
+    exactly :func:`search`  (plus the elevated=false flag)."""
+    entry = elevations.get(query, [])
+    pinned: list[int] = []
+    excluded: set[int] = set()
+    for e in entry:
+        if isinstance(e, tuple) and len(e) == 2 and e[1]:
+            excluded.add(int(e[0]))
+        elif isinstance(e, tuple):
+            pinned.append(int(e[0]))
+        else:
+            pinned.append(int(e))
+    drop = set(pinned) | excluded
+    fetch = k + len(drop)
+    ranked = search(
+        spark, index, query, k=fetch, with_stored=False, filters=filters,
+        op=op,
+    )
+    tail = (
+        ranked.filter(~F.col("doc_id").isin(sorted(drop)))
+        if drop
+        else ranked
+    )
+    tail = (
+        tail.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(max(0, k - len(pinned)))
+        .withColumn("elevated", F.lit(False))
+    )
+    if not pinned:
+        return tail
+    qtext, _ = parse_query(query, index.spec.keyword_fields)
+    qtext, _ = query_op(qtext, default=op)
+    terms = expand_terms(qtext)
+    dfs = term_dfs(spark, index, terms) if terms else {}
+    idf = {t: bm25_idf(d, index.n_docs) for t, d in dfs.items()}
+    stats = _doc_scores_for_ids(spark, index, list(dfs), pinned)
+    spec = index.spec
+    rows = []
+    for i in pinned[:k]:
+        score = 0.0
+        for t, (tf, dl) in sorted(stats.get(i, {}).items()):
+            score += idf[t] * float(
+                bm25_tf_norm(
+                    np.array([tf]), np.array([dl]), index.avgdl,
+                    spec.k1, spec.b,
+                )[0]
+            )
+        rows.append((i, float(score), True))
+    head = spark.createDataFrame(
+        rows, "doc_id long, score double, elevated boolean"
+    )
+    return head.unionByName(tail)
+
+
 #: terminal cursor: returned by next_cursor when a page comes back empty.
 #: DISTINCT from None (= first page) so a drain loop that naively feeds
 #: next_cursor back into search_after terminates with empty pages instead

@@ -426,3 +426,90 @@ def test_pivot_outer_counts_independent_of_inner(spark, tmp_path):
     assert len(by_outer["r2"]) == 1
     r2 = by_outer["r2"][0]
     assert (r2["n_outer"], r2["n"], r2["value_inner"]) == (1, 0, None)
+
+
+# ------------------------- elevation / explain / realtime get (round 5b)
+
+
+def test_explain_score_matches_ranked_score(spark, r5_index):
+    from cascading_solr_spark.query.search import explain_score
+
+    top = search(
+        spark, r5_index, "parse buffer", k=1, mode="taat", with_stored=False
+    ).collect()[0]
+    rows = explain_score(
+        spark, r5_index, "parse buffer", top["doc_id"]
+    ).collect()
+    assert {r["term"] for r in rows} <= {"parse", "buffer"}
+    # the TAAT kernel accumulates rows in canonical (term-sorted) order and
+    # explain sums sorted by term: the float64 paths are identical
+    total = 0.0
+    for r in sorted(rows, key=lambda r: r["term"]):
+        assert r["contribution"] == r["idf"] * r["tf_norm"]
+        total += r["contribution"]
+    assert total == top["score"]
+
+
+def test_realtime_get_sees_appends_immediately(spark, tmp_path):
+    from cascading_solr_spark.indexing.append import append_documents
+    from cascading_solr_spark.query.search import realtime_get
+
+    spec = IndexSpec(
+        num_shards=2, salt_buckets=1, block_size=16,
+        stored_fields=("repo", "path", "content"),
+    )
+    corpus = synth_corpus(spark, 50, partitions=2)
+    ix = build_index(spark, corpus, spec, str(tmp_path / "ix"))
+    got = realtime_get(spark, ix, [3, 1, 4]).collect()
+    assert [r["doc_id"] for r in got] == [1, 3, 4]
+    delta = spark.createDataFrame(
+        [("rnew", "pnew", "c9", "java", "fresh appended doc")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    ix2 = append_documents(spark, str(tmp_path / "ix"), delta)
+    fresh = realtime_get(spark, ix2, [50]).collect()
+    assert len(fresh) == 1 and fresh[0]["path"] == "pnew"
+
+
+def test_search_elevated_pins_and_excludes(spark, r5_index):
+    from cascading_solr_spark.query.search import search_elevated
+
+    base = search(
+        spark, r5_index, "parse buffer", k=12, with_stored=False
+    ).collect()
+    base_ids = [r["doc_id"] for r in base]
+    pin_match = base_ids[4]          # a genuinely matching doc, pinned
+    pin_nomatch = 399                # pinned despite (likely) low/no match
+    exclude = base_ids[0]            # editorial removal of the top hit
+    rows = search_elevated(
+        spark, r5_index, "parse buffer",
+        {"parse buffer": [pin_match, pin_nomatch, (exclude, True)]},
+        k=10,
+    ).collect()
+    assert len(rows) == 10
+    assert [r["doc_id"] for r in rows[:2]] == [pin_match, pin_nomatch]
+    assert rows[0]["elevated"] and rows[1]["elevated"]
+    assert all(not r["elevated"] for r in rows[2:])
+    assert exclude not in {r["doc_id"] for r in rows}
+    # the pinned matching doc keeps its REAL BM25 score (4dp vs the ranked
+    # path: accumulation orders may differ in the last ULP)
+    ranked_score = {r["doc_id"]: r["score"] for r in base}[pin_match]
+    assert abs(rows[0]["score"] - ranked_score) < 1e-9
+    # tail = normal ranking minus pinned/excluded
+    want_tail = [
+        i for i in base_ids if i not in (pin_match, pin_nomatch, exclude)
+    ][:8]
+    assert [r["doc_id"] for r in rows[2:]] == want_tail
+
+
+def test_search_elevated_without_config_is_plain_search(spark, r5_index):
+    from cascading_solr_spark.query.search import search_elevated
+
+    plain = search(
+        spark, r5_index, "parse", k=5, with_stored=False
+    ).collect()
+    rows = search_elevated(spark, r5_index, "parse", {}, k=5).collect()
+    assert [(r["doc_id"], r["score"]) for r in rows] == [
+        (r["doc_id"], r["score"]) for r in plain
+    ]
+    assert all(not r["elevated"] for r in rows)
