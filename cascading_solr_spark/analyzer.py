@@ -72,6 +72,71 @@ def tokenize(text: str | None) -> list[str]:
     return out
 
 
+def tokenize_with_positions(text: str | None) -> list[tuple[str, int]]:
+    """``content -> [(term, position)]`` under Lucene position semantics.
+
+    Positions follow WordDelimiterFilter's increments (the reference's
+    ``text_en_splitting`` chain, schema.xml:495-527): sub-parts of one
+    identifier occupy CONSECUTIVE positions, and the catenated whole sits at
+    the first part's position (``catenateWords`` emits with posInc=0 —
+    Lucene's overlapping-token convention).  So ``"a TurboWriter b"`` yields
+    a@0, turbo@1, writer@2, turbowriter@1, b@3 — and the phrase
+    ``"turbo writer"`` (and ``"writer b"``) match, exactly as they do in
+    Solr.  The emitted token multiset equals :func:`tokenize`'s, so tf/dl —
+    and therefore every BM25 score — are unchanged by position tracking.
+    """
+    if text is None:
+        return []
+    out: list[tuple[str, int]] = []
+    pos = 0
+    for word in _WORD_RE.findall(text):
+        parts = _SUB_RE.findall(word)
+        if len(parts) <= 1:
+            out.append((word.lower(), pos))
+            pos += 1
+        else:
+            for i, p in enumerate(parts):
+                out.append((p.lower(), pos + i))
+            out.append((word.lower(), pos))
+            pos += len(parts)
+    return out
+
+
+def make_cached_position_tokenizer():
+    """Word-memoized positional tokenizer for the positional build kernel.
+
+    Memoizes per word the ``(token, relative_position)`` pairs plus the
+    position ADVANCE (number of sub-parts; 1 for plain words), mirroring
+    :func:`make_cached_tokenizer`'s cache strategy.  Must stay
+    behavior-identical to :func:`tokenize_with_positions` (enforced by
+    tests/test_analyzer.py)."""
+    cache: dict[str, tuple[tuple[tuple[str, int], ...], int]] = {}
+    findall = _WORD_RE.findall
+    sub_findall = _SUB_RE.findall
+
+    def tokenize_pos_fast(text: str | None) -> list[tuple[str, int]]:
+        if not text:
+            return []
+        out: list[tuple[str, int]] = []
+        pos = 0
+        for word in findall(text):
+            hit = cache.get(word)
+            if hit is None:
+                parts = sub_findall(word)
+                if len(parts) <= 1:
+                    hit = (((word.lower(), 0),), 1)
+                else:
+                    toks = tuple((p.lower(), i) for i, p in enumerate(parts))
+                    hit = (toks + ((word.lower(), 0),), len(parts))
+                cache[word] = hit
+            toks, adv = hit
+            out.extend((t, pos + rel) for t, rel in toks)
+            pos += adv
+        return out
+
+    return tokenize_pos_fast
+
+
 def analyze_col(col: Column | str) -> Column:
     """Catalyst-expression analyzer: string column -> array<string> of terms.
 

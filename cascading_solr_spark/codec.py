@@ -148,6 +148,81 @@ def decode_selected_blocks(
     return vals, kept
 
 
+def encode_position_payload(
+    pos_flat: np.ndarray, counts: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Delta+varint encode a FLAT positions array holding ``len(counts)``
+    concatenated per-posting segments (segment i has ``counts[i]`` ascending
+    term positions).  The delta chain restarts (absolute value) at every
+    segment start, so each posting's byte slice is self-contained — the
+    property that lets the phrase kernel decode positions for exactly the
+    postings it needs, and lets compaction re-slice blobs without a value
+    decode (:func:`split_varint_payload`).
+
+    Returns ``(buffer, per_segment_byte_counts)`` — ONE vectorized encode
+    for the whole batch; callers slice per-segment blobs from the counts
+    (same global-encode-then-slice strategy as the postings assembler).
+
+    Mirrors Lucene's .prx/.pos proximity encoding (delta-coded VInt position
+    lists per posting — public Lucene 4.x file-format behavior the reference
+    inherits through embedded Solr)."""
+    pos = np.ascontiguousarray(pos_flat, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if pos.size == 0:
+        return b"", np.zeros(len(counts), dtype=np.int64)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    deltas = np.empty_like(pos)
+    deltas[0] = pos[0]
+    np.subtract(pos[1:], pos[:-1], out=deltas[1:])
+    deltas[starts] = pos[starts]
+    buf, nb = encode_varint_counts(deltas.astype(np.uint64))
+    if len(counts):
+        seg_nb = np.add.reduceat(nb, np.minimum(starts, len(nb) - 1))
+        seg_nb = np.where(counts == 0, 0, seg_nb)  # reduceat quirk: empty segs
+    else:
+        seg_nb = nb[:0]
+    return buf, seg_nb.astype(np.int64)
+
+
+def decode_positions(buf: bytes, counts: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_position_payload` -> flat int64 positions.
+
+    ``counts`` gives the per-segment value counts (= the postings' term
+    frequencies); the delta chain restarts at each segment start."""
+    counts = np.asarray(counts, dtype=np.int64)
+    n = int(counts.sum())
+    deltas = decode_varint(buf, n).astype(np.int64)
+    if n == 0:
+        return deltas
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    starts = starts[counts > 0]
+    return restart_cumsum(deltas, starts)
+
+
+def split_varint_payload(buf: bytes, counts: np.ndarray) -> list[bytes]:
+    """Split a varint buffer into per-segment byte slices WITHOUT decoding
+    values: varint boundaries are self-describing (continuation bit), so a
+    single bitmask scan finds every value end.  Used by compaction to carry
+    per-posting position blobs through the decode->reshuffle->assemble
+    round-trip untouched (each blob's delta chain is self-contained)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return [b""] * len(counts)
+    ends = np.flatnonzero((b & 0x80) == 0) + 1  # one past each value's last byte
+    cum = np.cumsum(counts)
+    if int(cum[-1]) != len(ends):
+        raise ValueError(f"payload holds {len(ends)} varints, expected {cum[-1]}")
+    seg_ends = np.where(counts > 0, ends[np.maximum(cum - 1, 0)], 0)
+    # empty segments inherit the previous segment's end (zero-length slice)
+    seg_ends = np.maximum.accumulate(seg_ends)
+    seg_starts = np.concatenate(([0], seg_ends[:-1]))
+    mv = memoryview(buf)
+    return [bytes(mv[s:e]) for s, e in zip(seg_starts, seg_ends)]
+
+
 def bm25_tf_norm(
     tfs: np.ndarray, dls: np.ndarray, avgdl: float, k1: float, b: float
 ) -> np.ndarray:

@@ -54,14 +54,14 @@ from pyspark.storagelevel import StorageLevel
 from cascading_solr_spark.indexing.build import (
     KW_SEP,
     MAX_DOC_ID,
-    POSTINGS_SCHEMA,
-    TF_SCHEMA,
     Index,
     _assembler,
     _keyword_tf_rows,
     _rank_ids,
     _shard_salt_exprs,
     _spimi_tf_kernel,
+    postings_schema,
+    tf_schema,
     validate_schema,
     write_meta,
 )
@@ -236,7 +236,7 @@ def append_documents(
 
         # ---- batch postings (SPIMI + keyword rows + stored hot set) ----
         tf_long = based.select("doc_id", spec.content_field).mapInPandas(
-            _spimi_tf_kernel(spec.content_field), TF_SCHEMA
+            _spimi_tf_kernel(spec.content_field, spec.positions), tf_schema(spec)
         )
         kw_rows = _keyword_tf_rows(based, spec)
         if kw_rows is not None:
@@ -257,7 +257,7 @@ def append_documents(
         # consumers: the postings append, the lineage delta, and the dict
         # segment — no pass ever re-reads the existing index.
         postings = arranged.mapInPandas(
-            _assembler(spec, hot), POSTINGS_SCHEMA
+            _assembler(spec, hot), postings_schema(spec)
         ).persist(StorageLevel.MEMORY_AND_DISK)
         # token stats ride the write job as an Observation (accumulator-side
         # aggregate over the written rows) — no separate stats job at all

@@ -65,8 +65,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
-from cascading_solr_spark.analyzer import make_cached_tokenizer
-from cascading_solr_spark.codec import encode_varint_counts
+from cascading_solr_spark.analyzer import (
+    make_cached_position_tokenizer,
+    make_cached_tokenizer,
+)
+from cascading_solr_spark.codec import encode_position_payload, encode_varint_counts
 from cascading_solr_spark.spec import IndexSpec, IndexSpecError, validate_schema
 
 # The big (term, doc) intermediate packs (doc_id, dl) into ONE long:
@@ -97,14 +100,20 @@ def pack_id_dl(doc_ids: np.ndarray, dls: np.ndarray) -> np.ndarray:
     )
 
 
-def _spimi_tf_kernel(content_field: str):
+def _spimi_tf_kernel(content_field: str, positions: bool = False):
     """SPIMI in-memory inversion, Arrow-batched: tokenize (memoized per-word
     cache — code identifiers repeat heavily) + per-doc Counter -> distinct
     (doc, term, tf) rows with (doc_id, dl) packed.  This runs in separate
     Python worker processes, so it scales with cores without sharing one JVM
     heap (the Catalyst expression analyzer measurably anti-scaled under
     allocation pressure at local[32]).  The per-doc dict IS the SPIMI
-    dictionary; only distinct (term, doc) pairs ever reach the shuffle."""
+    dictionary; only distinct (term, doc) pairs ever reach the shuffle.
+
+    With ``positions`` each row additionally carries its delta-varint
+    position-list blob (``pos`` binary, Lucene .pos analogue) — encoded
+    MAP-SIDE so the shuffle still moves one row per distinct (term, doc)
+    pair, just a few bytes wider; the whole batch is encoded in ONE
+    vectorized pass and sliced per row (encode_position_payload)."""
     from collections import Counter
 
     def kernel(batches):
@@ -133,7 +142,50 @@ def _spimi_tf_kernel(content_field: str):
                 }
             )
 
-    return kernel
+    def kernel_pos(batches):
+        tokenize_pos = make_cached_position_tokenizer()
+        for pdf in batches:
+            doc_ids: list[int] = []
+            dls: list[int] = []
+            terms: list[str] = []
+            tfs: list[int] = []
+            pos_chunks: list[list[int]] = []
+            for doc_id, content in zip(
+                pdf["doc_id"].to_numpy(), pdf[content_field]
+            ):
+                tp = tokenize_pos(content)
+                per_term: dict[str, list[int]] = {}
+                for t, p in tp:
+                    per_term.setdefault(t, []).append(p)
+                k = len(per_term)
+                doc_ids.extend([doc_id] * k)
+                dls.extend([len(tp)] * k)
+                terms.extend(per_term.keys())
+                tfs.extend(len(v) for v in per_term.values())
+                pos_chunks.extend(per_term.values())
+            ids = np.asarray(doc_ids, dtype=np.int64)
+            tf_arr = np.asarray(tfs, dtype=np.int64)
+            flat = (
+                np.concatenate([np.asarray(c, dtype=np.int64) for c in pos_chunks])
+                if pos_chunks
+                else np.empty(0, dtype=np.int64)
+            )
+            buf, seg_nb = encode_position_payload(flat, tf_arr)
+            offs = np.zeros(len(seg_nb) + 1, dtype=np.int64)
+            np.cumsum(seg_nb, out=offs[1:])
+            mv = memoryview(buf)
+            yield pd.DataFrame(
+                {
+                    "packed": pack_id_dl(ids, np.asarray(dls, dtype=np.int64)),
+                    "term": terms,
+                    "tf": tf_arr.astype(np.int32),
+                    "pos": [
+                        bytes(mv[offs[i]: offs[i + 1]]) for i in range(len(seg_nb))
+                    ],
+                }
+            )
+
+    return kernel_pos if positions else kernel
 
 
 POSTINGS_SCHEMA = (
@@ -144,6 +196,20 @@ POSTINGS_SCHEMA = (
     "boffs_ids array<long>, boffs_tfs array<long>, boffs_dls array<long>, "
     "n_blocks int, n_bytes long"
 )
+
+# positional variants (spec.positions): the shuffle rows carry the map-side
+# encoded per-posting position blob; the assembled rows carry the per-group
+# concatenated payload + per-block byte offsets (Lucene .pos analogue)
+TF_SCHEMA_POS = TF_SCHEMA + ", pos binary"
+POSTINGS_SCHEMA_POS = POSTINGS_SCHEMA + ", pos binary, boffs_pos array<long>"
+
+
+def tf_schema(spec: IndexSpec) -> str:
+    return TF_SCHEMA_POS if spec.positions else TF_SCHEMA
+
+
+def postings_schema(spec: IndexSpec) -> str:
+    return POSTINGS_SCHEMA_POS if spec.positions else POSTINGS_SCHEMA
 
 
 #: per-phase wall seconds of the most recent ``build_index`` call in this
@@ -336,7 +402,7 @@ class Index:
         # — the first append creates it; until then serve a schema-correct
         # empty frame so every query path works unchanged
         if not os.path.exists(self.postings_path):
-            return spark.createDataFrame([], POSTINGS_SCHEMA)
+            return spark.createDataFrame([], postings_schema(self.spec))
         return spark.read.parquet(self.postings_path)
 
     def docs(self, spark: SparkSession) -> DataFrame:
@@ -425,6 +491,7 @@ def _assembler(spec: IndexSpec, hot_terms: list[str] | tuple[str, ...] = ()):
     surviving blocks (Block-Max WAND, Ding & Suel SIGIR 2011).
     """
     block = spec.block_size
+    positions = spec.positions
 
     cols = [
         "shard", "term", "salt", "n_docs", "sum_tf", "doc_ids", "tfs", "dls",
@@ -432,6 +499,8 @@ def _assembler(spec: IndexSpec, hot_terms: list[str] | tuple[str, ...] = ()):
         "boffs_ids", "boffs_tfs", "boffs_dls",
         "n_blocks", "n_bytes",
     ]
+    if positions:
+        cols += ["pos", "boffs_pos"]
 
     num_shards, salt_buckets = spec.num_shards, spec.salt_buckets
     hot_set = frozenset(hot_terms)
@@ -510,6 +579,25 @@ def _assembler(spec: IndexSpec, hot_terms: list[str] | tuple[str, ...] = ()):
         bends = np.append(bstarts[1:], n) - 1
         blast = ids[bends]
 
+        extra: dict[str, list | np.ndarray] = {}
+        if positions:
+            # position blobs arrive map-side-encoded (self-contained delta
+            # chain per posting), so group assembly is pure byte
+            # concatenation: one join + per-group/per-block offset slicing —
+            # never a varint decode on the build path.
+            pos_col = pdf["pos"]
+            nb_pos = np.fromiter(
+                (len(x) for x in pos_col), dtype=np.int64, count=n
+            )
+            pos_buf = memoryview(b"".join(pos_col))
+            off_pos = np.zeros(n_groups + 1, dtype=np.int64)
+            np.cumsum(np.add.reduceat(nb_pos, starts), out=off_pos[1:])
+            extra["pos"] = [
+                bytes(pos_buf[off_pos[i]: off_pos[i + 1]])
+                for i in range(n_groups)
+            ]
+            extra["boffs_pos"] = block_offs(nb_pos, off_pos)
+
         return pd.DataFrame(
             {
                 "shard": shard[starts],
@@ -543,6 +631,7 @@ def _assembler(spec: IndexSpec, hot_terms: list[str] | tuple[str, ...] = ()):
                 "n_bytes": (
                     np.diff(off_ids) + np.diff(off_tfs) + np.diff(off_dls)
                 ).astype(np.int64),
+                **extra,
             },
             columns=cols,
         )
@@ -609,6 +698,12 @@ def _keyword_tf_rows(based: DataFrame, spec: IndexSpec) -> DataFrame | None:
         else:
             vals = F.col(field).cast("string").alias("_kw")
         part = based.select("doc_id", vals).filter(F.col("_kw").isNotNull())
+        # keyword terms are positionless (StrField — no token stream); in a
+        # positional index they ride with an empty blob, which phrase paths
+        # never decode (phrases are content-term only).
+        pos_cols = (
+            [F.lit(b"").cast("binary").alias("pos")] if spec.positions else []
+        )
         parts.append(
             part.select(
                 (
@@ -616,6 +711,7 @@ def _keyword_tf_rows(based: DataFrame, spec: IndexSpec) -> DataFrame | None:
                 ).alias("packed"),
                 keyword_term(field, F.col("_kw")).alias("term"),
                 F.lit(1).cast("int").alias("tf"),
+                *pos_cols,
             )
         )
     out = parts[0]
@@ -922,12 +1018,16 @@ def build_index(
                 F.col(spec.content_field),
                 *[F.col(f) for f in spec.keyword_fields],
             )
+            # df-estimation only — positions add nothing here, so the sample
+            # pass always runs the cheaper positionless kernel
             sample_tf = sampled.select("doc_id", spec.content_field).mapInPandas(
                 _spimi_tf_kernel(spec.content_field), TF_SCHEMA
             )
             kw_sample = _keyword_tf_rows(sampled, spec)
             if kw_sample is not None:
-                sample_tf = sample_tf.unionByName(kw_sample)
+                sample_tf = sample_tf.unionByName(
+                    kw_sample.select("packed", "term", "tf")
+                )
             hot_threshold = max(2.0, spec.hot_term_df_ratio * n_sample)
             hot_terms = sorted(
                 r["term"]
@@ -967,7 +1067,8 @@ def build_index(
                     F.pmod(F.col("doc_id"), F.lit(spec.num_shards)).isin(missing)
                 )
             tf_long = src.select("doc_id", spec.content_field).mapInPandas(
-                _spimi_tf_kernel(spec.content_field), TF_SCHEMA
+                _spimi_tf_kernel(spec.content_field, spec.positions),
+                tf_schema(spec),
             )
             kw_rows = _keyword_tf_rows(src, spec)
             if kw_rows is not None:
@@ -992,7 +1093,7 @@ def build_index(
                 shard_e, F.xxhash64("term"), *salt_keys, F.col("packed")
             )
             postings = arranged.mapInPandas(
-                _assembler(spec, hot_terms), schema=POSTINGS_SCHEMA
+                _assembler(spec, hot_terms), schema=postings_schema(spec)
             )
             _write_postings(postings, postings_path, spec, mode="append")
             prof.mark("postings_write")

@@ -36,43 +36,63 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from cascading_solr_spark.codec import decode_doc_ids, decode_varint
+from cascading_solr_spark.codec import (
+    decode_doc_ids,
+    decode_varint,
+    split_varint_payload,
+)
 from cascading_solr_spark.indexing.build import (
-    POSTINGS_SCHEMA,
-    TF_SCHEMA,
     Index,
     _assembler,
     _shard_salt_exprs,
     pack_id_dl,
+    postings_schema,
+    tf_schema,
     write_meta,
 )
 
 
-def _decode_kernel(block_size: int):
+def _decode_kernel(block_size: int, positions: bool = False):
     """posting rows -> (packed(doc_id, dl), term, tf) long rows (vectorized:
-    one concat per batch, no per-posting Python)."""
+    one concat per batch, no per-posting Python).
+
+    With ``positions`` each long row also carries its per-posting position
+    blob — SLICED from the group payload without a value decode (varint
+    boundaries are self-describing and each posting's delta chain is
+    self-contained), so compaction round-trips positions byte-identically.
+    Keyword-term rows (StrField — positionless, empty payload) re-emit
+    empty blobs."""
 
     def decode(batches):
         for pdf in batches:
             ids_l, tfs_l, dls_l, terms_l = [], [], [], []
+            pos_l: list[list[bytes]] = []
             for row in pdf.itertuples(index=False):
                 n = int(row.n_docs)
                 ids_l.append(decode_doc_ids(row.doc_ids, n, block_size))
-                tfs_l.append(decode_varint(row.tfs, n))
+                tfs = decode_varint(row.tfs, n)
+                tfs_l.append(tfs)
                 dls_l.append(decode_varint(row.dls, n))
                 terms_l.append(np.repeat(row.term, n))
+                if positions:
+                    buf = row.pos
+                    if buf is None or len(buf) == 0:
+                        pos_l.append([b""] * n)
+                    else:
+                        pos_l.append(split_varint_payload(buf, tfs))
             if not ids_l:
                 continue
-            yield pd.DataFrame(
-                {
-                    "packed": pack_id_dl(
-                        np.concatenate(ids_l).astype(np.int64),
-                        np.concatenate(dls_l).astype(np.int64),
-                    ),
-                    "term": np.concatenate(terms_l),
-                    "tf": np.concatenate(tfs_l).astype(np.int32),
-                }
-            )
+            out = {
+                "packed": pack_id_dl(
+                    np.concatenate(ids_l).astype(np.int64),
+                    np.concatenate(dls_l).astype(np.int64),
+                ),
+                "term": np.concatenate(terms_l),
+                "tf": np.concatenate(tfs_l).astype(np.int32),
+            }
+            if positions:
+                out["pos"] = [b for blobs in pos_l for b in blobs]
+            yield pd.DataFrame(out)
 
     return decode
 
@@ -96,7 +116,7 @@ def compact_index(
     shutil.rmtree(new_path, ignore_errors=True)
 
     tf_long = index.postings(spark).mapInPandas(
-        _decode_kernel(spec.block_size), TF_SCHEMA
+        _decode_kernel(spec.block_size, spec.positions), tf_schema(spec)
     )
     # the hot set persisted at build time keeps salting identical across
     # generations (meta.json is the source of truth)
@@ -109,7 +129,7 @@ def compact_index(
     ).sortWithinPartitions(
         shard_e, F.xxhash64("term"), *salt_keys, F.col("packed")
     )
-    compacted = arranged.mapInPandas(_assembler(spec, hot), POSTINGS_SCHEMA)
+    compacted = arranged.mapInPandas(_assembler(spec, hot), postings_schema(spec))
     if max_segments <= 1:
         placed = compacted.repartition(spec.num_shards, "shard")
     else:

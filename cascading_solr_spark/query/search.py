@@ -41,14 +41,17 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cascading_solr_spark.analyzer import analyze_query
+from cascading_solr_spark.analyzer import analyze_query, tokenize_with_positions
 from cascading_solr_spark.codec import (
     bm25_idf,
     bm25_tf_norm,
+    block_value_counts,
     decode_doc_ids,
+    decode_positions,
+    decode_selected_blocks,
     decode_varint,
 )
-from cascading_solr_spark.indexing.build import KW_SEP, Index
+from cascading_solr_spark.indexing.build import KW_SEP, POSTINGS_SCHEMA, Index
 from cascading_solr_spark.query.wand import (
     RESULT_SCHEMA as _RESULT_SCHEMA,
 )
@@ -59,6 +62,19 @@ from cascading_solr_spark.query.wand import (
     row_cache_key,
     topk_ties,
 )
+
+
+# Scoring-kernel projection: every postings column EXCEPT the positional
+# payload (pos / boffs_pos, present when spec.positions).  Ranked and
+# match kernels never touch positions, so on a positional index their
+# parquet scans must not read the (corpus-token-sized) pos binaries —
+# only the phrase kernel selects them.
+_SCORE_COLS = [c.split()[0] for c in POSTINGS_SCHEMA.split(", ")]
+
+
+def _score_rows(index: Index, spark: SparkSession) -> DataFrame:
+    """Postings projected to the scoring columns (drops positional payload)."""
+    return index.postings(spark).select(*_SCORE_COLS)
 
 
 def filter_terms_of(filters: dict[str, str] | None) -> set[str]:
@@ -316,7 +332,7 @@ def keyword_filter(
             return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
         return pd.DataFrame({"doc_id": allowed})
 
-    matched = index.postings(spark).filter(F.col("term").isin(list(fterms)))
+    matched = _score_rows(index, spark).filter(F.col("term").isin(list(fterms)))
     out = (
         matched.groupBy("shard")
         .applyInPandas(kernel, "doc_id long")
@@ -429,12 +445,20 @@ def search(
       Over a 100 TB corpus the AND path touches only the query terms'
       posting lists, never a docs-table scan.  With synonyms, every
       expansion term is required (expansion under AND is rarely useful;
-      documented, not hidden)."""
+      documented, not hidden).
+    * a fully-quoted query string (``q='"exact phrase"'``) dispatches to
+      :func:`search_phrase` (PhraseQuery; needs a positional index)."""
+    q = query.strip()
+    if len(q) >= 2 and q[0] == '"' and q[-1] == '"' and '"' not in q[1:-1]:
+        return search_phrase(
+            spark, index, q[1:-1], k=k, with_stored=with_stored,
+            filters=filters, start=start,
+        )
     qtext, parsed_fterms = parse_query(query, index.spec.keyword_fields)
     qtext, op = query_op(qtext, default=op)
     terms = expand_terms(qtext, synonyms)
     fterms = filter_terms_of(filters) | parsed_fterms
-    postings = index.postings(spark)
+    postings = _score_rows(index, spark)
     dfs = term_dfs(spark, index, terms) if terms else {}
     conjunctive = op.upper() == "AND"
     n_required = len(set(terms))
@@ -557,7 +581,7 @@ def search_after(
             require_n_terms=n_required if conjunctive else None,
             cursor=cursor,
         )
-        matched = index.postings(spark).filter(
+        matched = _score_rows(index, spark).filter(
             F.col("term").isin(list(dfs) + list(fterms))
         )
         local = matched.groupBy("shard").applyInPandas(kernel, _RESULT_SCHEMA)
@@ -565,6 +589,255 @@ def search_after(
     if not with_stored:
         return top
     return _fetch_stored(spark, index, top, bounded=True)
+
+
+def _phrase_terms(phrase: str) -> list[str]:
+    """Query-side phrase analysis: one term per POSITION, parts preferred.
+
+    Lucene's query analyzer turns a quoted phrase into position-ordered
+    terms; overlapping tokens (the catenated whole that WordDelimiterFilter
+    emits at posInc=0) are dropped in favor of the position-advancing parts
+    — ``"TurboWriter logs"`` becomes the phrase [turbo, writer, logs], which
+    matches the indexed positions of ``TurboWriter logs`` text exactly."""
+    first_at: dict[int, str] = {}
+    for t, p in tokenize_with_positions(phrase):
+        first_at.setdefault(p, t)  # parts are emitted before the whole
+    return [first_at[p] for p in sorted(first_at)]
+
+
+def _phrase_kernel(
+    terms: list[str],
+    idf_sum: float,
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int | None,
+    block_size: int,
+    fterms: set[str],
+):
+    """Per-shard exact phrase scorer (Lucene PhraseQuery semantics).
+
+    Three stages, each decoding strictly less than the last:
+
+    1. doc-id intersection of the phrase terms' posting lists (ids only —
+       tf/dl/pos untouched);
+    2. positional verification for intersection docs ONLY: the kernel
+       locates the blocks holding surviving postings (block_last_id
+       searchsorted, the same skip structure MaxScore uses) and varint-
+       decodes just those blocks' tf + position payloads; adjacency is one
+       vectorized key intersection per phrase slot ((doc, pos−slot) keys);
+    3. scoring: score = Σidf(term_i) · tf_norm(phrase_freq, dl) — Lucene's
+       PhraseWeight (idf summed over phrase slots, tf = number of phrase
+       occurrences), with dl decoded from the first term's surviving blocks.
+
+    Sharding is by doc, so phrase verification is shard-local and the global
+    merge stays the standard top-k order-merge."""
+    distinct = list(dict.fromkeys(terms))
+    m = len(terms)
+
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+
+    def gather(rows: list, decoded: dict, inter: np.ndarray, want_dl: bool):
+        """(docs, flat positions, per-posting counts[, dls]) for the
+        postings of ``rows`` whose doc is in sorted ``inter``."""
+        docs_p, pos_p, cnt_p, dl_p = [], [], [], []
+        for r in rows:
+            ids = decoded[row_cache_key(r)]
+            sel = _member(ids, inter)
+            if not sel.any():
+                continue
+            pidx = np.flatnonzero(sel)
+            n, nb = int(r.n_docs), int(r.n_blocks)
+            bmask = np.zeros(nb, dtype=bool)
+            bmask[np.unique(pidx // block_size)] = True
+            tf_vals, kept = decode_selected_blocks(
+                r.tfs, r.boffs_tfs, n, block_size, bmask
+            )
+            tf_vals = tf_vals.astype(np.int64)
+            counts = block_value_counts(n, nb, block_size)[kept]
+            gidx = np.concatenate(
+                [
+                    np.arange(j * block_size, j * block_size + c)
+                    for j, c in zip(kept, counts)
+                ]
+            )
+            boffs = np.asarray(r.boffs_pos, dtype=np.int64)
+            ends = np.append(boffs[1:], len(r.pos))
+            payload = b"".join(r.pos[boffs[j]: ends[j]] for j in kept)
+            flat = decode_positions(payload, tf_vals)
+            offs = np.zeros(len(tf_vals) + 1, dtype=np.int64)
+            np.cumsum(tf_vals, out=offs[1:])
+            keep = _member(ids[gidx], inter)
+            kp = np.flatnonzero(keep)
+            if not len(kp):
+                continue
+            take = np.concatenate(
+                [np.arange(offs[i], offs[i + 1]) for i in kp]
+            )
+            docs_p.append(ids[gidx][kp])
+            pos_p.append(flat[take])
+            cnt_p.append(tf_vals[kp])
+            if want_dl:
+                dl_vals, _ = decode_selected_blocks(
+                    r.dls, r.boffs_dls, n, block_size, bmask
+                )
+                dl_p.append(dl_vals.astype(np.int64)[kp])
+        if not docs_p:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z, z
+        return (
+            np.concatenate(docs_p),
+            np.concatenate(pos_p),
+            np.concatenate(cnt_p),
+            np.concatenate(dl_p) if want_dl else np.empty(0, dtype=np.int64),
+        )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(
+            list(pdf.itertuples(index=False)), key=row_cache_key
+        )
+        allowed = allowed_ids(rows, fterms, block_size)
+        if allowed is not None and not len(allowed):
+            return empty()
+        by_term: dict[str, list] = {t: [] for t in distinct}
+        for r in rows:
+            if r.term in by_term:
+                by_term[r.term].append(r)
+        if any(not by_term[t] for t in distinct):
+            return empty()
+        # stage 1: id-only intersection (cheapest decode first keeps the
+        # running candidate set small)
+        decoded: dict[tuple, np.ndarray] = {}
+        per_term: dict[str, np.ndarray] = {}
+        for t in distinct:
+            parts = []
+            for r in by_term[t]:
+                ids = decode_doc_ids(r.doc_ids, int(r.n_docs), block_size)
+                decoded[row_cache_key(r)] = ids
+                parts.append(ids)
+            arr = parts[0] if len(parts) == 1 else np.sort(np.concatenate(parts))
+            per_term[t] = arr
+        inter: np.ndarray | None = None
+        for t in sorted(distinct, key=lambda t: len(per_term[t])):
+            arr = per_term[t]
+            inter = arr if inter is None else arr[_member(arr, inter)]
+            if not len(inter):
+                return empty()
+        if allowed is not None:
+            inter = inter[_member(inter, allowed)]
+            if not len(inter):
+                return empty()
+        # stage 2: positions for intersection docs only
+        occ: dict[str, tuple] = {}
+        dl_docs = dl_vals = None
+        for j, t in enumerate(distinct):
+            docs_t, pos_t, cnt_t, dls_t = gather(
+                by_term[t], decoded, inter, want_dl=(j == 0)
+            )
+            if not len(docs_t):
+                return empty()
+            occ[t] = (docs_t, pos_t, cnt_t)
+            if j == 0:
+                dl_docs, dl_vals = docs_t, dls_t
+        maxpos = 0
+        for t in distinct:
+            p = occ[t][1]
+            if len(p):
+                maxpos = max(maxpos, int(p.max()))
+        keymul = maxpos + m + 2  # (doc_idx, pos-slot) packs collision-free
+        cur: np.ndarray | None = None
+        for i, t in enumerate(terms):
+            docs_t, pos_t, cnt_t = occ[t]
+            didx = np.searchsorted(inter, docs_t)
+            drep = np.repeat(didx.astype(np.int64), cnt_t)
+            keys = drep * keymul + (pos_t - i)
+            keys = keys[pos_t >= i]
+            cur = keys if cur is None else np.intersect1d(
+                cur, keys, assume_unique=True
+            )
+            if not len(cur):
+                return empty()
+        hit_idx, pf = np.unique(cur // keymul, return_counts=True)
+        docs = inter[hit_idx]
+        # dl lookup from the first term's surviving postings (every phrase
+        # doc has a first-term posting by construction)
+        order = np.argsort(dl_docs, kind="stable")
+        dl_sorted, dlv_sorted = dl_docs[order], dl_vals[order]
+        dls = dlv_sorted[np.searchsorted(dl_sorted, docs)]
+        scores = idf_sum * bm25_tf_norm(
+            pf.astype(np.float64), dls, avgdl, k1, b
+        )
+        if k is not None:
+            docs, scores = topk_ties(docs, scores, k)
+        o = np.lexsort((docs, -scores))
+        return pd.DataFrame({"doc_id": docs[o], "score": scores[o]})
+
+    return score
+
+
+def search_phrase(
+    spark: SparkSession,
+    index: Index,
+    phrase: str,
+    k: int | None = 10,
+    with_stored: bool = True,
+    filters: dict[str, str] | None = None,
+    start: int = 0,
+) -> DataFrame:
+    """Exact phrase query over a positional index — the Solr/Lucene
+    ``q="..."`` PhraseQuery analogue (slop 0; the reference's embedded Solr
+    serves these out of the box because text fields index positions,
+    schema.xml text_en_splitting chain).
+
+    Matching: documents whose token stream contains the analyzed phrase
+    terms at CONSECUTIVE positions (WordDelimiterFilter position semantics:
+    identifier sub-parts advance positions, so ``"turbo writer"`` matches
+    camelCase ``TurboWriter`` — the engine's signature analyzer behavior,
+    reference README.md:96-99).  Scoring: Lucene PhraseWeight —
+    ``Σidf(term) · tf_norm(phrase_freq, dl)`` under the index's global BM25
+    statistics.  ``filters`` compose exactly like :func:`search` (fq
+    semantics).  Requires ``spec.positions=True`` (ValueError otherwise).
+    """
+    if not index.spec.positions:
+        raise ValueError(
+            "phrase queries need a positional index (IndexSpec.positions=True)"
+        )
+    terms = _phrase_terms(phrase)
+    fterms = filter_terms_of(filters)
+    fetch_k = None if k is None else k + start
+    empty = spark.createDataFrame([], _RESULT_SCHEMA)
+    if not terms:
+        top = empty
+    else:
+        dfs = term_dfs(spark, index, list(dict.fromkeys(terms)))
+        if len(dfs) < len(set(terms)):
+            top = empty  # a phrase term with df=0 empties the conjunction
+        else:
+            spec = index.spec
+            idf_sum = sum(
+                bm25_idf(dfs[t], index.n_docs) for t in terms
+            )
+            kernel = _phrase_kernel(
+                terms, idf_sum, index.avgdl, spec.k1, spec.b, fetch_k,
+                spec.block_size, fterms,
+            )
+            matched = index.postings(spark).filter(
+                F.col("term").isin(list(dfs) + list(fterms))
+            )
+            local = matched.groupBy("shard").applyInPandas(
+                kernel, _RESULT_SCHEMA
+            )
+            top = local.orderBy(F.desc("score"), F.asc("doc_id"))
+            if k is not None:
+                top = top.limit(fetch_k)
+    if start:
+        top = top.offset(start)
+    if not with_stored:
+        return top
+    return _fetch_stored(spark, index, top, bounded=k is not None)
 
 
 def _doc_scores_for_ids(
@@ -625,7 +898,7 @@ def _doc_scores_for_ids(
         )
 
     rows = (
-        index.postings(spark)
+        _score_rows(index, spark)
         .filter(F.col("shard").isin(shards) & F.col("term").isin(list(sterms)))
         .groupBy("shard")
         .applyInPandas(kernel, "term string, doc_id long, tf long, dl long")
@@ -1847,7 +2120,7 @@ def search_many(
     kernel = batch_kernel(
         plans, idf, index.avgdl, spec.k1, spec.b, k, spec.block_size
     )
-    matched = index.postings(spark).filter(
+    matched = _score_rows(index, spark).filter(
         F.col("term").isin(list(idf) + all_fterms)
     )
     local = matched.groupBy("shard").applyInPandas(

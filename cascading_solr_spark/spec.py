@@ -65,6 +65,12 @@ class IndexSpec:
     # SPIMI in-partition flush threshold, the analogue of the reference's
     # 500-doc micro-batch (core/SolrWriter.java:20 MAX_DOCS_PER_ADD).
     batch_rows: int = 10_000
+    # index term positions (Lucene .pos analogue: delta-varint per-posting
+    # position lists riding the postings rows) — enables phrase queries
+    # (schema.xml text fields index positions by default; the reference's
+    # embedded Solr answers phrase queries out of the box).  Off by default:
+    # positions cost ~1 varint per token of extra postings payload.
+    positions: bool = False
 
     def __post_init__(self) -> None:
         if self.num_shards < 1:
