@@ -66,10 +66,11 @@ _DOC_SPEC = IndexSpec(
     doc_id_field="doc_id",
     num_shards=8,
     salt_buckets=4,
+    positions=True,  # phrase queries (ft_phrase) need the positional format
 )
 
 
-_INDEX_FORMAT_VERSION = 9  # bump on any postings/dict/ANN layout change
+_INDEX_FORMAT_VERSION = 10  # bump on any postings/dict/ANN layout change
 
 
 _INDEX_HANDLES: dict[str, Index] = {}
@@ -220,20 +221,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.array_contains(textstats.simple_tokens("text"), "zzqxv").cast("long")
         ).alias("n_zzqxv"),
     )
+    # Q3 both ways in one kind-tagged union (merged r5c: was ft_field_scoped
+    # + ft_field_scoped_indexed): the naive docs-side filter match and the
+    # index-side keyword filter COMPOSED with BM25 ranking (fq semantics —
+    # global scoring stats)
     q["ft_field_scoped"] = lambda s, d: (
         _docs(s, d)
         .filter(
             (F.col("lang") == "es")
             & F.array_contains(textstats.simple_tokens("text"), "join")
         )
-        .select("doc_id", "lang")
+        .select(
+            F.lit("match").alias("kind"),
+            "doc_id",
+            F.lit(0.0).alias("score"),
+        )
+        .unionByName(
+            search(
+                s, _index_for(s, d), Q_MAIN, k=10, with_stored=False,
+                filters={"lang": "es"},
+            ).select(
+                F.lit("ranked").alias("kind"),
+                "doc_id",
+                F.round("score", 4).alias("score"),
+            )
+        )
     )
-    # Q3 index-side: exact keyword filter COMPOSED with BM25 ranking in one
-    # index query (fq semantics — global scoring stats)
-    q["ft_field_scoped_indexed"] = lambda s, d: search(
-        s, _index_for(s, d), Q_MAIN, k=10, with_stored=False,
-        filters={"lang": "es"},
-    ).select("doc_id", F.round("score", 4).alias("score"))
     # pure keyword-field membership served from the postings (cat:Japanese
     # analogue, AbstractSolrSchemeTest.java:163-169)
     q["ix_keyword_filter"] = lambda s, d: keyword_filter(
@@ -514,6 +527,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _index_for(s, d), "lang:es " + Q_MAIN, k=10, with_stored=False
     ).select("doc_id", F.round("score", 4).alias("score"))
 
+    # --- exact phrase query (PhraseQuery; positional index, r5c) ---
+    def _phrase(s, d):
+        from cascading_solr_spark.query.search import search_phrase
+
+        return search_phrase(
+            s, _index_for(s, d), "merge sort", k=None, with_stored=False
+        ).select("doc_id", F.round("score", 4).alias("score"))
+
+    q["ft_phrase"] = _phrase
+
+    # --- result grouping / field collapse (group.field=lang, r5c) ---
+    def _grouped(s, d):
+        from cascading_solr_spark.query.search import search_grouped
+
+        return search_grouped(
+            s, _index_for(s, d), Q_MAIN, "lang", group_limit=2, k_groups=5
+        ).select(
+            "group",
+            "group_hits",
+            F.col("group_rank").cast("long").alias("group_rank"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+
+    q["ft_grouped"] = _grouped
+
+    # --- eDisMax minimum-should-match (mm=3 of 4 OR terms, r5c) ---
+    q["ft_min_match"] = lambda s, d: search(
+        s, _index_for(s, d), Q_MULTI, k=None, with_stored=False, min_match=3
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
     # --- batched multi-query search (one distributed pass for N queries);
     # r5: full single-query-surface parity — q2 carries a keyword filter
     # through the batch kernel (restored to the checked set after the r4
@@ -556,14 +600,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sessionize(_events(s, d), gap_seconds=1800)
 
     q["ev_sessionize"] = _sessions
-    q["ft_df_stats"] = lambda s, d: (
+    # per-term df + corpus (n, avgdl) in one (stat, value) union (merged
+    # r5c: was ft_df_stats + ft_corpus_stats)
+    q["ft_corpus_stats"] = lambda s, d: (
         tokens_long(_docs(s, d), "text", "doc_id")
         .filter(F.col("term").isin(list(DF_TERMS)))
         .groupBy("term")
         .agg(F.count("*").alias("df"))
-    )
-    q["ft_corpus_stats"] = lambda s, d: corpus_stats(_docs(s, d), "text").select(
-        "n", F.round("avgdl", 4).alias("avgdl")
+        .select(
+            F.concat(F.lit("df:"), F.col("term")).alias("stat"),
+            F.col("df").cast("double").alias("value"),
+        )
+        .unionByName(
+            corpus_stats(_docs(s, d), "text").select(
+                F.lit("n").alias("stat"), F.col("n").cast("double").alias("value")
+            )
+        )
+        .unionByName(
+            corpus_stats(_docs(s, d), "text").select(
+                F.lit("avgdl").alias("stat"),
+                F.round("avgdl", 4).alias("value"),
+            )
+        )
     )
     q["ft_postings_long"] = lambda s, d: (
         tokens_long(_docs(s, d), "text", "doc_id")
@@ -601,11 +659,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dd_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
         _docs_with_dups(s, d), "text", threshold=0.5
     ).select("doc_a", "doc_b", "jaccard")
-    q["dd_simhash"] = lambda s, d: dedup.simhash(_docs(s, d), "text")
-    # banded equi-join near pairs (lossless pigeonhole) vs the quadratic oracle
-    q["dd_simhash_pairs"] = lambda s, d: dedup.simhash_near_pairs(
-        _docs(s, d).select("doc_id", "text"), "text", max_hamming=1
-    ).select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+    # signatures + banded equi-join near pairs (lossless pigeonhole) in one
+    # kind-tagged union vs the quadratic oracle (merged r5c: was dd_simhash
+    # + dd_simhash_pairs); sig rows use b=-1
+    q["dd_simhash"] = lambda s, d: (
+        dedup.simhash(_docs(s, d), "text")
+        .select(
+            F.lit("sig").alias("kind"),
+            F.col("doc_id").alias("a"),
+            F.lit(-1).cast("long").alias("b"),
+            F.col("simhash").cast("long").alias("v"),
+        )
+        .unionByName(
+            dedup.simhash_near_pairs(
+                _docs(s, d).select("doc_id", "text"), "text", max_hamming=1
+            ).select(
+                F.lit("pair").alias("kind"),
+                F.col("doc_a").alias("a"),
+                F.col("doc_b").alias("b"),
+                F.col("hamming").cast("long").alias("v"),
+            )
+        )
+    )
 
     # --- similarity / ANN ---
     q["sim_cosine_topk"] = lambda s, d: similarity.cosine_topk_to_row(
@@ -735,17 +810,17 @@ SELECT (SELECT count(DISTINCT doc_id) FROM toks
         WHERE term = 'zzqxv')::BIGINT AS n_zzqxv
 """
     o["ft_field_scoped"] = f"""
-WITH {_toks_cte()}
-SELECT d.doc_id, d.lang FROM documents d
+WITH {_toks_cte()},
+scores AS ({_bm25_sql(tuple(Q_MAIN.split()), None)})
+SELECT 'match' AS kind, d.doc_id, 0.0 AS score FROM documents d
 WHERE d.lang = 'es'
   AND EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.term = 'join')
-"""
-    o["ft_field_scoped_indexed"] = f"""
-WITH scores AS ({_bm25_sql(tuple(Q_MAIN.split()), None)})
-SELECT s.doc_id, s.score
-FROM scores s JOIN documents d USING (doc_id)
-WHERE d.lang = 'es'
-ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+UNION ALL
+SELECT 'ranked' AS kind, doc_id, score FROM (
+  SELECT s.doc_id, s.score
+  FROM scores s JOIN documents d USING (doc_id)
+  WHERE d.lang = 'es'
+  ORDER BY s.score DESC, s.doc_id ASC LIMIT 10)
 """
     o["ix_keyword_filter"] = "SELECT doc_id FROM documents WHERE lang = 'es'"
     o["ft_facet_counts"] = f"""
@@ -1044,15 +1119,74 @@ FROM scores s JOIN documents d USING (doc_id)
 WHERE d.lang = 'es'
 ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
 """
-    terms_in = ", ".join(f"'{t}'" for t in DF_TERMS)
-    o["ft_df_stats"] = f"""
-WITH {_toks_cte()}
-SELECT term, count(DISTINCT doc_id)::BIGINT AS df
-FROM toks WHERE term IN ({terms_in}) GROUP BY term
+    # exact phrase 'merge sort': positional adjacency + Lucene PhraseWeight
+    # (Σidf over phrase slots × tf_norm(phrase_freq, dl)); positions are
+    # token ordinals on this corpus (every word single-part), so a
+    # self-join on p+1 is the exact phrase semantics
+    o["ft_phrase"] = f"""
+WITH ptoks AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS p
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{SIMPLE}') AS l
+        FROM documents)
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM ptoks GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT sum(dl) FROM dl)
+                   / (SELECT count(*) FROM documents) AS avgdl),
+dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM ptoks
+        WHERE term IN ('merge', 'sort') GROUP BY 1),
+idf AS (SELECT sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS idf_sum
+        FROM dfs d CROSS JOIN stats s),
+occ AS (SELECT a.doc_id, count(*)::BIGINT AS pf
+        FROM ptoks a JOIN ptoks b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        WHERE a.term = 'merge' AND b.term = 'sort'
+        GROUP BY 1)
+SELECT o.doc_id,
+       round(i.idf_sum * (o.pf * (1.2 + 1.0))
+             / (o.pf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)), 4)
+         AS score
+FROM occ o JOIN dl USING (doc_id) CROSS JOIN idf i CROSS JOIN stats s
 """
+    # grouping: docs rank (score desc, doc_id) within lang; groups rank by
+    # their head doc; top-5 groups × top-2 docs, with per-group numFound
+    o["ft_grouped"] = f"""
+WITH scores AS ({_bm25_sql(tuple(Q_MAIN.split()), None)}),
+j AS (SELECT s.doc_id, s.score, d.lang
+      FROM scores s JOIN documents d USING (doc_id)),
+r AS (SELECT lang, doc_id, score,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY score DESC, doc_id ASC) AS group_rank,
+             count(*) OVER (PARTITION BY lang) AS group_hits
+      FROM j),
+heads AS (SELECT lang, score AS hs, doc_id AS hd FROM r WHERE group_rank = 1),
+g AS (SELECT lang, dense_rank() OVER (ORDER BY hs DESC, hd ASC) AS grk
+      FROM heads)
+SELECT r.lang AS "group", r.group_hits::BIGINT AS group_hits,
+       r.group_rank::BIGINT AS group_rank, r.doc_id, r.score
+FROM r JOIN g USING (lang)
+WHERE g.grk <= 5 AND r.group_rank <= 2
+"""
+    # minimum-should-match: >= 3 of the 4 OR terms (eDisMax mm)
+    mm_terms = ", ".join(f"'{t}'" for t in Q_MULTI.split())
+    o["ft_min_match"] = f"""
+WITH {_toks_cte()},
+scores AS ({_bm25_sql(tuple(Q_MULTI.split()), None)}),
+mc AS (SELECT doc_id, count(DISTINCT term) AS nm FROM toks
+       WHERE term IN ({mm_terms}) GROUP BY 1)
+SELECT s.doc_id, s.score
+FROM scores s JOIN mc USING (doc_id)
+WHERE mc.nm >= 3
+"""
+    terms_in = ", ".join(f"'{t}'" for t in DF_TERMS)
     o["ft_corpus_stats"] = f"""
-SELECT count(*)::BIGINT AS n,
-       round(avg(len(regexp_extract_all(lower(text), '{SIMPLE}'))), 4) AS avgdl
+WITH {_toks_cte()}
+SELECT 'df:' || term AS stat, count(DISTINCT doc_id)::DOUBLE AS value
+FROM toks WHERE term IN ({terms_in}) GROUP BY term
+UNION ALL
+SELECT 'n' AS stat, count(*)::DOUBLE AS value FROM documents
+UNION ALL
+SELECT 'avgdl' AS stat,
+       round(avg(len(regexp_extract_all(lower(text), '{SIMPLE}'))), 4) AS value
 FROM documents
 """
     o["ft_postings_long"] = f"""
@@ -1149,30 +1283,16 @@ contrib AS (SELECT t.doc_id, j.bit,
                    ((v.term_id * (2 * j.bit + 17)) % 97 - 48) AS w
             FROM dtoks t JOIN vocab v USING (term),
                  (SELECT unnest(range(0, 16)) AS bit) j),
-bits AS (SELECT doc_id, bit, sum(w) AS s FROM contrib GROUP BY 1, 2)
-SELECT doc_id,
-       CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END)
-            AS BIGINT) AS simhash
-FROM bits GROUP BY doc_id
-"""
-
-    o["dd_simhash_pairs"] = f"""
-WITH dtoks AS (SELECT DISTINCT doc_id,
-                unnest(regexp_extract_all(lower(text), '{SIMPLE}')) AS term
-               FROM documents),
-vocab AS (SELECT term, dense_rank() OVER (ORDER BY term) AS term_id
-          FROM (SELECT DISTINCT term FROM dtoks)),
-contrib AS (SELECT t.doc_id, j.bit,
-                   ((v.term_id * (2 * j.bit + 17)) % 97 - 48) AS w
-            FROM dtoks t JOIN vocab v USING (term),
-                 (SELECT unnest(range(0, 16)) AS bit) j),
 bits AS (SELECT doc_id, bit, sum(w) AS s FROM contrib GROUP BY 1, 2),
 sh AS (SELECT doc_id,
        CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END)
             AS BIGINT) AS simhash
        FROM bits GROUP BY doc_id)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+SELECT 'sig' AS kind, doc_id AS a, CAST(-1 AS BIGINT) AS b, simhash AS v
+FROM sh
+UNION ALL
+SELECT 'pair' AS kind, a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS v
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
 """

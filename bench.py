@@ -99,6 +99,7 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
         stored_fields=("lang", "source", "textlen", "docdate", "text"),
         keyword_fields=("lang", "source"),
         num_shards=max(cpus // 4, 4),
+        positions=True,  # driver-shaped: the docs index is positional (r5c)
     )
     ix_docs_dir = os.path.join(work, "ix_docs")
     from pyspark.sql import functions as _F
@@ -261,6 +262,28 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
     )
     timings["rt_get"] = timed(
         lambda: realtime_get(spark, ix_docs, [1, 2, 3, 5, 8]).collect(),
+        repeat=3,
+    )
+    from cascading_solr_spark.query.search import search_grouped, search_phrase
+
+    # positional surface (round 5c): exact phrase, grouping, mm
+    timings["phrase_query"] = timed(
+        lambda: search_phrase(
+            spark, ix_docs, "merge sort", k=10, with_stored=False
+        ).collect(),
+        repeat=3,
+    )
+    timings["grouped_query"] = timed(
+        lambda: search_grouped(
+            spark, ix_docs, "spark join", "lang", group_limit=2, k_groups=5
+        ).collect(),
+        repeat=3,
+    )
+    timings["min_match_query"] = timed(
+        lambda: search(
+            spark, ix_docs, "merge sort window batch", k=10,
+            with_stored=False, min_match=3,
+        ).collect(),
         repeat=3,
     )
 

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cascading_solr_spark.analyzer import analyze_query, tokenize_with_positions
@@ -357,6 +357,9 @@ def match_ids(
     buffers: no tf/dl decode, no idf/tf-norm arithmetic, no top-k merge —
     and the postings scan projects away the tf/dl binary columns entirely,
     so parquet never reads them.  Returns distinct ``doc_id`` rows."""
+    qs = query.strip()
+    if len(qs) >= 2 and qs[0] == '"' and qs[-1] == '"' and '"' not in qs[1:-1]:
+        return phrase_match_ids(spark, index, qs[1:-1], filters=filters)
     qtext, parsed_fterms = parse_query(query, index.spec.keyword_fields)
     qtext, op = query_op(qtext, default=op)
     terms = expand_terms(qtext, synonyms)
@@ -410,6 +413,20 @@ def match_ids(
     return matched.groupBy("shard").applyInPandas(kernel, "doc_id long")
 
 
+def _min_match_count(min_match: int | str, n_terms: int) -> int:
+    """Resolve a Solr ``mm`` spec to a required distinct-term count.
+
+    Accepts an absolute int or a percentage string ("75%"); percentages
+    round DOWN over the optional-clause count, exactly like Solr's
+    minimum-should-match (the eDisMax ``mm`` parameter).  Clamped to
+    [1, n_terms]."""
+    if isinstance(min_match, str) and min_match.strip().endswith("%"):
+        mm = int(float(min_match.strip()[:-1]) * n_terms / 100.0)
+    else:
+        mm = int(min_match)
+    return max(1, min(mm, n_terms))
+
+
 def search(
     spark: SparkSession,
     index: Index,
@@ -421,6 +438,7 @@ def search(
     synonyms: dict[str, list[str]] | None = None,
     op: str = "OR",
     start: int = 0,
+    min_match: int | str | None = None,
 ) -> DataFrame:
     """Top-k BM25 keyword search; returns (doc_id, score[, stored fields,
     sha256]).
@@ -447,7 +465,15 @@ def search(
       expansion term is required (expansion under AND is rarely useful;
       documented, not hidden).
     * a fully-quoted query string (``q='"exact phrase"'``) dispatches to
-      :func:`search_phrase` (PhraseQuery; needs a positional index)."""
+      :func:`search_phrase` (PhraseQuery; needs a positional index).
+    * ``min_match`` is the eDisMax ``mm`` (minimum-should-match) analogue:
+      under OR, only docs matching at least that many DISTINCT query terms
+      survive (int, or a Solr-style percentage string "75%" rounded down).
+      Served index-side by the conjunctive-count kernel — a postings-only
+      match-count floor, never a docs scan.  MaxScore pruning is unsound
+      under a match-count floor (θ from docs that may fail mm over-prunes),
+      so mm queries run the exact TAAT kernel.  Ignored under AND (already
+      all-terms)."""
     q = query.strip()
     if len(q) >= 2 and q[0] == '"' and q[-1] == '"' and '"' not in q[1:-1]:
         return search_phrase(
@@ -462,8 +488,15 @@ def search(
     dfs = term_dfs(spark, index, terms) if terms else {}
     conjunctive = op.upper() == "AND"
     n_required = len(set(terms))
+    mm = (
+        _min_match_count(min_match, n_required)
+        if (min_match is not None and not conjunctive and terms)
+        else None
+    )
     fetch_k = None if k is None else k + start
-    if not dfs or (conjunctive and len(dfs) < n_required):
+    if not dfs or (conjunctive and len(dfs) < n_required) or (
+        mm is not None and len(dfs) < mm
+    ):
         # Q7 zero-hit short-circuit (schema stays stable below); under AND a
         # term with global df=0 empties the result outright
         if fterms and not terms:
@@ -478,10 +511,11 @@ def search(
     else:
         idf = {t: bm25_idf(df, index.n_docs) for t, df in dfs.items()}
         spec = index.spec
-        if conjunctive:
+        if conjunctive or mm is not None:
             kernel = _taat_kernel(
                 idf, index.avgdl, spec.k1, spec.b, fetch_k, spec.block_size,
-                fterms, require_n_terms=n_required,
+                fterms,
+                require_n_terms=n_required if conjunctive else mm,
             )
         elif mode == "taat" or k is None:
             # k=None returns every match — exhaustive TAAT (top-k pruning
@@ -614,6 +648,7 @@ def _phrase_kernel(
     k: int | None,
     block_size: int,
     fterms: set[str],
+    match_only: bool = False,
 ):
     """Per-shard exact phrase scorer (Lucene PhraseQuery semantics).
 
@@ -636,6 +671,8 @@ def _phrase_kernel(
     m = len(terms)
 
     def empty() -> pd.DataFrame:
+        if match_only:
+            return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
         return pd.DataFrame({"doc_id": [], "score": []}).astype(
             {"doc_id": "int64", "score": "float64"}
         )
@@ -735,7 +772,7 @@ def _phrase_kernel(
         dl_docs = dl_vals = None
         for j, t in enumerate(distinct):
             docs_t, pos_t, cnt_t, dls_t = gather(
-                by_term[t], decoded, inter, want_dl=(j == 0)
+                by_term[t], decoded, inter, want_dl=(j == 0 and not match_only)
             )
             if not len(docs_t):
                 return empty()
@@ -762,6 +799,8 @@ def _phrase_kernel(
                 return empty()
         hit_idx, pf = np.unique(cur // keymul, return_counts=True)
         docs = inter[hit_idx]
+        if match_only:
+            return pd.DataFrame({"doc_id": docs})
         # dl lookup from the first term's surviving postings (every phrase
         # doc has a first-term posting by construction)
         order = np.argsort(dl_docs, kind="stable")
@@ -776,6 +815,46 @@ def _phrase_kernel(
         return pd.DataFrame({"doc_id": docs[o], "score": scores[o]})
 
     return score
+
+
+def phrase_match_ids(
+    spark: SparkSession,
+    index: Index,
+    phrase: str,
+    filters: dict[str, str] | None = None,
+) -> DataFrame:
+    """Match SET of an exact phrase (no scores) — the phrase analogue of
+    :func:`match_ids`, so faceting / field-sorting / stats compose with
+    quoted queries (``match_ids`` dispatches fully-quoted query strings
+    here).  The kernel stops after positional verification: no dl decode,
+    no idf arithmetic, no top-k merge."""
+    if not index.spec.positions:
+        raise ValueError(
+            "phrase queries need a positional index (IndexSpec.positions=True)"
+        )
+    terms = _phrase_terms(phrase)
+    fterms = filter_terms_of(filters)
+    empty = spark.createDataFrame([], "doc_id long")
+    if not terms:
+        return keyword_filter(spark, index, fterms) if fterms else empty
+    dfs = term_dfs(spark, index, list(dict.fromkeys(terms)))
+    if len(dfs) < len(set(terms)):
+        return empty
+    spec = index.spec
+    kernel = _phrase_kernel(
+        terms, 0.0, max(index.avgdl, 1.0), spec.k1, spec.b, None,
+        spec.block_size, fterms, match_only=True,
+    )
+    # match-only: tf (to split position lists) and pos, but never dl — the
+    # dls binaries stay in the parquet footer
+    matched = index.postings(spark).filter(
+        F.col("term").isin(list(dfs) + list(fterms))
+    ).select(
+        "shard", "term", "salt", "n_docs", "n_blocks",
+        "doc_ids", "boffs_ids", "block_last_id",
+        "tfs", "boffs_tfs", "pos", "boffs_pos",
+    )
+    return matched.groupBy("shard").applyInPandas(kernel, "doc_id long")
 
 
 def search_phrase(
@@ -824,8 +903,15 @@ def search_phrase(
                 terms, idf_sum, index.avgdl, spec.k1, spec.b, fetch_k,
                 spec.block_size, fterms,
             )
+            # the phrase kernel never uses the block pruning stats or sum_tf
+            # — keep them in the parquet footer
             matched = index.postings(spark).filter(
                 F.col("term").isin(list(dfs) + list(fterms))
+            ).select(
+                "shard", "term", "salt", "n_docs", "n_blocks",
+                "doc_ids", "boffs_ids", "block_last_id",
+                "tfs", "boffs_tfs", "dls", "boffs_dls",
+                "pos", "boffs_pos",
             )
             local = matched.groupBy("shard").applyInPandas(
                 kernel, _RESULT_SCHEMA
@@ -1383,6 +1469,77 @@ def search_sorted(
     if start:
         return out.offset(start).limit(k)
     return out.limit(k)
+
+
+def search_grouped(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    group_field: str,
+    group_limit: int = 1,
+    k_groups: int | None = 10,
+    filters: dict[str, str] | None = None,
+    op: str = "OR",
+) -> DataFrame:
+    """Result grouping / field collapse — Solr's
+    ``group=true&group.field=F&group.limit=N`` (the grouping component the
+    reference's embedded Solr ships; ``group.limit=1`` is field collapse).
+
+    Semantics match Solr's defaults: within a group, docs rank by the main
+    sort (score desc, doc_id asc); groups rank by their HEAD doc under the
+    same sort; ``k_groups`` keeps the top groups (``rows`` applied to
+    groups), ``group_limit`` docs are returned per group, and each group
+    reports its total hit count (``numFound`` per group).
+
+    Execution: the ranked match set (exhaustive TAAT — grouping needs every
+    match's score, exactly like Solr's collapsing collector) hash-joins the
+    docs table pruned to (doc_id, group_field); ONE window over the group
+    key computes rank + per-group hits in the same shuffle, and the group
+    ordering rides the per-group head row — two exchanges total (score
+    kernel's shard agg + the group-key shuffle), no self-join, no driver
+    collect.  At 100 TB the group-key shuffle carries only matched
+    (doc_id, score, group) triples, never text.
+
+    Returns (group value, group_hits, group_rank, doc_id, score), ordered
+    (head score desc, head doc asc, group_rank asc)."""
+    scored = search(
+        spark, index, query, k=None, with_stored=False, filters=filters,
+        op=op,
+    )
+    docs = index.docs(spark).select("doc_id", group_field)
+    joined = scored.join(docs.hint("shuffle_hash"), "doc_id")
+    gw = Window.partitionBy(group_field)
+    ow = gw.orderBy(F.desc("score"), F.asc("doc_id"))
+    head = F.max(
+        F.struct(
+            F.col("score").alias("s"), (-F.col("doc_id")).alias("nd")
+        )
+    ).over(gw)
+    ranked = (
+        joined.select(
+            F.col(group_field).cast("string").alias("group"),
+            "doc_id",
+            "score",
+            F.row_number().over(ow).alias("group_rank"),
+            F.count("*").over(gw).alias("group_hits"),
+            head["s"].alias("_hs"),
+            (-head["nd"]).alias("_hd"),
+        )
+        .filter(F.col("group_rank") <= int(group_limit))
+    )
+    if k_groups is not None:
+        # top k_groups DISTINCT groups by head doc: dense_rank over the
+        # already-collapsed rows (≤ n_groups·group_limit of them — group
+        # cardinality, not corpus size, bounds this single-task window)
+        grank = F.dense_rank().over(
+            Window.orderBy(F.desc("_hs"), F.asc("_hd"))
+        )
+        ranked = ranked.withColumn("_g", grank).filter(
+            F.col("_g") <= int(k_groups)
+        ).drop("_g")
+    return ranked.orderBy(
+        F.desc("_hs"), F.asc("_hd"), F.asc("group_rank")
+    ).drop("_hs", "_hd")
 
 
 def terms_component(

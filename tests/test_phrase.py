@@ -247,6 +247,44 @@ def test_ranked_search_identical_and_pos_pruned(spark, corpus, tmp_path):
     assert scans and all("pos" not in ln.split("ReadSchema")[1] for ln in scans)
 
 
+def test_phrase_composes_with_facets_and_sort(spark, corpus):
+    """A fully-quoted query string flows through match_ids -> the
+    phrase-match kernel, so faceting and field-sorted retrieval compose
+    with phrase semantics."""
+    from cascading_solr_spark.query.search import (
+        facet_counts,
+        phrase_match_ids,
+        search_sorted,
+    )
+
+    rows, ix = corpus
+    want_ids = {d for d, _ in _oracle(rows, "merge sort")}
+    got_ids = {
+        r["doc_id"]
+        for r in phrase_match_ids(spark, ix, "merge sort").collect()
+    }
+    assert got_ids == want_ids and got_ids
+    # facet.field over the quoted query
+    lang = {d: lg for d, _, lg in rows}
+    want_counts: dict[str, int] = {}
+    for d in want_ids:
+        want_counts[lang[d]] = want_counts.get(lang[d], 0) + 1
+    got_counts = {
+        r["value"]: r["n"]
+        for r in facet_counts(spark, ix, '"merge sort"', "lang").collect()
+    }
+    assert got_counts == want_counts
+    # sort=lang over the quoted query: top-k of (lang asc, doc_id asc)
+    want_sorted = sorted(((lang[d], d) for d in want_ids))[:5]
+    got_sorted = [
+        (r["lang"], r["doc_id"])
+        for r in search_sorted(
+            spark, ix, '"merge sort"', "lang", k=5
+        ).collect()
+    ]
+    assert got_sorted == want_sorted
+
+
 def test_phrase_requires_positions(spark, corpus, tmp_path):
     rows, _ = corpus
     df = spark.createDataFrame(rows[:20], "doc_id long, text string, lang string")
