@@ -50,6 +50,7 @@ from cascading_solr_spark.codec import (
     decode_positions,
     decode_selected_blocks,
     decode_varint,
+    restart_cumsum,
 )
 from cascading_solr_spark.indexing.build import KW_SEP, POSTINGS_SCHEMA, Index
 from cascading_solr_spark.query.wand import (
@@ -58,6 +59,8 @@ from cascading_solr_spark.query.wand import (
 from cascading_solr_spark.query.wand import (
     _member,
     allowed_ids,
+    blockwise_filter_ids,
+    decode_filter_ids,
     maxscore_kernel,
     row_cache_key,
     topk_ties,
@@ -654,8 +657,11 @@ def _phrase_kernel(
 
     Three stages, each decoding strictly less than the last:
 
-    1. doc-id intersection of the phrase terms' posting lists (ids only —
-       tf/dl/pos untouched);
+    1. rarest-first candidate generation: the rarest term's doc ids decode
+       fully (they bound the candidate set); every other term intersects at
+       BLOCK granularity against the running candidates
+       (blockwise_filter_ids) — a frequent phrase word never pays a full
+       posting-list decode (tf/dl/pos untouched throughout);
     2. positional verification for intersection docs ONLY: the kernel
        locates the blocks holding surviving postings (block_last_id
        searchsorted, the same skip structure MaxScore uses) and varint-
@@ -677,49 +683,49 @@ def _phrase_kernel(
             {"doc_id": "int64", "score": "float64"}
         )
 
-    def gather(rows: list, decoded: dict, inter: np.ndarray, want_dl: bool):
+    def gather(rows: list, inter: np.ndarray, want_dl: bool):
         """(docs, flat positions, per-posting counts[, dls]) for the
-        postings of ``rows`` whose doc is in sorted ``inter``."""
+        postings of ``rows`` whose doc is in sorted ``inter`` — decoding
+        ONLY blocks whose id range can contain a candidate (block_last_id
+        searchsorted, the same skip structure the scoring kernels use)."""
         docs_p, pos_p, cnt_p, dl_p = [], [], [], []
         for r in rows:
-            ids = decoded[row_cache_key(r)]
-            sel = _member(ids, inter)
-            if not sel.any():
-                continue
-            pidx = np.flatnonzero(sel)
             n, nb = int(r.n_docs), int(r.n_blocks)
-            bmask = np.zeros(nb, dtype=bool)
-            bmask[np.unique(pidx // block_size)] = True
-            tf_vals, kept = decode_selected_blocks(
-                r.tfs, r.boffs_tfs, n, block_size, bmask
+            edges = np.asarray(r.block_last_id, dtype=np.int64)
+            hi = np.searchsorted(inter, edges, side="right")
+            lo = np.concatenate(([0], hi[:-1]))
+            has = hi > lo
+            if not has.any():
+                continue
+            id_vals, kept = decode_selected_blocks(
+                r.doc_ids, r.boffs_ids, n, block_size, has
+            )
+            counts = block_value_counts(n, nb, block_size)[kept]
+            kstarts = np.zeros(len(kept), dtype=np.int64)
+            np.cumsum(counts[:-1], out=kstarts[1:])
+            ids_k = restart_cumsum(id_vals.astype(np.int64), kstarts)
+            tf_vals, _ = decode_selected_blocks(
+                r.tfs, r.boffs_tfs, n, block_size, has
             )
             tf_vals = tf_vals.astype(np.int64)
-            counts = block_value_counts(n, nb, block_size)[kept]
-            gidx = np.concatenate(
-                [
-                    np.arange(j * block_size, j * block_size + c)
-                    for j, c in zip(kept, counts)
-                ]
-            )
             boffs = np.asarray(r.boffs_pos, dtype=np.int64)
             ends = np.append(boffs[1:], len(r.pos))
             payload = b"".join(r.pos[boffs[j]: ends[j]] for j in kept)
             flat = decode_positions(payload, tf_vals)
             offs = np.zeros(len(tf_vals) + 1, dtype=np.int64)
             np.cumsum(tf_vals, out=offs[1:])
-            keep = _member(ids[gidx], inter)
-            kp = np.flatnonzero(keep)
+            kp = np.flatnonzero(_member(ids_k, inter))
             if not len(kp):
                 continue
             take = np.concatenate(
                 [np.arange(offs[i], offs[i + 1]) for i in kp]
             )
-            docs_p.append(ids[gidx][kp])
+            docs_p.append(ids_k[kp])
             pos_p.append(flat[take])
             cnt_p.append(tf_vals[kp])
             if want_dl:
                 dl_vals, _ = decode_selected_blocks(
-                    r.dls, r.boffs_dls, n, block_size, bmask
+                    r.dls, r.boffs_dls, n, block_size, has
                 )
                 dl_p.append(dl_vals.astype(np.int64)[kp])
         if not docs_p:
@@ -732,10 +738,8 @@ def _phrase_kernel(
             np.concatenate(dl_p) if want_dl else np.empty(0, dtype=np.int64),
         )
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(
-            list(pdf.itertuples(index=False)), key=row_cache_key
-        )
+    def score_rows(rows: list) -> pd.DataFrame:
+        rows = sorted(rows, key=row_cache_key)
         allowed = allowed_ids(rows, fterms, block_size)
         if allowed is not None and not len(allowed):
             return empty()
@@ -745,22 +749,21 @@ def _phrase_kernel(
                 by_term[r.term].append(r)
         if any(not by_term[t] for t in distinct):
             return empty()
-        # stage 1: id-only intersection (cheapest decode first keeps the
-        # running candidate set small)
-        decoded: dict[tuple, np.ndarray] = {}
-        per_term: dict[str, np.ndarray] = {}
-        for t in distinct:
-            parts = []
-            for r in by_term[t]:
-                ids = decode_doc_ids(r.doc_ids, int(r.n_docs), block_size)
-                decoded[row_cache_key(r)] = ids
-                parts.append(ids)
-            arr = parts[0] if len(parts) == 1 else np.sort(np.concatenate(parts))
-            per_term[t] = arr
+        # stage 1: rarest-first candidate generation — only the rarest
+        # term's ids decode fully (it bounds the candidate set); every
+        # other term intersects at BLOCK granularity against the running
+        # candidates (blockwise_filter_ids), so a frequent phrase word
+        # ("the", "data") never pays a full posting-list decode.
+        order = sorted(
+            distinct, key=lambda t: sum(int(r.n_docs) for r in by_term[t])
+        )
         inter: np.ndarray | None = None
-        for t in sorted(distinct, key=lambda t: len(per_term[t])):
-            arr = per_term[t]
-            inter = arr if inter is None else arr[_member(arr, inter)]
+        for t in order:
+            rows_t = by_term[t]
+            if inter is None:
+                inter = decode_filter_ids(rows_t, block_size)
+            else:
+                inter = blockwise_filter_ids(rows_t, inter, block_size)
             if not len(inter):
                 return empty()
         if allowed is not None:
@@ -772,7 +775,7 @@ def _phrase_kernel(
         dl_docs = dl_vals = None
         for j, t in enumerate(distinct):
             docs_t, pos_t, cnt_t, dls_t = gather(
-                by_term[t], decoded, inter, want_dl=(j == 0 and not match_only)
+                by_term[t], inter, want_dl=(j == 0 and not match_only)
             )
             if not len(docs_t):
                 return empty()
@@ -814,6 +817,10 @@ def _phrase_kernel(
         o = np.lexsort((docs, -scores))
         return pd.DataFrame({"doc_id": docs[o], "score": scores[o]})
 
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        return score_rows(list(pdf.itertuples(index=False)))
+
+    score.rows = score_rows  # batch path contract (same as the other kernels)
     return score
 
 
@@ -1178,6 +1185,9 @@ def facet_counts(
     filters: dict[str, str] | None = None,
     synonyms: dict[str, list[str]] | None = None,
     op: str = "OR",
+    limit: int | None = None,
+    mincount: int = 0,
+    sort: str = "count",
 ) -> DataFrame:
     """Facet counts over a keyword field for the docs matching ``query`` —
     the Solr ``facet.field`` analogue (the reference config faceting on its
@@ -1192,17 +1202,32 @@ def facet_counts(
     prefix-pruned scan of compressed postings: term-sorted files +
     StartsWith pushdown), never from a docs-table scan.  The join is a
     doc_id equi-join — at 100 TB both sides are distributed and the facet
-    side is bounded by the field's posting size."""
+    side is bounded by the field's posting size.
+
+    ``limit`` / ``mincount`` / ``sort`` mirror Solr's facet.limit (top-N
+    buckets; Solr's own default is 100), facet.mincount (drop buckets below
+    the threshold), and facet.sort ("count" = count desc, Solr's default
+    when faceting; "index" = value asc).  A bounded ``limit`` turns the
+    global order-merge into TakeOrderedAndProject — at a 10^6-value facet
+    field only the top-N buckets cross to the driver."""
     matched = match_ids(
         spark, index, query, filters=filters, synonyms=synonyms, op=op
     )
     pairs = facet_value_pairs(spark, index, facet_field)
-    return (
+    out = (
         pairs.join(matched, "doc_id")
         .groupBy("value")
         .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), F.asc("value"))
     )
+    if mincount > 0:
+        out = out.filter(F.col("n") >= int(mincount))
+    if sort == "index":
+        out = out.orderBy(F.asc("value"))
+    else:
+        out = out.orderBy(F.desc("n"), F.asc("value"))
+    if limit is not None:
+        out = out.limit(int(limit))
+    return out
 
 
 def facet_value_pairs(
@@ -2096,26 +2121,34 @@ def batch_kernel(
     exhaustive-TAAT shape this replaces did), while full decodes of rows a
     term shares across queries are memoized in one per-partition cache.
 
-    A plan is either a bare term list (OR query, no filters — the original
-    contract) or a ``(terms, filter_terms, conjunctive)`` tuple — full
-    parity with the single-query surface: keyword filters restrict the
-    candidate set per query (fq semantics, same block-granular
-    intersection), and a conjunctive query runs the exact TAAT
-    intersection kernel (the same kernel the single AND path uses; its
-    exhaustive decodes still share the batch's decode work via the term
-    grouping).
+    A plan is a bare term list (OR query, no filters — the original
+    contract), a ``(terms, filter_terms, conjunctive)`` tuple, or a
+    ``("PHRASE", position_terms, filter_terms)`` tuple — full parity with
+    the single-query surface: keyword filters restrict the candidate set
+    per query (fq semantics, same block-granular intersection), a
+    conjunctive query runs the exact TAAT intersection kernel, and a
+    phrase plan runs the positional phrase kernel (rarest-first candidate
+    generation + blockwise position decode; PhraseWeight scoring — the
+    same kernel :func:`search_phrase` uses, per-query rank-identical).
 
     Exposed at module level so tests/bench can drive it in-process with
     ``counters`` and assert the skip counters fire."""
-    norm_plans: dict[str, tuple[list[str], set[str], bool]] = {}
+    norm_plans: dict[str, tuple] = {}
     for qid, p in plans.items():
-        if isinstance(p, tuple):
+        if isinstance(p, tuple) and len(p) == 3 and p[0] == "PHRASE":
+            norm_plans[qid] = ("PHRASE", list(p[1]), set(p[2]))
+        elif isinstance(p, tuple):
             norm_plans[qid] = (list(p[0]), set(p[1]), bool(p[2]))
         else:
             norm_plans[qid] = (list(p), set(), False)
-    want = {t for terms, fterms, _ in norm_plans.values() for t in terms} | {
-        t for _, fterms, _ in norm_plans.values() for t in fterms
-    }
+
+    def _plan_terms(p: tuple) -> tuple[list[str], set[str]]:
+        return (p[1], p[2]) if p[0] == "PHRASE" else (p[0], p[1])
+
+    want = set()
+    for p in norm_plans.values():
+        terms, fterms = _plan_terms(p)
+        want |= set(terms) | fterms
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         by_term: dict[str, list] = {}
@@ -2127,7 +2160,30 @@ def batch_kernel(
         out_ids: list[np.ndarray] = []
         out_scores: list[np.ndarray] = []
         for qid in sorted(norm_plans):
-            terms, fterms, conjunctive = norm_plans[qid]
+            plan = norm_plans[qid]
+            if plan[0] == "PHRASE":
+                pterms, pfterms = plan[1], plan[2]
+                uniq = list(dict.fromkeys(pterms))
+                if not uniq or any(t not in idf for t in uniq):
+                    continue  # a df=0 phrase term empties the conjunction
+                qrows = [r for t in uniq for r in by_term.get(t, [])]
+                qrows += [
+                    r for t in sorted(pfterms) for r in by_term.get(t, [])
+                ]
+                if not qrows:
+                    continue
+                idf_sum = sum(idf[t] for t in pterms)
+                scorer = _phrase_kernel(
+                    pterms, idf_sum, avgdl, k1, b, k, block_size, pfterms
+                )
+                res = scorer.rows(qrows)
+                if not len(res):
+                    continue
+                out_q.extend([qid] * len(res))
+                out_ids.append(res["doc_id"].to_numpy())
+                out_scores.append(res["score"].to_numpy())
+                continue
+            terms, fterms, conjunctive = plan
             uniq_terms = list(dict.fromkeys(terms))
             idf_q = {t: idf[t] for t in uniq_terms if t in idf}
             if not uniq_terms and fterms:
@@ -2244,19 +2300,40 @@ def search_many(
     single-query surface — ``{"q": ..., "filters": {...}, "op": "AND",
     "synonyms": {...}}`` — parsed exactly like :func:`search` (query-string
     ``field:value`` tokens, ``AND``/``+term`` operators, synonym
-    expansion), so a batch entry is rank-identical to its single-query
-    twin (pytest-asserted).  Filter terms join the one postings scan; the
-    per-query intersection happens inside the shard kernel.
+    expansion, fully-quoted phrase queries on a positional index), so a
+    batch entry is rank-identical to its single-query twin
+    (pytest-asserted).  Filter terms join the one postings scan; the
+    per-query intersection happens inside the shard kernel.  The positional
+    payload joins the scan only when the batch actually contains a phrase
+    query.
 
     Returns (query_id, doc_id, score) with per-query rank order
     (score desc, doc_id asc), at most k rows per query.
     """
     from pyspark.sql import Window
 
-    plans: dict[str, tuple[list[str], set[str], bool]] = {}
+    plans: dict[str, tuple] = {}
     for qid, req in queries.items():
         if isinstance(req, str):
             req = {"q": req}
+        raw_q = req["q"].strip()
+        if (
+            len(raw_q) >= 2
+            and raw_q[0] == '"'
+            and raw_q[-1] == '"'
+            and '"' not in raw_q[1:-1]
+        ):
+            if not index.spec.positions:
+                raise ValueError(
+                    "phrase queries need a positional index "
+                    "(IndexSpec.positions=True)"
+                )
+            plans[qid] = (
+                "PHRASE",
+                _phrase_terms(raw_q[1:-1]),
+                filter_terms_of(req.get("filters")),
+            )
+            continue
         qtext, parsed_fterms = parse_query(
             req["q"], index.spec.keyword_fields
         )
@@ -2264,8 +2341,21 @@ def search_many(
         terms = expand_terms(qtext, req.get("synonyms"))
         fterms = filter_terms_of(req.get("filters")) | parsed_fterms
         plans[qid] = (terms, fterms, op.upper() == "AND")
-    all_terms = sorted({t for ts, _, _ in plans.values() for t in ts})
-    all_fterms = sorted({t for _, fs, _ in plans.values() for t in fs})
+    have_phrase = any(p[0] == "PHRASE" for p in plans.values())
+    all_terms = sorted(
+        {
+            t
+            for p in plans.values()
+            for t in (p[1] if p[0] == "PHRASE" else p[0])
+        }
+    )
+    all_fterms = sorted(
+        {
+            t
+            for p in plans.values()
+            for t in (p[2] if p[0] == "PHRASE" else p[1])
+        }
+    )
     empty = spark.createDataFrame([], "query_id string, doc_id long, score double")
     if not all_terms and not all_fterms:
         return empty
@@ -2277,7 +2367,8 @@ def search_many(
     kernel = batch_kernel(
         plans, idf, index.avgdl, spec.k1, spec.b, k, spec.block_size
     )
-    matched = _score_rows(index, spark).filter(
+    scan_cols = _SCORE_COLS + (["pos", "boffs_pos"] if have_phrase else [])
+    matched = index.postings(spark).select(*scan_cols).filter(
         F.col("term").isin(list(idf) + all_fterms)
     )
     local = matched.groupBy("shard").applyInPandas(

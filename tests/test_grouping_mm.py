@@ -129,6 +129,31 @@ def test_grouped_matches_bruteforce(spark, corpus, group_limit, k_groups):
     assert got == _grouped_oracle(rows, full, group_limit, k_groups)
 
 
+def test_facet_limit_mincount_sort(spark, corpus):
+    """facet.limit / facet.mincount / facet.sort analogues on facet.field."""
+    from cascading_solr_spark.query.search import facet_counts
+
+    rows, ix, full = corpus
+    base = facet_counts(spark, ix, "merge sort stream", "lang").collect()
+    counts = [(r["value"], r["n"]) for r in base]
+    assert counts == sorted(counts, key=lambda x: (-x[1], x[0]))
+    top2 = facet_counts(
+        spark, ix, "merge sort stream", "lang", limit=2
+    ).collect()
+    assert [(r["value"], r["n"]) for r in top2] == counts[:2]
+    thresh = counts[1][1]
+    mc = facet_counts(
+        spark, ix, "merge sort stream", "lang", mincount=thresh
+    ).collect()
+    assert [(r["value"], r["n"]) for r in mc] == [
+        c for c in counts if c[1] >= thresh
+    ]
+    idx = facet_counts(
+        spark, ix, "merge sort stream", "lang", sort="index"
+    ).collect()
+    assert [(r["value"], r["n"]) for r in idx] == sorted(counts)
+
+
 def test_grouped_composes_with_filters(spark, corpus):
     rows, ix, _ = corpus
     res = search_grouped(

@@ -285,6 +285,40 @@ def test_phrase_composes_with_facets_and_sort(spark, corpus):
     assert got_sorted == want_sorted
 
 
+def test_phrase_in_batch_matches_single(spark, corpus):
+    """A quoted entry in search_many is rank-identical to its single-query
+    twin, alongside ordinary ranked/filtered entries in the same pass."""
+    from cascading_solr_spark.query.search import search_many
+
+    rows, ix = corpus
+    out = search_many(
+        spark,
+        ix,
+        {
+            "p0": '"merge sort"',
+            "p1": {"q": '"turbo writer"', "filters": {"lang": "en"}},
+            "r0": "merge sort stream",
+        },
+        k=8,
+    ).collect()
+    by_q: dict[str, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 6))
+        )
+    singles = {
+        "p0": search_phrase(spark, ix, "merge sort", k=8, with_stored=False),
+        "p1": search_phrase(
+            spark, ix, "turbo writer", k=8, with_stored=False,
+            filters={"lang": "en"},
+        ),
+        "r0": search(spark, ix, "merge sort stream", k=8, with_stored=False),
+    }
+    for qid, df in singles.items():
+        want = [(r["doc_id"], round(r["score"], 6)) for r in df.collect()]
+        assert by_q.get(qid, []) == want, qid
+
+
 def test_phrase_requires_positions(spark, corpus, tmp_path):
     rows, _ = corpus
     df = spark.createDataFrame(rows[:20], "doc_id long, text string, lang string")
