@@ -57,6 +57,7 @@ from cascading_solr_spark.indexing.build import (
     Index,
     _assembler,
     _keyword_tf_rows,
+    _text_field_tf_rows,
     _rank_ids,
     _shard_salt_exprs,
     _spimi_tf_kernel,
@@ -241,6 +242,9 @@ def append_documents(
         kw_rows = _keyword_tf_rows(based, spec)
         if kw_rows is not None:
             tf_long = tf_long.unionByName(kw_rows)
+        tfield_rows = _text_field_tf_rows(based, spec, spec.positions)
+        if tfield_rows is not None:
+            tf_long = tf_long.unionByName(tfield_rows)
         hot = list(index.hot_terms)
         shard_e, salt_e = _shard_salt_exprs(hot, spec)
         salt_keys = [salt_e] if salt_e is not None else []
@@ -269,6 +273,17 @@ def append_documents(
             F.sum(
                 F.when(~F.col("term").contains(KW_SEP), F.col("sum_tf"))
             ).alias("content_tokens"),
+            # per-extra-text-field token deltas ride the same write (field
+            # names are disjoint from keyword fields by spec validation, so
+            # the prefix match is unambiguous)
+            *[
+                F.sum(
+                    F.when(
+                        F.col("term").startswith(f + KW_SEP), F.col("sum_tf")
+                    )
+                ).alias(f"ftok_{i}")
+                for i, f in enumerate(spec.text_fields)
+            ],
         )
         # local re-sort only: term-hash order -> alphabetic term order for
         # row-group pruning; the leading "shard" satisfies FileFormatWriter's
@@ -354,6 +369,12 @@ def append_documents(
         meta["avgdl"] = (
             meta["total_tokens"] / meta["n_docs"] if meta["n_docs"] else 0.0
         )
+        if spec.text_fields:
+            ftok = dict(meta.get("field_tokens", {}))
+            metrics = obs.get
+            for i, f in enumerate(spec.text_fields):
+                ftok[f] = int(ftok.get(f, 0)) + int(metrics[f"ftok_{i}"] or 0)
+            meta["field_tokens"] = ftok
         if not spec.doc_id_field:
             meta["next_doc_id"] = offset + int(n_new)
         if batch_id is not None:

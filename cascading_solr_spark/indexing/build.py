@@ -56,7 +56,7 @@ import os
 import shutil
 import time
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
@@ -186,6 +186,69 @@ def _spimi_tf_kernel(content_field: str, positions: bool = False):
             )
 
     return kernel_pos if positions else kernel
+
+
+def _spimi_field_kernel(field: str, positions: bool = False):
+    """SPIMI inversion for one EXTRA analyzed text field (spec.text_fields):
+    the same code-aware tokenizer, terms namespaced ``field:token`` (the
+    keyword ``field:value`` namespace — spec validation keeps field names
+    disjoint, so no collision), and the FIELD's token count packed as dl so
+    BM25 length normalization is per-field (the Lucene per-field norms
+    analogue the reference's eDisMax qf relies on, solrconfig.xml:872-877).
+    Nulls/empty fields emit nothing (SolrWriter.java:65-66 null-skip).
+    Positions are never recorded for extra fields (phrase queries are
+    content-field only); under a positional spec the rows carry an empty
+    blob exactly like keyword rows, which phrase paths never decode."""
+    from collections import Counter
+
+    prefix = field + KW_SEP
+
+    def kernel(batches):
+        tokenize_fast = make_cached_tokenizer()
+        for pdf in batches:
+            doc_ids: list[int] = []
+            dls: list[int] = []
+            terms: list[str] = []
+            tfs: list[int] = []
+            for doc_id, content in zip(pdf["doc_id"].to_numpy(), pdf[field]):
+                toks = tokenize_fast(content) if content is not None else []
+                if not toks:
+                    continue
+                counts = Counter(toks)
+                k = len(counts)
+                doc_ids.extend([doc_id] * k)
+                dls.extend([len(toks)] * k)
+                terms.extend(prefix + t for t in counts.keys())
+                tfs.extend(counts.values())
+            ids = np.asarray(doc_ids, dtype=np.int64)
+            out = {
+                "packed": pack_id_dl(ids, np.asarray(dls, dtype=np.int64)),
+                "term": terms,
+                "tf": np.asarray(tfs, dtype=np.int32),
+            }
+            if positions:
+                out["pos"] = [b""] * len(terms)
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+def _text_field_tf_rows(
+    based: "DataFrame", spec: IndexSpec, positions: bool
+) -> "DataFrame | None":
+    """Union of the namespaced tf streams of every extra text field — each a
+    column-pruned scan + its own Arrow kernel, so fields tokenize in
+    parallel and the shuffle still moves one row per (field:term, doc)."""
+    if not spec.text_fields:
+        return None
+    schema = TF_SCHEMA_POS if positions else TF_SCHEMA
+    out = None
+    for f in spec.text_fields:
+        part = based.select("doc_id", f).mapInPandas(
+            _spimi_field_kernel(f, positions), schema
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 POSTINGS_SCHEMA = (
@@ -359,6 +422,9 @@ class Index:
     avgdl: float
     total_tokens: int = 0
     hot_terms: tuple[str, ...] = ()
+    #: per-extra-text-field corpus token totals (spec.text_fields) — the
+    #: per-field avgdl numerators eDisMax-style multi-field scoring needs
+    field_tokens: dict = field(default_factory=dict)
     postings_dirname: str = "postings"
     dict_dirname: str = "dict"
     ngrams_dirname: str = "dict_ngrams"
@@ -375,6 +441,7 @@ class Index:
             avgdl=meta["avgdl"],
             total_tokens=meta.get("total_tokens", 0),
             hot_terms=tuple(meta.get("hot_terms", ())),
+            field_tokens=dict(meta.get("field_tokens", {})),
             postings_dirname=meta.get("postings_dirname", "postings"),
             dict_dirname=meta.get("dict_dirname", "dict"),
             ngrams_dirname=meta.get("ngrams_dirname", "dict_ngrams"),
@@ -897,12 +964,14 @@ def build_index(
     hot_terms: list[str] = []
     avgdl = 0.0
     total_tokens = 0
+    field_tokens: dict = {f: 0 for f in spec.text_fields}
     if have_meta:
         with open(meta_path) as fh:
             meta = json.load(fh)
         n_docs = meta["n_docs"]
         avgdl = meta["avgdl"]
         total_tokens = meta.get("total_tokens", 0)
+        field_tokens = dict(meta.get("field_tokens", field_tokens))
         hot_terms = list(meta.get("hot_terms", ()))
     elif n_docs is None:
         # doc_id_field path: parquet sources answer count() from footers
@@ -929,6 +998,7 @@ def build_index(
                 "n_docs": 0,
                 "avgdl": 0.0,
                 "total_tokens": 0,
+                "field_tokens": {f: 0 for f in spec.text_fields},
                 "next_doc_id": 0,
                 "hot_terms": [],
                 "postings_dirname": "postings",
@@ -1000,7 +1070,11 @@ def build_index(
                     if files and len(files) > 1:
                         k_files = min(len(files), int(frac * len(files)) + 1)
                         head = spark.read.parquet(*files[:k_files])
-                        need = {spec.content_field, *spec.keyword_fields}
+                        need = {
+                            spec.content_field,
+                            *spec.keyword_fields,
+                            *spec.text_fields,
+                        }
                         if need.issubset(set(head.columns)):
                             n_sample = head.count()  # parquet-footer served
                             sampled = head
@@ -1017,6 +1091,7 @@ def build_index(
                 F.monotonically_increasing_id().alias("doc_id"),
                 F.col(spec.content_field),
                 *[F.col(f) for f in spec.keyword_fields],
+                *[F.col(f) for f in spec.text_fields],
             )
             # df-estimation only — positions add nothing here, so the sample
             # pass always runs the cheaper positionless kernel
@@ -1028,6 +1103,9 @@ def build_index(
                 sample_tf = sample_tf.unionByName(
                     kw_sample.select("packed", "term", "tf")
                 )
+            tf_sample = _text_field_tf_rows(sampled, spec, positions=False)
+            if tf_sample is not None:
+                sample_tf = sample_tf.unionByName(tf_sample)
             hot_threshold = max(2.0, spec.hot_term_df_ratio * n_sample)
             hot_terms = sorted(
                 r["term"]
@@ -1073,6 +1151,9 @@ def build_index(
             kw_rows = _keyword_tf_rows(src, spec)
             if kw_rows is not None:
                 tf_long = tf_long.unionByName(kw_rows)
+            tfield_rows = _text_field_tf_rows(src, spec, spec.positions)
+            if tfield_rows is not None:
+                tf_long = tf_long.unionByName(tfield_rows)
             shuffle_parts = int(
                 spark.conf.get("spark.sql.shuffle.partitions", "32") or "32"
             )
@@ -1136,12 +1217,29 @@ def build_index(
                 or 0
             )
             avgdl = total_tokens / n_docs if n_docs else 0.0
+            # per-extra-text-field token totals (per-field avgdl = total /
+            # n_docs: absent fields count as length 0, exact for dense
+            # fields — documented deviation from Lucene's docCount(field)
+            # denominator for sparse ones).  One tiny agg on the cached
+            # vocab-sized stats.
+            field_tokens = {f: 0 for f in spec.text_fields}
+            if spec.text_fields:
+                for r in (
+                    term_stats.filter(F.col("term").contains(KW_SEP))
+                    .withColumn("f", F.substring_index("term", KW_SEP, 1))
+                    .filter(F.col("f").isin(list(spec.text_fields)))
+                    .groupBy("f")
+                    .agg(F.sum("ttf").alias("tt"))
+                    .collect()
+                ):
+                    field_tokens[r["f"]] = int(r["tt"])
             lineage_future.result()
             ngram_future.result()
             # meta v2: final corpus stats (also self-heals a resumed build
             # whose v1 meta carried zeros)
             meta["total_tokens"] = total_tokens
             meta["avgdl"] = avgdl
+            meta["field_tokens"] = field_tokens
             write_meta(out_dir, meta)
             prof.mark("lineage+dict")
 
@@ -1161,4 +1259,5 @@ def build_index(
         avgdl=avgdl,
         total_tokens=total_tokens,
         hot_terms=tuple(hot_terms),
+        field_tokens=field_tokens,
     )

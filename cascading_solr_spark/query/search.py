@@ -544,6 +544,227 @@ def search(
     return _fetch_stored(spark, index, top, bounded=k is not None)
 
 
+def _dismax_kernel(
+    idf: dict[str, float],
+    group: dict[str, int],
+    boost: dict[str, float],
+    avgdl_of: dict[str, float],
+    tie: float,
+    k1: float,
+    b: float,
+    k: int | None,
+    block_size: int,
+    filter_terms: set[str] | None = None,
+    require_n_groups: int | None = None,
+):
+    """Exact DisMax scorer for one shard (the eDisMax combination rule,
+    Lucene DisjunctionMaxQuery: per query clause, the MAX over per-field
+    scores plus ``tie`` times the rest; clauses then sum).
+
+    Each physical posting term (bare content token or ``field:token``)
+    carries its own idf, field boost, and FIELD avgdl; ``group`` maps it to
+    its query clause.  Per clause the kernel takes a per-doc max and sum of
+    the field contributions (each (term, doc) posting exists once, so a doc
+    appears at most once per field within a clause), then accumulates
+    ``max + tie * (sum - max)`` across clauses.  ``require_n_groups`` is the
+    clause-count floor (AND = all clauses, mm = the eDisMax floor) — per-doc
+    distinct-clause counting, an index-side intersection."""
+    filter_terms = filter_terms or set()
+    n_groups = 1 + max(group.values()) if group else 0
+
+    def score_rows(rows: list) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+        rows = sorted(rows, key=row_cache_key)
+        allowed = allowed_ids(rows, filter_terms, block_size)
+        if allowed is not None and not len(allowed):
+            return empty
+        g_ids: list[list[np.ndarray]] = [[] for _ in range(n_groups)]
+        g_contrib: list[list[np.ndarray]] = [[] for _ in range(n_groups)]
+        for row in rows:
+            t = row.term
+            if t not in idf:
+                continue
+            n = int(row.n_docs)
+            ids = decode_doc_ids(row.doc_ids, n, block_size)
+            tfs = decode_varint(row.tfs, n)
+            dls = decode_varint(row.dls, n)
+            contrib = (
+                boost[t]
+                * idf[t]
+                * bm25_tf_norm(tfs, dls, avgdl_of[t], k1, b)
+            )
+            if allowed is not None:
+                keep = _member(ids, allowed)
+                ids, contrib = ids[keep], contrib[keep]
+            g_ids[group[t]].append(ids)
+            g_contrib[group[t]].append(contrib)
+        doc_parts: list[np.ndarray] = []
+        score_parts: list[np.ndarray] = []
+        for gi in range(n_groups):
+            if not g_ids[gi]:
+                continue
+            ids = np.concatenate(g_ids[gi])
+            contrib = np.concatenate(g_contrib[gi])
+            uniq, inv = np.unique(ids, return_inverse=True)
+            mx = np.zeros(len(uniq), dtype=np.float64)
+            np.maximum.at(mx, inv, contrib)  # contribs > 0 (idf, boost > 0)
+            if tie:
+                sm = np.zeros(len(uniq), dtype=np.float64)
+                np.add.at(sm, inv, contrib)
+                gscore = mx + tie * (sm - mx)
+            else:
+                gscore = mx
+            doc_parts.append(uniq)
+            score_parts.append(gscore)
+        if not doc_parts:
+            return empty
+        ids = np.concatenate(doc_parts)
+        gscores = np.concatenate(score_parts)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(acc, inv, gscores)
+        if require_n_groups is not None:
+            # a doc appears once per MATCHED clause in the concatenation
+            cnt = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(cnt, inv, 1)
+            keep = cnt >= require_n_groups
+            uniq, acc = uniq[keep], acc[keep]
+        if k is not None:
+            uniq, acc = topk_ties(uniq, acc, k)
+        order = np.lexsort((uniq, -acc))
+        return pd.DataFrame({"doc_id": uniq[order], "score": acc[order]})
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        return score_rows(list(pdf.itertuples(index=False)))
+
+    score.rows = score_rows
+    return score
+
+
+def search_dismax(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    qf: dict[str, float],
+    tie: float = 0.0,
+    k: int | None = 10,
+    with_stored: bool = True,
+    filters: dict[str, str] | None = None,
+    synonyms: dict[str, list[str]] | None = None,
+    op: str = "OR",
+    min_match: int | str | None = None,
+    start: int = 0,
+) -> DataFrame:
+    """Multi-field ranked retrieval — the (e)DisMax handler the reference's
+    /browse endpoint queries with per-field boosts (solrconfig.xml:872-877
+    ``qf="text^0.5 features^1.0 name^1.2 ..."``, ``tie=0.01``
+    solrconfig.xml:886).
+
+    ``qf`` maps field -> boost over spec.content_field and/or
+    spec.text_fields.  Per analyzed query clause t and doc d::
+
+        clause(t, d) = max_f(boost_f * bm25_f(t, d))
+                       + tie * (sum_f - max_f)          # DisMax tiebreak
+        score(d)     = sum over clauses
+
+    where bm25_f uses the FIELD's own posting statistics: per-field tf and
+    dl (each ``field:token`` posting packs that field's token count), the
+    namespaced term's own df, and the field's avgdl (field_tokens / n_docs,
+    carried in meta).  Deviation from Lucene, documented: idf and avgdl
+    denominators use the global doc count N rather than per-field docCount
+    — exact for dense fields, and the DuckDB oracle pins the same rule.
+
+    ``op``/``min_match`` act on CLAUSES (a clause matches when any qf field
+    matches), ``filters`` are the usual index-side fq predicates.  Execution
+    is the same shard fan-out as :func:`search`: one Arrow kernel per shard
+    over only the query's posting rows, local top-k, global order-merge —
+    the multi-field scan stays term-pruned because every (field, token)
+    candidate is an explicit IN-list entry."""
+    spec = index.spec
+    text_set = set(spec.text_fields)
+    for f in qf:
+        if f != spec.content_field and f not in text_set:
+            raise ValueError(
+                f"qf field {f!r} is not content_field or a spec.text_fields "
+                f"entry ({sorted(text_set)})"
+            )
+    qtext, parsed_fterms = parse_query(query, spec.keyword_fields)
+    qtext, op = query_op(qtext, default=op)
+    tokens = expand_terms(qtext, synonyms)
+    fterms = filter_terms_of(filters) | parsed_fterms
+    # physical candidate terms: one per (clause, qf field)
+    group: dict[str, int] = {}
+    boost: dict[str, float] = {}
+    avgdl_of: dict[str, float] = {}
+    avgdl_f = {
+        f: (
+            index.avgdl
+            if f == spec.content_field
+            else (index.field_tokens.get(f, 0) / index.n_docs
+                  if index.n_docs else 0.0)
+        )
+        for f in qf
+    }
+    seen: dict[str, None] = {}
+    for t in tokens:
+        seen.setdefault(t, None)
+    clauses = list(seen)  # deduped, order-preserving (clause = distinct term)
+    for gi, t in enumerate(clauses):
+        for f, bst in qf.items():
+            phys = t if f == spec.content_field else f"{f}{KW_SEP}{t}"
+            group[phys] = gi
+            boost[phys] = float(bst)
+            avgdl_of[phys] = avgdl_f[f]
+    dfs = term_dfs(spark, index, list(group)) if group else {}
+    present_groups = {group[t] for t in dfs}
+    conjunctive = op.upper() == "AND"
+    n_clauses = len(clauses)
+    mm = (
+        _min_match_count(min_match, n_clauses)
+        if (min_match is not None and not conjunctive and clauses)
+        else None
+    )
+    fetch_k = None if k is None else k + start
+    if (
+        not dfs
+        or (conjunctive and len(present_groups) < n_clauses)
+        or (mm is not None and len(present_groups) < mm)
+    ):
+        if fterms and not clauses:
+            top = keyword_filter(spark, index, fterms, k=fetch_k).withColumn(
+                "score", F.lit(0.0)
+            )
+            if start:
+                top = top.offset(start)
+        else:
+            top = spark.createDataFrame([], _RESULT_SCHEMA)
+    else:
+        idf = {t: bm25_idf(df, index.n_docs) for t, df in dfs.items()}
+        kernel = _dismax_kernel(
+            idf, group, boost, avgdl_of, tie, spec.k1, spec.b, fetch_k,
+            spec.block_size, fterms,
+            require_n_groups=(
+                n_clauses if conjunctive else mm
+            ),
+        )
+        matched = _score_rows(index, spark).filter(
+            F.col("term").isin(list(dfs) + list(fterms))
+        )
+        local_topk = matched.groupBy("shard").applyInPandas(
+            kernel, _RESULT_SCHEMA
+        )
+        top = local_topk.orderBy(F.desc("score"), F.asc("doc_id"))
+        if k is not None:
+            top = top.limit(fetch_k)
+        if start:
+            top = top.offset(start)
+    if not with_stored:
+        return top
+    return _fetch_stored(spark, index, top, bounded=k is not None)
+
+
 def search_after(
     spark: SparkSession,
     index: Index,

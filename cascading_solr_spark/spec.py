@@ -48,6 +48,13 @@ class IndexSpec:
     # multi-valued (schema.xml:104): each element becomes a membership term
     # (SolrWriter.java:67-71 tuple-explode); nulls are skipped.
     keyword_fields: tuple[str, ...] = ()
+    # EXTRA analyzed text fields (beyond content_field), indexed with
+    # namespaced terms "field:token" and PER-FIELD length normalization
+    # (each posting packs that field's dl; per-field avgdl rides meta) —
+    # the multi-field schema the reference's eDisMax /browse handler
+    # queries with per-field boosts (solrconfig.xml:872-877 qf).  Nulls /
+    # empty fields contribute no postings (SolrWriter.java:65-66 null-skip).
+    text_fields: tuple[str, ...] = ()
     doc_id_field: str | None = None  # pre-existing dense doc id, else derived
     k1: float = 1.2
     b: float = 0.75
@@ -81,6 +88,17 @@ class IndexSpec:
             raise IndexSpecError(f"salt_buckets must be >= 1, got {self.salt_buckets}")
         if not self.key_fields and self.doc_id_field is None:
             raise IndexSpecError("need key_fields or doc_id_field for unique doc ids")
+        overlap = set(self.text_fields) & (
+            set(self.keyword_fields) | {self.content_field}
+        )
+        if overlap:
+            # text_fields share the keyword "field:" term namespace, so a
+            # field indexed both ways would collide; content is already the
+            # default (un-namespaced) text field
+            raise IndexSpecError(
+                f"text_fields must be disjoint from keyword_fields and "
+                f"content_field, overlap: {sorted(overlap)}"
+            )
 
 
 def validate_schema(schema: T.StructType, spec: IndexSpec) -> None:
@@ -96,6 +114,7 @@ def validate_schema(schema: T.StructType, spec: IndexSpec) -> None:
         *spec.key_fields,
         *spec.stored_fields,
         *spec.keyword_fields,
+        *spec.text_fields,
     ]
     if spec.doc_id_field:
         required.append(spec.doc_id_field)
@@ -112,6 +131,13 @@ def validate_schema(schema: T.StructType, spec: IndexSpec) -> None:
             f"content field {spec.content_field!r} must be string, "
             f"got {cf.dataType.simpleString()}"
         )
+    for name in spec.text_fields:
+        tf_field = by_name.get(name)
+        if tf_field is not None and not isinstance(tf_field.dataType, T.StringType):
+            problems.append(
+                f"text field {name!r} must be string, "
+                f"got {tf_field.dataType.simpleString()}"
+            )
     for name in spec.keyword_fields:
         kf = by_name.get(name)
         if kf is None:
