@@ -63,6 +63,9 @@ _DOC_SPEC = IndexSpec(
     # manufacturedate_dt the same way, solrconfig.xml:900-914)
     stored_fields=("lang", "source", "textlen", "docdate", "text"),
     keyword_fields=("lang", "source"),  # exact filters served index-side
+    # derived "title" (first 5 whitespace words of text): the extra analyzed
+    # field the eDisMax qf= leg boosts (solrconfig.xml:872-877 name^1.2)
+    text_fields=("title",),
     doc_id_field="doc_id",
     num_shards=8,
     salt_buckets=4,
@@ -70,7 +73,7 @@ _DOC_SPEC = IndexSpec(
 )
 
 
-_INDEX_FORMAT_VERSION = 10  # bump on any postings/dict/ANN layout change
+_INDEX_FORMAT_VERSION = 11  # bump on any postings/dict/ANN layout change
 
 
 _INDEX_HANDLES: dict[str, Index] = {}
@@ -97,6 +100,12 @@ def _index_for(spark: SparkSession, sf_dir: str) -> Index:
                     F.to_date(F.lit("2020-01-01")),
                     F.pmod(F.col("doc_id") * 37, F.lit(1100)).cast("int"),
                 ),
+            )
+            # derived title: first 5 space-separated words (oracle twin:
+            # array_to_string(list_slice(str_split(text,' '),1,5),' '))
+            .withColumn(
+                "title",
+                F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5)),
             )
         )
         build_index(spark, source, _DOC_SPEC, out)
@@ -157,6 +166,62 @@ FROM scores ORDER BY round(score, 4) DESC, doc_id ASC
 """
 
 
+def _dismax_sql(
+    terms: tuple[str, ...],
+    qf: dict[str, str],
+    boosts: dict[str, float],
+    tie: float,
+    k: int | None,
+) -> str:
+    """DuckDB twin of search_dismax: per-field BM25 (per-field tf/dl/df/
+    avgdl, global N in idf and avgdl denominators — the engine's documented
+    rule), per clause max + tie * (sum - max) over fields, summed across
+    clauses.  ``qf`` maps field name -> SQL expression producing that
+    field's raw text over ``documents``."""
+    tl = ", ".join(f"('{t}')" for t in terms)
+    toks_union = "\n  UNION ALL\n".join(
+        f"  SELECT '{f}' AS f, doc_id, unnest(regexp_extract_all(lower("
+        f"{expr}), '{SIMPLE}')) AS term FROM documents"
+        for f, expr in qf.items()
+    )
+    bl = ", ".join(f"('{f}', {b})" for f, b in boosts.items())
+    return f"""
+WITH ftoks AS (
+{toks_union}
+),
+tf AS (SELECT f, doc_id, term, count(*)::BIGINT AS tf FROM ftoks GROUP BY 1, 2, 3),
+dl AS (SELECT f, doc_id, count(*)::BIGINT AS dl FROM ftoks GROUP BY 1, 2),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+avgdl AS (SELECT f, sum(dl) / (SELECT n FROM nn) AS avgdl FROM dl GROUP BY 1),
+q(term) AS (VALUES {tl}),
+boosts(f, boost) AS (VALUES {bl}),
+dfreq AS (SELECT f, term, count(*)::BIGINT AS df FROM tf
+          WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         b.boost * ln(1 + (nn.n - d.df + 0.5) / (d.df + 0.5))
+         * (tf.tf * (1.2 + 1.0))
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / a.avgdl)) AS c
+  FROM tf
+  JOIN dfreq d ON tf.f = d.f AND tf.term = d.term
+  JOIN dl ON dl.f = tf.f AND dl.doc_id = tf.doc_id
+  JOIN avgdl a ON a.f = tf.f
+  JOIN boosts b ON b.f = tf.f
+  CROSS JOIN nn),
+clause AS (SELECT doc_id, term,
+                  max(c) + {tie} * (sum(c) - max(c)) AS cs
+           FROM contrib GROUP BY 1, 2),
+scores AS (SELECT doc_id, sum(cs) AS score FROM clause GROUP BY 1)
+SELECT doc_id, round(score, 4) AS score
+FROM scores ORDER BY round(score, 4) DESC, doc_id ASC
+{f'LIMIT {k}' if k is not None else ''}
+"""
+
+
+#: oracle-side twin of the driver index's derived title column
+_TITLE_SQL = "array_to_string(list_slice(str_split(text, ' '), 1, 5), ' ')"
+
+
 # ------------------------------------------------------------ entry point
 
 
@@ -191,26 +256,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
     )
-    # compressed-index retrieval through BOTH shard kernels (merged r5: was
-    # ix_search_compressed [MaxScore] + ix_search_taat [exhaustive TAAT])
-    q["ix_search_kernels"] = lambda s, d: (
-        search(s, _index_for(s, d), Q_MAIN, k=10, with_stored=False)
-        .select(
-            F.lit("maxscore").alias("kernel"),
-            "doc_id",
-            F.round("score", 4).alias("score"),
-        )
-        .unionByName(
-            search(
-                s, _index_for(s, d), Q_MULTI, k=10, mode="taat",
-                with_stored=False,
-            ).select(
-                F.lit("taat").alias("kernel"),
+    # compressed-index retrieval through the three shard kernels (merged r5:
+    # was ix_search_compressed [MaxScore] + ix_search_taat [exhaustive TAAT];
+    # r5d adds the eDisMax multi-field kernel — qf=text^0.5 title^1.2
+    # tie=0.1, the solrconfig.xml:872-886 /browse request shape)
+    def _kernels(s, d):
+        from cascading_solr_spark.query.search import search_dismax
+
+        ix = _index_for(s, d)
+        return (
+            search(s, ix, Q_MAIN, k=10, with_stored=False)
+            .select(
+                F.lit("maxscore").alias("kernel"),
                 "doc_id",
                 F.round("score", 4).alias("score"),
             )
+            .unionByName(
+                search(
+                    s, ix, Q_MULTI, k=10, mode="taat", with_stored=False,
+                ).select(
+                    F.lit("taat").alias("kernel"),
+                    "doc_id",
+                    F.round("score", 4).alias("score"),
+                )
+            )
+            .unionByName(
+                search_dismax(
+                    s, ix, Q_MAIN, {"text": 0.5, "title": 1.2}, tie=0.1,
+                    k=10, with_stored=False,
+                ).select(
+                    F.lit("dismax").alias("kernel"),
+                    "doc_id",
+                    F.round("score", 4).alias("score"),
+                )
+            )
         )
-    )
+
+    q["ix_search_kernels"] = _kernels
     # hit counting incl. the zero-hit short-circuit (merged r5: was
     # ft_keyword_hits + ft_zero_hit)
     q["ft_hit_counts"] = lambda s, d: _docs(s, d).agg(
@@ -801,6 +883,15 @@ FROM ({_bm25_sql(tuple(Q_MAIN.split()), 10)}) a
 UNION ALL
 SELECT 'taat' AS kernel, doc_id, score
 FROM ({_bm25_sql(tuple(Q_MULTI.split()), 10)}) b
+UNION ALL
+SELECT 'dismax' AS kernel, doc_id, score
+FROM ({_dismax_sql(
+        tuple(Q_MAIN.split()),
+        {"text": "text", "title": _TITLE_SQL},
+        {"text": 0.5, "title": 1.2},
+        0.1,
+        10,
+    )}) c
 """
     o["ft_hit_counts"] = f"""
 WITH {_toks_cte()}
