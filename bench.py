@@ -98,18 +98,26 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
         content_field="text", key_fields=("doc_id",), doc_id_field="doc_id",
         stored_fields=("lang", "source", "textlen", "docdate", "text"),
         keyword_fields=("lang", "source"),
+        text_fields=("title",),  # driver-shaped: eDisMax extra field (r5d)
         num_shards=max(cpus // 4, 4),
         positions=True,  # driver-shaped: the docs index is positional (r5c)
     )
     ix_docs_dir = os.path.join(work, "ix_docs")
     from pyspark.sql import functions as _F
 
-    docs_src = docs.withColumn("textlen", _F.length("text")).withColumn(
-        "docdate",
-        _F.date_add(
-            _F.to_date(_F.lit("2020-01-01")),
-            _F.pmod(_F.col("doc_id") * 37, _F.lit(1100)).cast("int"),
-        ),
+    docs_src = (
+        docs.withColumn("textlen", _F.length("text"))
+        .withColumn(
+            "docdate",
+            _F.date_add(
+                _F.to_date(_F.lit("2020-01-01")),
+                _F.pmod(_F.col("doc_id") * 37, _F.lit(1100)).cast("int"),
+            ),
+        )
+        .withColumn(
+            "title",
+            _F.concat_ws(" ", _F.slice(_F.split(_F.col("text"), " "), 1, 5)),
+        )
     )
     timings["build_documents"] = timed(
         lambda: build_index(spark, docs_src, doc_spec, ix_docs_dir)
@@ -121,6 +129,16 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
     ix_docs = _Index.load(ix_docs_dir)
     timings["facet_lang"] = timed(
         lambda: facet_counts(spark, ix_docs, "spark join", "lang").collect(),
+        repeat=3,
+    )
+    # eDisMax multi-field ranked retrieval (qf=text^0.5 title^1.2, tie=0.1)
+    from cascading_solr_spark.query.search import search_dismax
+
+    timings["q_dismax"] = timed(
+        lambda: search_dismax(
+            spark, ix_docs, "spark join", {"text": 0.5, "title": 1.2},
+            tie=0.1, k=10, with_stored=False,
+        ).collect(),
         repeat=3,
     )
     # scale path (ngram candidate index) vs the full-dict oracle scan

@@ -363,6 +363,15 @@ def match_ids(
     qs = query.strip()
     if len(qs) >= 2 and qs[0] == '"' and qs[-1] == '"' and '"' not in qs[1:-1]:
         return phrase_match_ids(spark, index, qs[1:-1], filters=filters)
+    if qs == "*:*":
+        # MatchAllDocsQuery (the /browse handler's q.alt=*:* landing page,
+        # solrconfig.xml:879): every doc, optionally fq-restricted.  The
+        # unfiltered case reads ONE int column of the docs table (columnar
+        # pruned scan, no postings touched); filtered goes index-side.
+        fterms = filter_terms_of(filters)
+        if fterms:
+            return keyword_filter(spark, index, fterms)
+        return index.docs(spark).select("doc_id")
     qtext, parsed_fterms = parse_query(query, index.spec.keyword_fields)
     qtext, op = query_op(qtext, default=op)
     terms = expand_terms(qtext, synonyms)
@@ -483,6 +492,22 @@ def search(
             spark, index, q[1:-1], k=k, with_stored=with_stored,
             filters=filters, start=start,
         )
+    if q == "*:*":
+        # MatchAllDocsQuery (q.alt=*:*, solrconfig.xml:879): constant score
+        # 1.0 (Lucene's match-all), doc_id order, normal paging/fq/stored
+        fetch_k = None if k is None else k + start
+        top = (
+            match_ids(spark, index, "*:*", filters=filters)
+            .select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy("doc_id")
+        )
+        if k is not None:
+            top = top.limit(fetch_k)
+        if start:
+            top = top.offset(start)
+        if not with_stored:
+            return top
+        return _fetch_stored(spark, index, top, bounded=k is not None)
     qtext, parsed_fterms = parse_query(query, index.spec.keyword_fields)
     qtext, op = query_op(qtext, default=op)
     terms = expand_terms(qtext, synonyms)
@@ -1674,6 +1699,137 @@ def highlight(
     ).orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+def highlight_fields(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    fields: list[str] | tuple[str, ...],
+    k: int = 10,
+    fragsize: int = 100,
+    field_params: dict[str, dict] | None = None,
+    filters: dict[str, str] | None = None,
+    synonyms: dict[str, list[str]] | None = None,
+    op: str = "OR",
+) -> DataFrame:
+    """Multi-field highlighting — the /browse handler's actual highlight
+    request (``hl.fl=content features title name`` with PER-FIELD overrides,
+    solrconfig.xml:918-931: ``f.title.hl.fragsize=0`` [whole-field
+    fragment], ``f.title.hl.alternateField=title`` [no-match fallback
+    text], ``f.content.hl.fragsize=200``,
+    ``f.content.hl.maxAlternateFieldLength=750``).
+
+    Returns LONG rows (doc_id, score, field, term, snippet) — one per
+    (result doc, requested field); ordering (score desc, doc_id, field).
+    Per field, the earliest-occurring analyzed query term (ties term-asc,
+    the :func:`highlight` rule) is ``<em>``-wrapped inside a fragment of
+    ~``fragsize`` chars centred on the match; ``fragsize=0`` returns the
+    WHOLE field value with the match wrapped (Solr's fragsize=0 contract).
+    A field without any term occurrence falls back to the head of its
+    ``alternate_field`` (capped at ``max_alternate_length``, Solr's
+    maxAlternateFieldLength) with term='' — or an empty snippet when no
+    alternate is configured (Solr omits the field; a NULL-free '' keeps the
+    schema stable for the oracle).
+
+    ``field_params[field]`` accepts ``fragsize``, ``alternate_field``,
+    ``max_alternate_length`` (default 750 like the /browse config).  Every
+    requested or alternate field must be stored (Solr's stored="true"
+    highlighting rule).  Like :func:`highlight`, snippet extraction is pure
+    Catalyst over the ≤k fetched rows (regexp_instr with (?i) patterns over
+    the ORIGINAL text — offsets immune to Unicode case-fold length shifts);
+    one snippet per field (the reference's f.content.hl.snippets=3
+    multi-fragment mode is not implemented — documented omission)."""
+    import re as _re
+
+    spec = index.spec
+    field_params = field_params or {}
+    stored = set(spec.stored_fields)
+    need = set(fields) | {
+        p["alternate_field"]
+        for p in field_params.values()
+        if p.get("alternate_field")
+    }
+    missing = sorted(need - stored)
+    if missing:
+        raise ValueError(
+            f"highlight fields must be stored (Solr stored=\"true\"): "
+            f"{missing} not in {sorted(stored)}"
+        )
+    qtext, _ = parse_query(query, spec.keyword_fields)
+    qtext, _ = query_op(qtext, default=op)
+    terms = sorted(set(expand_terms(qtext, synonyms)))
+    top = search(
+        spark, index, query, k=k, with_stored=True, filters=filters,
+        synonyms=synonyms, op=op,
+    )
+    big = 2147483647
+
+    def _field_struct(fld: str):
+        p = field_params.get(fld, {})
+        fsize = int(p.get("fragsize", fragsize))
+        alt = p.get("alternate_field")
+        max_alt = int(p.get("max_alternate_length", 750))
+        text = F.col(fld)
+        if terms:
+            cands = [
+                F.struct(
+                    F.when(
+                        F.regexp_instr(text, F.lit("(?i)" + _re.escape(t)))
+                        > 0,
+                        F.regexp_instr(text, F.lit("(?i)" + _re.escape(t))),
+                    )
+                    .otherwise(F.lit(big))
+                    .alias("pos"),
+                    F.lit(t).alias("term"),
+                )
+                for t in terms
+            ]
+            best = F.array_min(F.array(*cands))
+            pos, term = best["pos"], best["term"]
+        else:
+            pos, term = F.lit(big), F.lit("")
+        tlen = F.length(term)
+        if fsize > 0:
+            window = fsize // 2
+            frag_start = F.greatest(pos - F.lit(window), F.lit(1))
+            snip = F.concat(
+                F.substring(text, frag_start, pos - frag_start),
+                F.lit("<em>"),
+                F.substring(text, pos, tlen),
+                F.lit("</em>"),
+                F.substring(text, pos + tlen, F.lit(window)),
+            )
+        else:  # fragsize=0: the whole field value, match wrapped
+            snip = F.concat(
+                F.substring(text, 1, pos - 1),
+                F.lit("<em>"),
+                F.substring(text, pos, tlen),
+                F.lit("</em>"),
+                F.substring(text, pos + tlen, F.length(text)),
+            )
+        fallback = (
+            F.substring(F.col(alt), 1, max_alt) if alt else F.lit("")
+        )
+        return F.struct(
+            F.lit(fld).alias("field"),
+            F.when(pos < big, term).otherwise(F.lit("")).alias("term"),
+            F.coalesce(
+                F.when(pos < big, snip).otherwise(fallback), F.lit("")
+            ).alias("snippet"),
+        )
+
+    return (
+        top.select(
+            "doc_id",
+            "score",
+            F.explode(F.array(*[_field_struct(f) for f in fields])).alias(
+                "hl"
+            ),
+        )
+        .select("doc_id", "score", "hl.field", "hl.term", "hl.snippet")
+        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("field"))
+    )
+
+
 def search_sorted(
     spark: SparkSession,
     index: Index,
@@ -2274,6 +2430,113 @@ def spellcheck_collate(
     return spark.createDataFrame(
         [(collation, int(hits))], "collation string, hits long"
     )
+
+
+def spellcheck_collations(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    max_collations: int = 3,
+    max_tries: int = 5,
+    max_distance: int = 2,
+    alternative_term_count: int = 0,
+    max_results_for_suggest: int = 5,
+    filters: dict[str, str] | None = None,
+    op: str = "OR",
+) -> DataFrame:
+    """Multi-collation spellcheck — the full /browse collation config
+    (solrconfig.xml:934-941): ``spellcheck.maxCollations=3`` (return up to
+    3 collations), ``spellcheck.maxCollationTries=5`` (verify at most 5
+    candidate rewrites against the index), ``alternativeTermCount=2`` +
+    ``maxResultsForSuggest=5`` (when the ORIGINAL query yields ≤ 5 hits,
+    suggest alternatives even for terms that ARE in the dictionary).
+
+    Candidate collations are combinations of per-term suggestions
+    (:func:`suggest_many` — one batched job), enumerated best-first by the
+    sum of per-term suggestion ranks (ties lexicographic; the original term
+    rides at rank 0 when it is known), capped at ``max_tries``.  All tries
+    are verified in ONE Spark action (tagged :func:`match_ids` union under
+    the ORIGINAL request's filters/op — Solr's collation-check rule), and
+    up to ``max_collations`` collations with hits > 0 return as
+    (collation, hits) rows ordered (hits desc, collation asc)
+    [collateExtendedResults=true carries the hit counts].
+
+    With no misspelled term and the original query yielding more than
+    ``max_results_for_suggest`` hits, returns the original query's own
+    (collation, hits) row like :func:`spellcheck_collate`."""
+    from itertools import product
+
+    terms = analyze_query(query)
+    dfs = term_dfs(spark, index, terms) if terms else {}
+    uniq_terms = list(dict.fromkeys(terms))
+    unknown = [t for t in uniq_terms if dfs.get(t, 0) == 0]
+    correctable = list(unknown)
+    if alternative_term_count > 0 and not unknown:
+        # alternativeTermCount path: every term is known — only engage when
+        # the original request is starved (≤ maxResultsForSuggest hits)
+        orig_hits = match_ids(
+            spark, index, " ".join(terms), filters=filters, op=op
+        ).count()
+        if orig_hits <= max_results_for_suggest:
+            correctable = uniq_terms
+    if not correctable:
+        collation = " ".join(terms) if terms else query
+        hits = (
+            match_ids(spark, index, collation, filters=filters, op=op).count()
+            if collation
+            else 0
+        )
+        return spark.createDataFrame(
+            [(collation, int(hits))], "collation string, hits long"
+        )
+    k_sugg = max(2, alternative_term_count) if alternative_term_count else 2
+    sugg = suggest_many(
+        spark, index, correctable, k=k_sugg, max_distance=max_distance
+    ).collect()
+    options: dict[str, list[str]] = {}
+    for r in sorted(sugg, key=lambda r: (r["query_term"], r["distance"])):
+        options.setdefault(r["query_term"], []).append(r["term"])
+    # per correctable term: candidate list in rank order; a KNOWN term keeps
+    # itself as rank 0 (DirectSolrSpellChecker never forces a rewrite)
+    cand_lists = [
+        ([t] if dfs.get(t, 0) > 0 else []) + options.get(t, [t])
+        for t in correctable
+    ]
+    ranked_combos = sorted(
+        product(*(range(len(c)) for c in cand_lists)),
+        key=lambda ranks: (sum(ranks), ranks),
+    )[:max_tries]
+    subs_list = [
+        {t: cand_lists[i][ranks[i]] for i, t in enumerate(correctable)}
+        for ranks in ranked_combos
+    ]
+    collations = list(
+        dict.fromkeys(
+            " ".join(subs.get(t, t) for t in terms) for subs in subs_list
+        )
+    )
+    # ONE verification action: tagged union of the ≤ max_tries match sets
+    tagged: DataFrame | None = None
+    for i, c in enumerate(collations):
+        part = match_ids(spark, index, c, filters=filters, op=op).select(
+            F.lit(i).alias("cid"), "doc_id"
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    counts = {
+        int(r["cid"]): int(r["n"])
+        for r in tagged.groupBy("cid").agg(F.count("*").alias("n")).collect()
+    }
+    rows = sorted(
+        (
+            (c, counts.get(i, 0))
+            for i, c in enumerate(collations)
+            if counts.get(i, 0) > 0
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:max_collations]
+    if not rows:  # every try failed: Solr reports the best try with 0 hits
+        rows = [(collations[0], 0)]
+    return spark.createDataFrame(rows, "collation string, hits long")
 
 
 def more_like_this(

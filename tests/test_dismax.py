@@ -38,6 +38,9 @@ DM_SPEC = IndexSpec(
     stored_fields=("repo", "path", "lang"),
     doc_id_field="doc_id",
     key_fields=(),
+    # positional, like the driver's index: text-field postings carry empty
+    # pos blobs and the dismax scan must never read the pos payload
+    positions=True,
 )
 
 QF = {"content": 1.0, "path": 2.0}
@@ -230,6 +233,26 @@ def test_dismax_zero_hit_and_stored(spark, dm_index):
         spark, dm_index, "merge buffer", QF, k=1, with_stored=True
     ).collect()
     assert row and row[0]["path"] is not None
+
+
+# -------------------------------------------------------------------- plan
+
+
+def test_dismax_plan_is_term_pruned_and_posless(spark, dm_index):
+    """The multi-field scan stays an explicit IN-list over (field, token)
+    candidates pushed to parquet, and never reads the positional payload."""
+    explained = (
+        search_dismax(
+            spark, dm_index, "index merge", QF, k=10, with_stored=False
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [In(term" in explained
+    read = explained.split("ReadSchema")[-1].split("\n")[0]
+    assert "pos" not in read, read
+    assert "path:index" in explained  # namespaced candidates in the IN-list
 
 
 # ------------------------------------------------------------------ append
