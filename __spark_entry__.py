@@ -61,7 +61,9 @@ _DOC_SPEC = IndexSpec(
     # from doc_id) are derived at index time: the numeric and DATE fields
     # facet.range buckets over (the reference range-facets price and
     # manufacturedate_dt the same way, solrconfig.xml:900-914)
-    stored_fields=("lang", "source", "textlen", "docdate", "text"),
+    # "title" stored too: whole-field highlighting (f.title.hl.fragsize=0,
+    # solrconfig.xml:925-926)
+    stored_fields=("lang", "source", "textlen", "docdate", "text", "title"),
     keyword_fields=("lang", "source"),  # exact filters served index-side
     # derived "title" (first 5 whitespace words of text): the extra analyzed
     # field the eDisMax qf= leg boosts (solrconfig.xml:872-877 name^1.2)
@@ -73,7 +75,7 @@ _DOC_SPEC = IndexSpec(
 )
 
 
-_INDEX_FORMAT_VERSION = 11  # bump on any postings/dict/ANN layout change
+_INDEX_FORMAT_VERSION = 12  # bump on any postings/dict/ANN layout change
 
 
 _INDEX_HANDLES: dict[str, Index] = {}
@@ -352,7 +354,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fq = facet_query_counts(
             s, ix, Q_MAIN, {"es_docs": "lang:es", "with_stream": "stream"}
         ).select(F.lit("query").alias("kind"), "facet", "n")
-        return field.unionByName(fq)
+        # the /browse landing page: q.alt=*:* (solrconfig.xml:879) — the
+        # match-all path feeding the same facet machinery
+        browse = facet_counts(s, ix, "*:*", "lang").select(
+            F.lit("browse").alias("kind"),
+            F.col("value").alias("facet"),
+            "n",
+        )
+        return field.unionByName(fq).unionByName(browse)
 
     q["ft_facet_counts"] = _facets
 
@@ -382,12 +391,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registered :1167, in the /browse chain :1177): top-k ranked docs with
     # the earliest-occurring query term <em>-wrapped in a ±30-char fragment
     # of the stored text
+    # ... PLUS the multi-field hl.fl shape (r5d): whole-field title
+    # highlight (f.title.hl.fragsize=0 + alternateField=title,
+    # solrconfig.xml:925-926) riding the same top-k, field-tagged
     def _highlight(s, d):
-        from cascading_solr_spark.query.search import highlight
-
-        return highlight(s, _index_for(s, d), Q_MAIN, k=10, window=30).select(
-            "doc_id", F.round("score", 4).alias("score"), "term", "snippet"
+        from cascading_solr_spark.query.search import (
+            highlight,
+            highlight_fields,
         )
+
+        ix = _index_for(s, d)
+        content = highlight(s, ix, Q_MAIN, k=10, window=30).select(
+            "doc_id",
+            F.round("score", 4).alias("score"),
+            F.lit("text").alias("field"),
+            "term",
+            "snippet",
+        )
+        title = highlight_fields(
+            s, ix, Q_MAIN, ["title"], k=10,
+            field_params={
+                "title": {"fragsize": 0, "alternate_field": "title"}
+            },
+        ).select(
+            "doc_id",
+            F.round("score", 4).alias("score"),
+            "field",
+            "term",
+            "snippet",
+        )
+        return content.unionByName(title)
 
     q["ft_highlight"] = _highlight
 
@@ -548,13 +581,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_stats"] = _stats
 
-    # spellcheck.collate + collateExtendedResults (solrconfig.xml:937-938):
-    # unknown term rewritten by its best suggestion, collation verified by
-    # its hit count
+    # spellcheck.collate + collateExtendedResults (solrconfig.xml:937-938)
+    # PLUS the multi-collation knobs (r5d: maxCollations=3 /
+    # maxCollationTries=5, solrconfig.xml:940-941) in one kind-tagged union
     def _collate(s, d):
-        from cascading_solr_spark.query.search import spellcheck_collate
+        from cascading_solr_spark.query.search import (
+            spellcheck_collate,
+            spellcheck_collations,
+        )
 
-        return spellcheck_collate(s, _index_for(s, d), "sparc join")
+        ix = _index_for(s, d)
+        single = spellcheck_collate(s, ix, "sparc join").select(
+            F.lit("single").alias("kind"), "collation", "hits"
+        )
+        multi = spellcheck_collations(
+            s, ix, "sparc join", max_collations=2, max_tries=2
+        ).select(F.lit("multi").alias("kind"), "collation", "hits")
+        return single.unionByName(multi)
 
     q["ft_collate"] = _collate
 
@@ -929,6 +972,9 @@ SELECT 'query' AS kind, 'es_docs' AS facet,
 UNION ALL
 SELECT 'query' AS kind, 'with_stream' AS facet,
        (SELECT count(*) FROM matched JOIN st USING (doc_id))::BIGINT AS n
+UNION ALL
+SELECT 'browse' AS kind, d.lang AS facet, count(*)::BIGINT AS n
+FROM documents d GROUP BY 2
 """
     o["ft_spellcheck"] = f"""
 WITH {_toks_cte()},
@@ -984,7 +1030,7 @@ best AS (
             ORDER BY CASE WHEN pos > 0 THEN pos ELSE 2147483647 END,
                      term) AS rn
   FROM cand)
-SELECT doc_id, score,
+SELECT doc_id, score, 'text' AS field,
   CASE WHEN pos > 0 THEN term ELSE '' END AS term,
   CASE WHEN pos > 0 THEN
     substr(text, greatest(pos - 30, 1), pos - greatest(pos - 30, 1))
@@ -992,6 +1038,29 @@ SELECT doc_id, score,
     || substr(text, pos + length(term), 30)
   ELSE substr(text, 1, 60) END AS snippet
 FROM best WHERE rn = 1
+UNION ALL
+SELECT doc_id, score, 'title' AS field,
+  CASE WHEN pos > 0 THEN term ELSE '' END AS term,
+  CASE WHEN pos > 0 THEN
+    substr(title, 1, pos - 1)
+    || '<em>' || substr(title, pos, length(term)) || '</em>'
+    || substr(title, pos + length(term), length(title))
+  ELSE substr(title, 1, 750) END AS snippet
+FROM (
+  SELECT c.*, row_number() OVER (PARTITION BY doc_id
+            ORDER BY CASE WHEN pos > 0 THEN pos ELSE 2147483647 END,
+                     term) AS rn
+  FROM (
+    SELECT t.doc_id, t.score, q.term, d2.title,
+           CASE WHEN regexp_matches(d2.title, '(?is)' || q.term)
+                THEN length(regexp_extract(d2.title,
+                            '(?is)^(.*?)' || q.term, 1)) + 1
+                ELSE 0 END AS pos
+    FROM top t
+    JOIN (SELECT doc_id, {_TITLE_SQL} AS title FROM documents) d2
+      USING (doc_id),
+         (VALUES ('join'), ('spark')) q(term)) c) b
+WHERE rn = 1
 """
     o["ft_facet_range"] = f"""
 WITH {_toks_cte()},
@@ -1082,15 +1151,28 @@ FROM documents d JOIN matched USING (doc_id)
 WITH {_toks_cte()},
 vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
           FROM toks GROUP BY 1),
-best AS (SELECT term FROM vocab
+sugg AS (SELECT term,
+                row_number() OVER (
+                  ORDER BY levenshtein(term, 'sparc') ASC, df DESC,
+                           term ASC) AS rk
+         FROM vocab
          WHERE term != 'sparc' AND abs(length(term) - 5) <= 2
-           AND levenshtein(term, 'sparc') <= 2
-         ORDER BY levenshtein(term, 'sparc') ASC, df DESC, term ASC
-         LIMIT 1),
+           AND levenshtein(term, 'sparc') <= 2),
+best AS (SELECT term FROM sugg WHERE rk = 1),
 matched AS (SELECT DISTINCT t.doc_id FROM toks t
-            WHERE t.term = (SELECT term FROM best) OR t.term = 'join')
-SELECT (SELECT term FROM best) || ' join' AS collation,
+            WHERE t.term = (SELECT term FROM best) OR t.term = 'join'),
+multi AS (
+  SELECT s.term || ' join' AS "collation",
+         (SELECT count(DISTINCT t.doc_id) FROM toks t
+          WHERE t.term = s.term OR t.term = 'join')::BIGINT AS hits
+  FROM sugg s WHERE s.rk <= 2)
+SELECT 'single' AS kind,
+       (SELECT term FROM best) || ' join' AS "collation",
        (SELECT count(*) FROM matched)::BIGINT AS hits
+UNION ALL
+SELECT 'multi' AS kind, "collation", hits FROM (
+  SELECT "collation", hits FROM multi WHERE hits > 0
+  ORDER BY hits DESC, "collation" ASC LIMIT 2)
 """
     o["ft_term_vectors"] = f"""
 WITH {_toks_cte()},
