@@ -544,11 +544,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_rt_get"] = _rt_get
 
     # TermsComponent (/terms handler, solrconfig.xml:1458-1466): vocabulary
-    # browse by prefix, terms.sort=count default
+    # browse by prefix, terms.sort=count default — PLUS the /admin/luke
+    # top-terms report (r5d, solrconfig.xml:1078) in one kind-tagged union
     def _terms(s, d):
+        from cascading_solr_spark.handlers import luke_top_terms
         from cascading_solr_spark.query.search import terms_component
 
-        return terms_component(s, _index_for(s, d), prefix="s", k=10)
+        ix = _index_for(s, d)
+        t = terms_component(s, ix, prefix="s", k=10).select(
+            F.lit("terms").alias("kind"), "term", "df"
+        )
+        lk = luke_top_terms(s, ix, "lang", k=10).select(
+            F.lit("luke").alias("kind"), "term", "df"
+        )
+        return t.unionByName(lk)
 
     q["ft_terms"] = _terms
 
@@ -1267,9 +1276,14 @@ FROM documents WHERE doc_id IN (1, 2, 3, 5, 8)
 WITH {_toks_cte()},
 vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
           FROM toks GROUP BY 1)
-SELECT term, df FROM vocab
-WHERE term LIKE 's%'
-ORDER BY df DESC, term ASC LIMIT 10
+SELECT 'terms' AS kind, term, df FROM (
+  SELECT term, df FROM vocab
+  WHERE term LIKE 's%'
+  ORDER BY df DESC, term ASC LIMIT 10)
+UNION ALL
+SELECT 'luke' AS kind, term, df FROM (
+  SELECT lang AS term, count(*)::BIGINT AS df FROM documents
+  GROUP BY 1 ORDER BY df DESC, term ASC LIMIT 10)
 """
     o["ft_synonym"] = _bm25_sql(("join", "merge"), 10)
     # both conjunctive paths (naive scan / index-side postings intersection)

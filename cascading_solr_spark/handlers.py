@@ -1,0 +1,162 @@
+"""Auxiliary request-handler analogues: analysis, Luke, ping.
+
+The reference's embedded Solr registers introspection handlers alongside
+the query surface (solrconfig.xml): ``/analysis/field`` and
+``/analysis/document`` (:1030, :1065 — show how the analyzer chain breaks a
+value into indexed tokens), ``/admin/luke`` (:1078 — per-field index
+statistics and top terms), and ``/admin/ping`` (:1099 — health check that
+runs a real query against the index).  These are part of what a reference
+user can call today, so they get first-class analogues:
+
+* :func:`analysis_field` / :func:`analysis_document` — the SAME tokenizer
+  the index path uses (one code path, so what analysis shows is exactly
+  what got indexed), returned as (position, term) rows with Lucene
+  position-increment semantics (catenated parts overlap, analyzer.py);
+* :func:`luke_overview` / :func:`luke_top_terms` — served from the
+  term-sorted ``dict`` table (ONE pruned scan; never postings or docs) +
+  meta, so they stay cheap at any index size;
+* :func:`ping` — verifies the index is loadable and answers a bounded
+  match-all probe (PingRequestHandler runs a configured warming query).
+
+All driver-side row building here is bounded by ONE document or a top-N —
+never corpus-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cascading_solr_spark.analyzer import tokenize_with_positions
+from cascading_solr_spark.indexing.build import KW_SEP, Index
+from cascading_solr_spark.spec import IndexSpec
+
+_ANALYSIS_SCHEMA = "field string, position int, term string"
+
+
+def analysis_field(
+    spark: SparkSession, field: str, text: str | None
+) -> DataFrame:
+    """``/analysis/field`` analogue (solrconfig.xml:1030-1059): the token
+    stream the index-time analyzer produces for one field value, as
+    (field, position, term) rows.  Positions carry WordDelimiterFilter
+    increments — catenated identifiers overlap their first sub-part, so the
+    output shows exactly why ``"turbo writer"`` phrase-matches a stored
+    ``TurboWriter`` (the reference's signature behavior,
+    AbstractSolrSchemeTest.java:155-159)."""
+    rows = [
+        (field, int(pos), term) for term, pos in tokenize_with_positions(text)
+    ]
+    return spark.createDataFrame(rows, _ANALYSIS_SCHEMA)
+
+
+def analysis_document(
+    spark: SparkSession, spec: IndexSpec, doc: dict
+) -> DataFrame:
+    """``/analysis/document`` analogue (solrconfig.xml:1065-1072): per-field
+    token streams for one document under ``spec`` — analyzed fields
+    (content + text_fields) run the real tokenizer; keyword fields emit
+    their exact untokenized values at position 0 (StrField semantics,
+    schema.xml:71); fields absent from the doc emit nothing (the
+    SolrWriter.java:65-66 null-skip)."""
+    rows: list[tuple[str, int, str]] = []
+    for f in (spec.content_field, *spec.text_fields):
+        for term, pos in tokenize_with_positions(doc.get(f)):
+            rows.append((f, int(pos), term))
+    for f in spec.keyword_fields:
+        v = doc.get(f)
+        values = v if isinstance(v, (list, tuple)) else [v]
+        for x in values:
+            if x is not None:
+                rows.append((f, 0, str(x)))
+    return spark.createDataFrame(rows, _ANALYSIS_SCHEMA)
+
+
+def _dict_with_field(index: Index, spark: SparkSession) -> DataFrame | None:
+    """dict rows tagged with their logical FIELD: ``field:token`` terms map
+    to their namespace (keyword or extra text field), everything else to
+    the content field."""
+    d = index.term_dict(spark)
+    if d is None:
+        return None
+    spec = index.spec
+    named = list(spec.keyword_fields) + list(spec.text_fields)
+    prefix = F.substring_index("term", KW_SEP, 1)
+    return d.withColumn(
+        "field",
+        F.when(
+            F.col("term").contains(KW_SEP) & prefix.isin(named), prefix
+        ).otherwise(F.lit(spec.content_field)),
+    )
+
+
+def luke_overview(spark: SparkSession, index: Index) -> DataFrame:
+    """``/admin/luke`` analogue (solrconfig.xml:1078): per-field index
+    statistics — distinct term count, total df, and max df — from ONE scan
+    of the term-sorted dict (plus corpus-level rows from meta at zero extra
+    jobs).  Returns (field, n_terms, sum_df, max_df) ordered by field."""
+    d = _dict_with_field(index, spark)
+    if d is None:
+        raise ValueError(
+            "luke_overview needs the dict table (pre-dict index: run "
+            "compact_index first)"
+        )
+    return (
+        d.groupBy("field")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("df").alias("sum_df"),
+            F.max("df").alias("max_df"),
+        )
+        .orderBy("field")
+    )
+
+
+def luke_top_terms(
+    spark: SparkSession, index: Index, field: str, k: int = 10
+) -> DataFrame:
+    """``/admin/luke`` top-terms report for one field: the k highest-df
+    terms (ties term-asc), values stripped of their namespace prefix.
+    A keyword/text field prunes its dict scan by prefix (term-sorted files
+    -> StartsWith row-group pruning, the terms-component path)."""
+    spec = index.spec
+    d = index.term_dict(spark)
+    if d is None:
+        raise ValueError(
+            "luke_top_terms needs the dict table (pre-dict index: run "
+            "compact_index first)"
+        )
+    named = set(spec.keyword_fields) | set(spec.text_fields)
+    if field in named:
+        pref = field + KW_SEP
+        rows = d.filter(F.col("term").startswith(pref)).select(
+            F.expr(f"substring(term, {len(pref) + 1})").alias("term"), "df"
+        )
+    elif field == spec.content_field:
+        prefixes = [f + KW_SEP for f in named]
+        rows = d
+        for p in prefixes:
+            rows = rows.filter(~F.col("term").startswith(p))
+        rows = rows.select("term", "df")
+    else:
+        raise ValueError(f"unknown field {field!r}")
+    return rows.orderBy(F.desc("df"), F.asc("term")).limit(k)
+
+
+def ping(spark: SparkSession, index_dir: str) -> DataFrame:
+    """``/admin/ping`` analogue (solrconfig.xml:1099-1113): load the index
+    and answer a bounded probe (the handler's healthcheck query), returning
+    one (status, n_docs) row — 'OK' only when meta loads AND the docs table
+    answers.  Failures return status 'FAIL' with n_docs 0 rather than
+    raising (a health endpoint reports, it doesn't crash)."""
+    try:
+        ix = Index.load(index_dir)
+        n = ix.docs(spark).select("doc_id").limit(1).count()
+        status = "OK" if (ix.n_docs == 0 or n == 1) else "FAIL"
+        return spark.createDataFrame(
+            [(status, int(ix.n_docs))], "status string, n_docs long"
+        )
+    except Exception:
+        return spark.createDataFrame(
+            [("FAIL", 0)], "status string, n_docs long"
+        )

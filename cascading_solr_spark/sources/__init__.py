@@ -1,3 +1,12 @@
+from cascading_solr_spark.sources.loaders import (
+    read_documents_csv,
+    read_documents_json,
+)
 from cascading_solr_spark.sources.tables import load_table, read_corpus
 
-__all__ = ["load_table", "read_corpus"]
+__all__ = [
+    "load_table",
+    "read_corpus",
+    "read_documents_csv",
+    "read_documents_json",
+]
