@@ -1,3 +1,10 @@
 from cascading_solr_spark.indexing.build import Index, assign_doc_ids, build_index
+from cascading_solr_spark.indexing.replicate import restore_index, snapshot_index
 
-__all__ = ["Index", "assign_doc_ids", "build_index"]
+__all__ = [
+    "Index",
+    "assign_doc_ids",
+    "build_index",
+    "restore_index",
+    "snapshot_index",
+]

@@ -2546,6 +2546,8 @@ def more_like_this(
     k: int = 10,
     max_terms: int = 10,
     exclude_doc_id: int | None = None,
+    qf: dict[str, float] | None = None,
+    tie: float = 0.0,
 ) -> DataFrame:
     """MoreLikeThis — the solr.MoreLikeThisComponent analogue (registered in
     the reference config at solrconfig.xml:1166 and run on every /browse
@@ -2559,7 +2561,13 @@ def more_like_this(
     index-side ranked path (one pruned postings scan, shard kernels, global
     merge).  idf here is ln(1 + (N - df + .5)/(df + .5)) computed as
     ``log(1 + x)`` so the DuckDB oracle reproduces the selection order
-    bit-for-bit."""
+    bit-for-bit.
+
+    ``qf``/``tie`` (mlt.qf, solrconfig.xml:883-885): rank the
+    interesting-term query through the multi-field DisMax kernel with
+    per-field boosts.  Term SELECTION stays on the content field's global
+    stats (the mlt.fl simplification — one dict probe, not per-field df
+    merging); only the RANKING is multi-field."""
     import math
     from collections import Counter
 
@@ -2579,7 +2587,16 @@ def more_like_this(
     if not terms:
         return spark.createDataFrame([], _RESULT_SCHEMA)
     fetch = k + 1 if exclude_doc_id is not None else k
-    top = search(spark, index, " ".join(terms), k=fetch, with_stored=False)
+    if qf:
+        # mlt.qf (the /browse config boosts MLT across its whole qf list,
+        # solrconfig.xml:883-885): rank the interesting-term query through
+        # the multi-field DisMax kernel with per-field boosts
+        top = search_dismax(
+            spark, index, " ".join(terms), qf, tie=tie, k=fetch,
+            with_stored=False,
+        )
+    else:
+        top = search(spark, index, " ".join(terms), k=fetch, with_stored=False)
     if exclude_doc_id is not None:
         top = (
             top.filter(F.col("doc_id") != exclude_doc_id)

@@ -280,3 +280,40 @@ def test_append_matches_oneshot_build_under_dismax(spark, tmp_path):
         (r["path"], r["s"]) for r in b
     )
     full.unpersist()
+
+
+# ----------------------------------------------------------------- mlt.qf
+
+
+def test_mlt_qf_matches_bruteforce_dismax(spark, dm_index, dm_pdf):
+    """mlt.qf (solrconfig.xml:883-885): interesting-term selection from the
+    content field's global stats, ranking through the DisMax kernel with
+    per-field boosts — pinned against an independent scorer end-to-end."""
+    import math
+    from collections import Counter
+
+    from cascading_solr_spark.query.search import more_like_this
+
+    text = str(dm_pdf["content"][7])
+    # independent interesting-term selection (tf·idf over content field)
+    counts = Counter(tokenize(text))
+    n = len(dm_pdf)
+    content_tok = [tokenize(v) for v in dm_pdf["content"]]
+    dfc = Counter(t for toks in content_tok for t in set(toks))
+    ranked = sorted(
+        (-c * math.log(1.0 + (n - dfc[t] + 0.5) / (dfc[t] + 0.5)), t)
+        for t, c in counts.items()
+        if dfc[t] > 0
+    )
+    terms = [t for _, t in ranked[:10]]
+    expected = _brute(dm_pdf, terms, QF, tie=0.1)
+    got = more_like_this(spark, dm_index, text, k=5, qf=QF, tie=0.1).collect()
+    _assert_topk_equal(got, expected, 5)
+    # exclude_doc_id drops the (self-matching) top hit, keeps k rows
+    top_id = got[0]["doc_id"]
+    excl = more_like_this(
+        spark, dm_index, text, k=5, qf=QF, tie=0.1, exclude_doc_id=top_id
+    ).collect()
+    assert len(excl) == 5 and all(r["doc_id"] != top_id for r in excl)
+    exp_excl = [e for e in expected if e[0] != top_id]
+    _assert_topk_equal(excl, exp_excl, 5)
