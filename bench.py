@@ -524,6 +524,22 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
     append_files_per_sec = n_d1 / timings["append_delta"]
     append_fps_large = n_d2 / timings["append_delta_2"]
 
+    # ---- 6. deletes: tombstone write + query latency with deletes live ----
+    from cascading_solr_spark.indexing.delete import delete_documents
+
+    n_del = max(200, n_code_files // 100)
+    del_ids = list(range(0, n_del * 7, 7))  # spread across shards/blocks
+    timings["delete_batch"] = timed(
+        lambda: delete_documents(spark, ix_dir, del_ids)
+    )
+    ix_del = Index.load(ix_dir)
+    timings["query_with_deletes"] = timed(
+        lambda: search(
+            spark, ix_del, "parse buffer", k=10, with_stored=False
+        ).collect(),
+        repeat=3,
+    )
+
     shutil.rmtree(work, ignore_errors=True)
     total = sum(v for v in timings.values() if not v != v)
     return {
@@ -573,6 +589,13 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
                 3,
             ),
         },
+        # tombstone overhead on the hot query path: with-deletes latency
+        # over the clean q_maxscore_parse figure (same query, same index)
+        "delete_query_overhead": round(
+            timings["query_with_deletes"]
+            / max(timings["q_maxscore_parse"], 1e-9),
+            3,
+        ),
         "repeat_policy": "sub-5s queries + appends: min of 3 (additive-noise"
         " estimator, BENCH/SCALING.md); index builds: single sample",
     }

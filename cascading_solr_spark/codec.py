@@ -25,6 +25,14 @@ import numpy as np
 _SEVEN = np.uint64(7)
 _LOW7 = np.uint64(0x7F)
 
+#: reserved postings term carrying delete tombstones (the Lucene liveDocs
+#: bitmap analogue): analyzed tokens are maximal alnum runs (no underscore)
+#: and keyword terms are always ``field:value`` namespaced, so this string
+#: can never collide with a real term.  Tombstone rows ride the normal
+#: postings layout (doc_ids = the deleted ids, tf/dl payloads unused) and
+#: are folded away at compaction.
+DELETED_TERM = "__deleted__"
+
 
 def encode_varint_counts(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """LEB128-encode a uint64 array; also return the per-value byte counts

@@ -1,10 +1,13 @@
 from cascading_solr_spark.indexing.build import Index, assign_doc_ids, build_index
+from cascading_solr_spark.indexing.delete import delete_by_query, delete_documents
 from cascading_solr_spark.indexing.replicate import restore_index, snapshot_index
 
 __all__ = [
     "Index",
     "assign_doc_ids",
     "build_index",
+    "delete_by_query",
+    "delete_documents",
     "restore_index",
     "snapshot_index",
 ]

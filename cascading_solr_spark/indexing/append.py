@@ -51,6 +51,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from cascading_solr_spark.spec import IndexSpecError
+
 from cascading_solr_spark.indexing.build import (
     KW_SEP,
     MAX_DOC_ID,
@@ -87,14 +89,49 @@ def append_documents(
     index_dir: str,
     batch: DataFrame,
     batch_id: str | None = None,
+    overwrite: bool = False,
 ) -> Index:
     """Append a batch of new documents to an existing index (one segment).
 
     Cost is O(batch): no job in this function reads pre-existing postings,
     docs, or dict rows.  ``batch_id`` (optional) makes replays idempotent —
     an id recorded in meta.applied_batches is skipped outright.
+
+    ``overwrite=True`` is Solr's DEFAULT update semantics — re-adding a doc
+    with an existing uniqueKey REPLACES it — which the reference explicitly
+    opts OUT of for bulk loads (``overwrite=false``,
+    core/SolrWriter.java:37-39, SOLR-653; that fast path is the default
+    here too).  Implemented exactly as Lucene does updateDocument: tombstone
+    the old doc ids (``indexing.delete.delete_documents``), then add the
+    batch under fresh ids.  The key lookup joins the batch's key columns
+    against the docs table, so spec.key_fields must all be stored
+    (uniqueKey lookups need the key retrievable); the delete commits before
+    the add, like an update request whose delete precedes its adds.
     """
     from cascading_solr_spark.indexing.build import _Prof
+
+    if overwrite:
+        index0 = Index.load(index_dir)
+        spec0 = index0.spec
+        if spec0.doc_id_field:
+            raise IndexSpecError(
+                "overwrite=True needs key_fields (caller-assigned doc ids "
+                "own their uniqueness; tombstone the old ids explicitly via "
+                "delete_documents instead)"
+            )
+        keys = list(spec0.key_fields)
+        missing = [f for f in keys if f not in spec0.stored_fields]
+        if missing:
+            raise IndexSpecError(
+                f"overwrite=True needs key_fields stored for the uniqueKey "
+                f"lookup; not stored: {missing!r}"
+            )
+        from cascading_solr_spark.indexing.delete import delete_documents
+
+        old_ids = index0.docs(spark).join(
+            batch.select(*keys).distinct(), keys
+        ).select("doc_id")
+        delete_documents(spark, index_dir, old_ids)
 
     prof = _Prof()
     index = Index.load(index_dir)
@@ -158,14 +195,12 @@ def append_documents(
             ).collect()[0]
             n_new = int(row["n"])
             if n_new and int(row["nulls"] or 0):
-                from cascading_solr_spark.spec import IndexSpecError
 
                 raise IndexSpecError(
                     f"{row['nulls']} NULL doc ids in append batch (column "
                     f"{spec.doc_id_field!r} does not cast to long)"
                 )
             if n_new and (int(row["lo"]) < 0 or int(row["hi"]) > MAX_DOC_ID):
-                from cascading_solr_spark.spec import IndexSpecError
 
                 raise IndexSpecError(
                     f"doc ids must be in [0, {MAX_DOC_ID}] to fit the packed "
@@ -181,7 +216,6 @@ def append_documents(
             ).collect()[0]
             n_new = int(row["n"])
             if n_new != int(row["dn"]):
-                from cascading_solr_spark.spec import IndexSpecError
 
                 raise IndexSpecError(
                     f"{n_new - int(row['dn'])} duplicate rows for key "
@@ -230,7 +264,7 @@ def append_documents(
                 .sortWithinPartitions("shard", "doc_id")
                 .write.mode("append")
                 .partitionBy("shard")
-                .parquet(os.path.join(index_dir, "docs"))
+                .parquet(index.docs_path)
             )
 
         docs_future = pool.submit(write_docs)

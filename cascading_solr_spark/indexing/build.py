@@ -69,7 +69,12 @@ from cascading_solr_spark.analyzer import (
     make_cached_position_tokenizer,
     make_cached_tokenizer,
 )
-from cascading_solr_spark.codec import encode_position_payload, encode_varint_counts
+from cascading_solr_spark.codec import (
+    DELETED_TERM,
+    decode_doc_ids,
+    encode_position_payload,
+    encode_varint_counts,
+)
 from cascading_solr_spark.spec import IndexSpec, IndexSpecError, validate_schema
 
 # The big (term, doc) intermediate packs (doc_id, dl) into ONE long:
@@ -428,6 +433,11 @@ class Index:
     postings_dirname: str = "postings"
     dict_dirname: str = "dict"
     ngrams_dirname: str = "dict_ngrams"
+    docs_dirname: str = "docs"
+    #: live tombstone count (Lucene numDeletedDocs analogue): >0 means the
+    #: postings carry DELETED_TERM rows that every query path must exclude;
+    #: reset to 0 when compaction folds the deletes away.
+    n_deleted: int = 0
 
     @classmethod
     def load(cls, path: str) -> "Index":
@@ -445,7 +455,13 @@ class Index:
             postings_dirname=meta.get("postings_dirname", "postings"),
             dict_dirname=meta.get("dict_dirname", "dict"),
             ngrams_dirname=meta.get("ngrams_dirname", "dict_ngrams"),
+            docs_dirname=meta.get("docs_dirname", "docs"),
+            n_deleted=int(meta.get("n_deleted", 0)),
         )
+
+    @property
+    def has_deletes(self) -> bool:
+        return self.n_deleted > 0
 
     @property
     def postings_path(self) -> str:
@@ -472,8 +488,14 @@ class Index:
             return spark.createDataFrame([], postings_schema(self.spec))
         return spark.read.parquet(self.postings_path)
 
+    @property
+    def docs_path(self) -> str:
+        # meta-pointed generation dir (like dict/postings): a delete-folding
+        # compaction publishes the filtered docs as docs.genN + a meta flip
+        return os.path.join(self.path, self.docs_dirname)
+
     def docs(self, spark: SparkSession) -> DataFrame:
-        p = os.path.join(self.path, "docs")
+        p = self.docs_path
         if not os.path.exists(p):
             from pyspark.sql import types as T
 
@@ -482,6 +504,33 @@ class Index:
             schema = T.StructType.fromJson(json.loads(meta["docs_schema"]))
             return spark.createDataFrame([], schema)
         return spark.read.parquet(p)
+
+    def deleted_ids(self, spark: SparkSession) -> DataFrame:
+        """Distinct tombstoned doc_ids, decoded from the DELETED_TERM
+        postings rows (term-pruned scan — only the tombstone rows' row
+        groups are read).  Empty frame when the index has no deletes.
+        Docs-table-shaped consumers (match-all, realtime get) anti-join
+        this; postings kernels instead decode the same rows in-shard via
+        ``denied_ids`` (no extra job)."""
+        if not self.has_deletes:
+            return spark.createDataFrame([], "doc_id long")
+        block_size = self.spec.block_size
+
+        def kernel(it):
+            for pdf in it:
+                for r in pdf.itertuples(index=False):
+                    ids = decode_doc_ids(
+                        r.doc_ids, int(r.n_docs), block_size
+                    )
+                    yield pd.DataFrame({"doc_id": ids.astype("int64")})
+
+        return (
+            self.postings(spark)
+            .filter(F.col("term") == DELETED_TERM)
+            .select("doc_ids", "n_docs")
+            .mapInPandas(kernel, "doc_id long")
+            .distinct()
+        )
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         p = os.path.join(self.path, "lineage")

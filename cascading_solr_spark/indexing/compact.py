@@ -36,12 +36,17 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.storagelevel import StorageLevel
+
 from cascading_solr_spark.codec import (
+    DELETED_TERM,
     decode_doc_ids,
     decode_varint,
     split_varint_payload,
 )
 from cascading_solr_spark.indexing.build import (
+    DL_BITS,
+    KW_SEP,
     Index,
     _assembler,
     _shard_salt_exprs,
@@ -118,6 +123,26 @@ def compact_index(
     tf_long = index.postings(spark).mapInPandas(
         _decode_kernel(spec.block_size, spec.positions), tf_schema(spec)
     )
+    has_deletes = index.has_deletes
+    del_ids = None
+    if has_deletes:
+        # fold deletes (the Lucene segment-merge effect): tombstoned docs
+        # leave the postings, the docs table, the dictionary df, and the
+        # N/avgdl statistics; n_deleted resets to 0.  The tombstone set is
+        # bounded by what accumulated since the last compact (delete batches
+        # are micro-batches, same contract as append), so it broadcasts.
+        del_ids = index.deleted_ids(spark).persist(StorageLevel.MEMORY_AND_DISK)
+        del_ids.count()
+        tf_long = (
+            tf_long.filter(F.col("term") != DELETED_TERM)
+            .withColumn("_did", F.shiftright(F.col("packed"), DL_BITS))
+            .join(
+                F.broadcast(del_ids.withColumnRenamed("doc_id", "_did")),
+                "_did",
+                "left_anti",
+            )
+            .drop("_did")
+        )
     # the hot set persisted at build time keeps salting identical across
     # generations (meta.json is the source of truth)
     hot = list(index.hot_terms)
@@ -138,13 +163,29 @@ def compact_index(
         placed = compacted.withColumn(
             "_seg", F.pmod(F.xxhash64("term"), F.lit(max_segments))
         ).repartition(spec.num_shards * max_segments, "shard", "_seg")
-    (
-        placed.sortWithinPartitions("shard", "term", "salt")
-        .drop("_seg")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(new_path)
-    )
+    final = placed.sortWithinPartitions("shard", "term", "salt").drop("_seg")
+    obs = None
+    if has_deletes:
+        # post-fold corpus stats ride the postings write as an Observation
+        # (the same no-extra-job trick the append path uses)
+        from pyspark.sql import Observation
+
+        obs = Observation("compact_fold_stats")
+        final = final.observe(
+            obs,
+            F.sum(
+                F.when(~F.col("term").contains(KW_SEP), F.col("sum_tf"))
+            ).alias("content_tokens"),
+            *[
+                F.sum(
+                    F.when(
+                        F.col("term").startswith(f + KW_SEP), F.col("sum_tf")
+                    )
+                ).alias(f"ftok_{i}")
+                for i, f in enumerate(spec.text_fields)
+            ],
+        )
+    final.write.mode("overwrite").partitionBy("shard").parquet(new_path)
 
     # fold dict append segments -> one (term, df) row per term, published as
     # a NEW meta-pointed generation dir (exactly like postings): the old dict
@@ -162,11 +203,21 @@ def compact_index(
         new_dict_dirname = f"dict.gen{dgen + 1}"
         new_dict_path = os.path.join(index.path, new_dict_dirname)
         shutil.rmtree(new_dict_path, ignore_errors=True)
-        folded = (
-            spark.read.parquet(index.dict_path)
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"))
-        )
+        if has_deletes:
+            # df shrinks where deleted docs left the postings: re-derive the
+            # dictionary from the new generation's row metadata (term,
+            # n_docs) — compressed-row stats only, no payload decode
+            folded = (
+                spark.read.parquet(new_path)
+                .groupBy("term")
+                .agg(F.sum("n_docs").alias("df"))
+            )
+        else:
+            folded = (
+                spark.read.parquet(index.dict_path)
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+            )
         (
             folded.repartition(max(1, spec.num_shards // 4), "term")
             .sortWithinPartitions("term")
@@ -215,12 +266,49 @@ def compact_index(
     shutil.rmtree(lineage_tmp, ignore_errors=True)
     lineage.write.parquet(lineage_tmp)
 
-    # atomic publish: ONE meta replace flips both generation pointers
+    # fold deletes out of the stored docs: a NEW meta-pointed generation
+    # (docs.genN), same crash-safety rule as postings/dict
+    old_docs_dirname = index.docs_dirname
+    new_docs_dirname = old_docs_dirname
+    n_live = None
+    if has_deletes and os.path.exists(index.docs_path):
+        docgen = 0
+        if old_docs_dirname.startswith("docs.gen"):
+            docgen = int(old_docs_dirname.rsplit("gen", 1)[1])
+        new_docs_dirname = f"docs.gen{docgen + 1}"
+        new_docs_path = os.path.join(index.path, new_docs_dirname)
+        shutil.rmtree(new_docs_path, ignore_errors=True)
+        (
+            index.docs(spark)
+            .join(F.broadcast(del_ids), "doc_id", "left_anti")
+            .repartition(spec.num_shards, "shard")
+            .sortWithinPartitions("shard", "doc_id")
+            .write.partitionBy("shard")
+            .parquet(new_docs_path)
+        )
+        n_live = spark.read.parquet(new_docs_path).count()  # footer-served
+
+    # atomic publish: ONE meta replace flips every generation pointer
     with open(os.path.join(index.path, "meta.json")) as fh:
         meta = json.load(fh)
     meta["postings_dirname"] = new_dirname
     meta["dict_dirname"] = new_dict_dirname
     meta["ngrams_dirname"] = new_ngrams_dirname
+    if has_deletes:
+        meta["docs_dirname"] = new_docs_dirname
+        content_tokens = int(obs.get["content_tokens"] or 0)
+        if n_live is not None:
+            meta["n_docs"] = int(n_live)
+        meta["total_tokens"] = content_tokens
+        meta["avgdl"] = (
+            content_tokens / meta["n_docs"] if meta["n_docs"] else 0.0
+        )
+        meta["field_tokens"] = {
+            f: int(obs.get[f"ftok_{i}"] or 0)
+            for i, f in enumerate(spec.text_fields)
+        }
+        # ids are never reused: next_doc_id stays monotonic across the fold
+        meta["n_deleted"] = 0
     write_meta(index.path, meta)
     shutil.rmtree(lineage_path, ignore_errors=True)
     os.rename(lineage_tmp, lineage_path)
@@ -230,7 +318,10 @@ def compact_index(
         "postings": (new_dirname, old_dirname),
         "dict": (new_dict_dirname, old_dict_dirname),
         "dict_ngrams": (new_ngrams_dirname, old_ngrams_dirname),
+        "docs": (new_docs_dirname, old_docs_dirname),
     }
+    if del_ids is not None:
+        del_ids.unpersist()
     for name in os.listdir(index.path):
         base = name.split(".gen")[0]
         if base in keep and name not in keep[base]:

@@ -45,7 +45,7 @@ def snapshot_index(index_dir: str, dest_dir: str) -> str:
         meta.get("postings_dirname", "postings"),
         meta.get("dict_dirname", "dict"),
         meta.get("ngrams_dirname", "dict_ngrams"),
-        "docs",
+        meta.get("docs_dirname", "docs"),
         "lineage",
     }
     for d in sorted(live_dirs):

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from cascading_solr_spark.analyzer import analyze_query, tokenize_with_positions
 from cascading_solr_spark.codec import (
+    DELETED_TERM,
     bm25_idf,
     bm25_tf_norm,
     block_value_counts,
@@ -61,8 +62,10 @@ from cascading_solr_spark.query.wand import (
     allowed_ids,
     blockwise_filter_ids,
     decode_filter_ids,
+    denied_ids,
     maxscore_kernel,
     row_cache_key,
+    strip_denied,
     topk_ties,
 )
 
@@ -78,6 +81,19 @@ _SCORE_COLS = [c.split()[0] for c in POSTINGS_SCHEMA.split(", ")]
 def _score_rows(index: Index, spark: SparkSession) -> DataFrame:
     """Postings projected to the scoring columns (drops positional payload)."""
     return index.postings(spark).select(*_SCORE_COLS)
+
+
+def _scan_terms(index: Index, terms) -> list[str]:
+    """Term IN-list for a pruned postings scan: the query/filter terms plus
+    the delete-tombstone term IFF the index has deletes.  A delete-free
+    index therefore plans byte-identically (no extra term, no extra row
+    groups read); with deletes, each shard's kernel receives its tombstone
+    rows in the same scan and excludes them in-process — no extra job, no
+    broadcast."""
+    out = list(terms)
+    if index.has_deletes:
+        out.append(DELETED_TERM)
+    return out
 
 
 def filter_terms_of(filters: dict[str, str] | None) -> set[str]:
@@ -170,6 +186,7 @@ def _taat_kernel(
             return pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": "int64", "score": "float64"}
             )
+        denied = denied_ids(rows, block_size)
         all_ids: list[np.ndarray] = []
         all_contrib: list[np.ndarray] = []
         for row in rows:
@@ -206,6 +223,12 @@ def _taat_kernel(
             cnt = np.zeros(len(uniq), dtype=np.int64)
             np.add.at(cnt, inv, 1)
             keep = cnt >= require_n_terms
+            uniq, acc = uniq[keep], acc[keep]
+        if denied is not None:
+            # tombstoned docs leave the exhaustive accumulator BEFORE local
+            # top-k / cursor selection (Lucene liveDocs: stats stay global,
+            # deleted docs never occupy a result slot)
+            keep = strip_denied(uniq, denied)
             uniq, acc = uniq[keep], acc[keep]
         if cursor is not None:
             cs, cd = cursor
@@ -328,14 +351,18 @@ def keyword_filter(
     spec = index.spec
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        allowed = allowed_ids(
-            list(pdf.itertuples(index=False)), fterms, spec.block_size
-        )
+        rows = list(pdf.itertuples(index=False))
+        allowed = allowed_ids(rows, fterms, spec.block_size)
         if allowed is None or not len(allowed):
             return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
+        denied = denied_ids(rows, spec.block_size)
+        if denied is not None:
+            allowed = allowed[strip_denied(allowed, denied)]
         return pd.DataFrame({"doc_id": allowed})
 
-    matched = _score_rows(index, spark).filter(F.col("term").isin(list(fterms)))
+    matched = _score_rows(index, spark).filter(
+        F.col("term").isin(_scan_terms(index, fterms))
+    )
     out = (
         matched.groupBy("shard")
         .applyInPandas(kernel, "doc_id long")
@@ -371,7 +398,12 @@ def match_ids(
         fterms = filter_terms_of(filters)
         if fterms:
             return keyword_filter(spark, index, fterms)
-        return index.docs(spark).select("doc_id")
+        live = index.docs(spark).select("doc_id")
+        if index.has_deletes:
+            live = live.join(
+                F.broadcast(index.deleted_ids(spark)), "doc_id", "left_anti"
+            )
+        return live
     qtext, parsed_fterms = parse_query(query, index.spec.keyword_fields)
     qtext, op = query_op(qtext, default=op)
     terms = expand_terms(qtext, synonyms)
@@ -410,11 +442,14 @@ def match_ids(
             uniq = np.unique(ids)
         if allowed is not None:
             uniq = uniq[_member(uniq, allowed)]
+        denied = denied_ids(rows, block_size)
+        if denied is not None:
+            uniq = uniq[strip_denied(uniq, denied)]
         return pd.DataFrame({"doc_id": uniq})
 
     matched = (
         index.postings(spark)
-        .filter(F.col("term").isin(list(sterms | fterms)))
+        .filter(F.col("term").isin(_scan_terms(index, sterms | fterms)))
         # id-side columns only: tfs/dls/boffs_tfs/boffs_dls and the block
         # pruning stats never leave the parquet footer
         .select(
@@ -557,7 +592,9 @@ def search(
                 idf, index.avgdl, spec.k1, spec.b, fetch_k, spec.block_size,
                 fterms,
             )
-        matched = postings.filter(F.col("term").isin(list(dfs) + list(fterms)))
+        matched = postings.filter(
+            F.col("term").isin(_scan_terms(index, list(dfs) + list(fterms)))
+        )
         local_topk = matched.groupBy("shard").applyInPandas(kernel, _RESULT_SCHEMA)
         top = local_topk.orderBy(F.desc("score"), F.asc("doc_id"))
         if k is not None:  # k=None returns ALL matches (never a huge .limit)
@@ -605,6 +642,7 @@ def _dismax_kernel(
         allowed = allowed_ids(rows, filter_terms, block_size)
         if allowed is not None and not len(allowed):
             return empty
+        denied = denied_ids(rows, block_size)
         g_ids: list[list[np.ndarray]] = [[] for _ in range(n_groups)]
         g_contrib: list[list[np.ndarray]] = [[] for _ in range(n_groups)]
         for row in rows:
@@ -655,6 +693,9 @@ def _dismax_kernel(
             cnt = np.zeros(len(uniq), dtype=np.int64)
             np.add.at(cnt, inv, 1)
             keep = cnt >= require_n_groups
+            uniq, acc = uniq[keep], acc[keep]
+        if denied is not None:
+            keep = strip_denied(uniq, denied)
             uniq, acc = uniq[keep], acc[keep]
         if k is not None:
             uniq, acc = topk_ties(uniq, acc, k)
@@ -775,7 +816,7 @@ def search_dismax(
             ),
         )
         matched = _score_rows(index, spark).filter(
-            F.col("term").isin(list(dfs) + list(fterms))
+            F.col("term").isin(_scan_terms(index, list(dfs) + list(fterms)))
         )
         local_topk = matched.groupBy("shard").applyInPandas(
             kernel, _RESULT_SCHEMA
@@ -865,7 +906,7 @@ def search_after(
             cursor=cursor,
         )
         matched = _score_rows(index, spark).filter(
-            F.col("term").isin(list(dfs) + list(fterms))
+            F.col("term").isin(_scan_terms(index, list(dfs) + list(fterms)))
         )
         local = matched.groupBy("shard").applyInPandas(kernel, _RESULT_SCHEMA)
         top = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -1016,6 +1057,11 @@ def _phrase_kernel(
             inter = inter[_member(inter, allowed)]
             if not len(inter):
                 return empty()
+        denied = denied_ids(rows, block_size)
+        if denied is not None:
+            inter = inter[strip_denied(inter, denied)]
+            if not len(inter):
+                return empty()
         # stage 2: positions for intersection docs only
         occ: dict[str, tuple] = {}
         dl_docs = dl_vals = None
@@ -1101,7 +1147,7 @@ def phrase_match_ids(
     # match-only: tf (to split position lists) and pos, but never dl — the
     # dls binaries stay in the parquet footer
     matched = index.postings(spark).filter(
-        F.col("term").isin(list(dfs) + list(fterms))
+        F.col("term").isin(_scan_terms(index, list(dfs) + list(fterms)))
     ).select(
         "shard", "term", "salt", "n_docs", "n_blocks",
         "doc_ids", "boffs_ids", "block_last_id",
@@ -1159,7 +1205,7 @@ def search_phrase(
             # the phrase kernel never uses the block pruning stats or sum_tf
             # — keep them in the parquet footer
             matched = index.postings(spark).filter(
-                F.col("term").isin(list(dfs) + list(fterms))
+                F.col("term").isin(_scan_terms(index, list(dfs) + list(fterms)))
             ).select(
                 "shard", "term", "salt", "n_docs", "n_blocks",
                 "doc_ids", "boffs_ids", "block_last_id",
@@ -1262,6 +1308,11 @@ def explain_score(
     after every /browse component chain, solrconfig.xml:1169,1179;
     ``debugQuery=true`` returns Lucene's per-term explain tree).
 
+    Doc-scoped introspection reads the RAW index: explaining a tombstoned
+    doc_id still works until compaction folds it away (Lucene can read a
+    deleted doc's postings until merge) — deletes affect matching, never
+    this probe.
+
     Returns one row per analyzed query term PRESENT in the doc:
     (term, df, tf, dl, idf, tf_norm, contribution) with the BM25 pieces
     exactly as the kernels compute them — contribution = idf · tf_norm and
@@ -1318,12 +1369,18 @@ def realtime_get(
     if not ids:
         return index.docs(spark).drop("shard").limit(0)
     shards = sorted({i % index.spec.num_shards for i in ids})
-    return (
+    out = (
         index.docs(spark)
         .filter(F.col("shard").isin(shards) & F.col("doc_id").isin(ids))
         .drop("shard")
-        .orderBy("doc_id")
     )
+    if index.has_deletes:
+        # a deleted doc is gone for /get immediately (Solr returns nothing
+        # for a deleted id even before commit folds it)
+        out = out.join(
+            F.broadcast(index.deleted_ids(spark)), "doc_id", "left_anti"
+        )
+    return out.orderBy("doc_id")
 
 
 def search_elevated(
@@ -1364,6 +1421,16 @@ def search_elevated(
             pinned.append(int(e[0]))
         else:
             pinned.append(int(e))
+    if pinned and index.has_deletes:
+        # a pinned id that has been deleted is simply gone (Solr elevates
+        # only docs that exist); one tiny pruned probe, only with deletes
+        gone = {
+            int(r["doc_id"])
+            for r in index.deleted_ids(spark)
+            .filter(F.col("doc_id").isin(pinned))
+            .collect()
+        }
+        pinned = [i for i in pinned if i not in gone]
     drop = set(pinned) | excluded
     fetch = k + len(drop)
     ranked = search(
@@ -2650,12 +2717,17 @@ def batch_kernel(
     for p in norm_plans.values():
         terms, fterms = _plan_terms(p)
         want |= set(terms) | fterms
+    # tombstone rows (present in the scan only when the index has deletes)
+    # are appended to every query's row group so each sub-kernel excludes
+    # them exactly like the single-query path
+    want.add(DELETED_TERM)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         by_term: dict[str, list] = {}
         for r in pdf.itertuples(index=False):
             if r.term in want:
                 by_term.setdefault(r.term, []).append(r)
+        del_rows = by_term.get(DELETED_TERM, [])
         cache: dict = {}
         out_q: list[str] = []
         out_ids: list[np.ndarray] = []
@@ -2673,6 +2745,7 @@ def batch_kernel(
                 ]
                 if not qrows:
                     continue
+                qrows += del_rows
                 idf_sum = sum(idf[t] for t in pterms)
                 scorer = _phrase_kernel(
                     pterms, idf_sum, avgdl, k1, b, k, block_size, pfterms
@@ -2696,6 +2769,9 @@ def batch_kernel(
                 allowed = allowed_ids(frows, fterms, block_size)
                 if allowed is None or not len(allowed):
                     continue
+                denied = denied_ids(del_rows, block_size)
+                if denied is not None:
+                    allowed = allowed[strip_denied(allowed, denied)]
                 hits = allowed[:k]
                 out_q.extend([qid] * len(hits))
                 out_ids.append(hits)
@@ -2707,6 +2783,7 @@ def batch_kernel(
             qrows += [r for t in sorted(fterms) for r in by_term.get(t, [])]
             if not qrows:
                 continue
+            qrows += del_rows
             if conjunctive:
                 scorer = _taat_kernel(
                     idf_q, avgdl, k1, b, k, block_size, fterms,
@@ -2870,7 +2947,7 @@ def search_many(
     )
     scan_cols = _SCORE_COLS + (["pos", "boffs_pos"] if have_phrase else [])
     matched = index.postings(spark).select(*scan_cols).filter(
-        F.col("term").isin(list(idf) + all_fterms)
+        F.col("term").isin(_scan_terms(index, list(idf) + all_fterms))
     )
     local = matched.groupBy("shard").applyInPandas(
         kernel, "query_id string, doc_id long, score double"

@@ -43,6 +43,7 @@ import numpy as np
 import pandas as pd
 
 from cascading_solr_spark.codec import (
+    DELETED_TERM,
     bm25_tf_norm,
     block_value_counts,
     decode_doc_ids,
@@ -191,6 +192,36 @@ def allowed_ids(
     return allowed
 
 
+def denied_ids(pdf_rows: list, block_size: int) -> np.ndarray | None:
+    """Sorted unique tombstoned doc ids in this shard's rows (None = no
+    deletes present — the scan only includes ``DELETED_TERM`` when the index
+    has deletes, so a delete-free index pays nothing here).
+
+    The Lucene liveDocs analogue: every kernel drops these ids BEFORE
+    accumulation / top-k selection, so deleted docs can never raise θ or
+    occupy a result slot, while df/avgdl statistics stay unchanged (scores
+    of surviving docs are bit-identical across a delete).  Cost is one
+    filter-term-shaped decode per shard, bounded by the tombstone count —
+    compaction folds it back to zero."""
+    parts = [
+        decode_doc_ids(r.doc_ids, int(r.n_docs), block_size)
+        for r in pdf_rows
+        if r.term == DELETED_TERM
+    ]
+    if not parts:
+        return None
+    return np.unique(np.concatenate(parts))
+
+
+def strip_denied(
+    ids: np.ndarray, denied: np.ndarray | None
+) -> np.ndarray:
+    """Boolean keep-mask over ``ids`` excluding tombstoned docs."""
+    if denied is None or not len(ids):
+        return np.ones(len(ids), dtype=bool)
+    return ~_member(ids, denied)
+
+
 def row_cache_key(r) -> tuple:
     """Content-stable decode-cache key for one posting row: segments cover
     disjoint doc-id ranges, so the trailing block_last_id makes
@@ -240,6 +271,12 @@ def maxscore_kernel(
         allowed = allowed_ids(rows, filter_terms, block_size, counters)
         if allowed is not None and not len(allowed):
             return _EMPTY.copy()
+        # tombstones (only present in the scan when the index has deletes):
+        # stripped in the ESSENTIAL branch, i.e. before any doc enters the
+        # accumulator — θ then only ever reflects live docs, so MaxScore
+        # pruning stays exact.  The non-essential branch touches only
+        # already-accumulated (live) docs and needs no mask.
+        denied = denied_ids(rows, block_size)
 
         # group scoring rows (one per salt/segment) by term, each term's
         # rows in canonical content order (accumulation-order determinism
@@ -305,6 +342,9 @@ def maxscore_kernel(
                     contrib = idf[t] * bm25_tf_norm(tfs, dls, avgdl, k1, b)
                     if allowed is not None:
                         keep = _member(ids, allowed)
+                        ids, contrib = ids[keep], contrib[keep]
+                    if denied is not None:
+                        keep = strip_denied(ids, denied)
                         ids, contrib = ids[keep], contrib[keep]
                     bump("blocks_decoded", nb)
                     bump("rows_decoded")
