@@ -117,6 +117,36 @@ def _index_for(spark: SparkSession, sf_dir: str) -> Index:
     return _INDEX_HANDLES[out]
 
 
+def _deleted_index_for(spark: SparkSession, sf_dir: str) -> Index:
+    """Snapshot of the cached index with a FIXED deterministic delete set
+    (doc_id % 17 == 3) applied — the Q40 tombstone surface under the
+    driver's oracle check.  Built once per format version (snapshot into a
+    tmp dir, delete, atomic rename: a crash never publishes a tombstone-less
+    copy)."""
+    base = _index_for(spark, sf_dir)
+    out = base.path + "_del"
+    if not os.path.exists(os.path.join(out, "meta.json")):
+        from cascading_solr_spark.indexing.delete import delete_documents
+        from cascading_solr_spark.indexing.replicate import snapshot_index
+
+        shutil.rmtree(out, ignore_errors=True)
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        snapshot_index(base.path, tmp)
+        delete_documents(
+            spark,
+            tmp,
+            base.docs(spark)
+            .select("doc_id")
+            .filter(F.pmod(F.col("doc_id"), F.lit(17)) == F.lit(3)),
+        )
+        os.rename(tmp, out)
+        _INDEX_HANDLES.pop(out, None)
+    if out not in _INDEX_HANDLES:
+        _INDEX_HANDLES[out] = Index.load(out)
+    return _INDEX_HANDLES[out]
+
+
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _emb(spark, sf_dir).withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
@@ -288,6 +318,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     k=10, with_stored=False,
                 ).select(
                     F.lit("dismax").alias("kernel"),
+                    "doc_id",
+                    F.round("score", 4).alias("score"),
+                )
+            )
+            # r5e: the same query over a tombstoned snapshot (doc_id%17==3
+            # deleted): deleted docs leave the top-k, survivors keep their
+            # full-corpus BM25 scores (Lucene stale-stats semantics)
+            .unionByName(
+                search(
+                    s, _deleted_index_for(s, d), Q_MAIN, k=10,
+                    with_stored=False,
+                ).select(
+                    F.lit("deleted").alias("kernel"),
                     "doc_id",
                     F.round("score", 4).alias("score"),
                 )
@@ -944,6 +987,12 @@ FROM ({_dismax_sql(
         0.1,
         10,
     )}) c
+UNION ALL
+SELECT * FROM (
+  SELECT 'deleted' AS kernel, doc_id, score
+  FROM ({_bm25_sql(tuple(Q_MAIN.split()), None)}) z
+  WHERE doc_id % 17 <> 3
+  ORDER BY score DESC, doc_id ASC LIMIT 10) dd
 """
     o["ft_hit_counts"] = f"""
 WITH {_toks_cte()}
