@@ -254,6 +254,24 @@ FROM scores ORDER BY round(score, 4) DESC, doc_id ASC
 _TITLE_SQL = "array_to_string(list_slice(str_split(text, ' '), 1, 5), ' ')"
 
 
+def _esc_sql(x: str) -> str:
+    """DuckDB twin of the engine's hl.encoder=html escape (& first)."""
+    return (
+        "replace(replace(replace(" + x + ", '&', '&amp;'), '<', '&lt;'), "
+        "'>', '&gt;')"
+    )
+
+
+#: ±30-char fragment with the match <b>-wrapped and the field text (never
+#: the markup) html-escaped — the engine's fragsize=60 / pre=<b> / html
+#: encoder shape, over columns (text, pos, term)
+_FRAG3_SQL = (
+    _esc_sql("substr(text, greatest(pos - 30, 1), pos - greatest(pos - 30, 1))")
+    + " || '<b>' || " + _esc_sql("substr(text, pos, length(term))")
+    + " || '</b>' || " + _esc_sql("substr(text, pos + length(term), 30)")
+)
+
+
 # ------------------------------------------------------------ entry point
 
 
@@ -404,7 +422,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("value").alias("facet"),
             "n",
         )
-        return field.unionByName(fq).unionByName(browse)
+        # r5f: ALL the request's facet.fields in one pass (the /browse
+        # defaults declare four, solrconfig.xml:891-894) — one match job +
+        # one prefix-OR-pruned postings scan serving every field
+        from cascading_solr_spark.query.search import facet_fields_counts
+
+        multi = facet_fields_counts(
+            s, ix, Q_MAIN, ["lang", "source"], mincount=1
+        ).select(
+            F.concat(F.lit("multi_"), F.col("field")).alias("kind"),
+            F.col("value").alias("facet"),
+            "n",
+        )
+        return field.unionByName(fq).unionByName(browse).unionByName(multi)
 
     q["ft_facet_counts"] = _facets
 
@@ -448,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             F.round("score", 4).alias("score"),
             F.lit("text").alias("field"),
+            F.lit(1).alias("snippet_no"),
             "term",
             "snippet",
         )
@@ -460,10 +491,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             F.round("score", 4).alias("score"),
             "field",
+            "snippet_no",
             "term",
             "snippet",
         )
-        return content.unionByName(title)
+        # r5f: the f.content.hl.snippets=3 multi-fragment mode with the
+        # /browse config's own hl.simple.pre=<b> and hl.encoder=html
+        # (solrconfig.xml:922-924,928): up to 3 document-order fragments,
+        # field text html-escaped, markers untouched
+        text3 = highlight_fields(
+            s, ix, Q_MAIN, ["text"], k=10,
+            field_params={"text": {"fragsize": 60, "snippets": 3}},
+            pre="<b>", post="</b>", encoder="html",
+        ).select(
+            "doc_id",
+            F.round("score", 4).alias("score"),
+            F.lit("text3").alias("field"),
+            "snippet_no",
+            "term",
+            "snippet",
+        )
+        return content.unionByName(title).unionByName(text3)
 
     q["ft_highlight"] = _highlight
 
@@ -1033,6 +1081,12 @@ SELECT 'query' AS kind, 'with_stream' AS facet,
 UNION ALL
 SELECT 'browse' AS kind, d.lang AS facet, count(*)::BIGINT AS n
 FROM documents d GROUP BY 2
+UNION ALL
+SELECT 'multi_lang' AS kind, d.lang AS facet, count(*)::BIGINT AS n
+FROM documents d JOIN matched USING (doc_id) GROUP BY 2
+UNION ALL
+SELECT 'multi_source' AS kind, d.source AS facet, count(*)::BIGINT AS n
+FROM documents d JOIN matched USING (doc_id) GROUP BY 2
 """
     o["ft_spellcheck"] = f"""
 WITH {_toks_cte()},
@@ -1087,8 +1141,48 @@ best AS (
   SELECT *, row_number() OVER (PARTITION BY doc_id
             ORDER BY CASE WHEN pos > 0 THEN pos ELSE 2147483647 END,
                      term) AS rn
-  FROM cand)
-SELECT doc_id, score, 'text' AS field,
+  FROM cand),
+h0 AS (SELECT t.doc_id, t.score, d.text
+       FROM top t JOIN documents d USING (doc_id)),
+hc1 AS (
+  SELECT h0.*, q.term,
+         CASE WHEN regexp_matches(h0.text, '(?is)' || q.term)
+              THEN length(regexp_extract(h0.text,
+                          '(?is)^(.*?)' || q.term, 1)) + 1
+              ELSE 2147483647 END AS pos
+  FROM h0, (VALUES ('join'), ('spark')) q(term)),
+hf1 AS (SELECT doc_id, score, text, term, pos FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY pos, term) AS rn FROM hc1) z WHERE rn = 1),
+hc2 AS (
+  SELECT f.doc_id, f.score, f.text, q.term,
+         CASE WHEN regexp_matches(substr(f.text, f.pos + length(f.term)),
+                                  '(?is)' || q.term)
+              THEN length(regexp_extract(
+                     substr(f.text, f.pos + length(f.term)),
+                     '(?is)^(.*?)' || q.term, 1))
+                   + f.pos + length(f.term)
+              ELSE 2147483647 END AS pos
+  FROM hf1 f, (VALUES ('join'), ('spark')) q(term)
+  WHERE f.pos < 2147483647),
+hf2 AS (SELECT doc_id, score, text, term, pos FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY pos, term) AS rn FROM hc2) z WHERE rn = 1),
+hc3 AS (
+  SELECT f.doc_id, f.score, f.text, q.term,
+         CASE WHEN regexp_matches(substr(f.text, f.pos + length(f.term)),
+                                  '(?is)' || q.term)
+              THEN length(regexp_extract(
+                     substr(f.text, f.pos + length(f.term)),
+                     '(?is)^(.*?)' || q.term, 1))
+                   + f.pos + length(f.term)
+              ELSE 2147483647 END AS pos
+  FROM hf2 f, (VALUES ('join'), ('spark')) q(term)
+  WHERE f.pos < 2147483647),
+hf3 AS (SELECT doc_id, score, text, term, pos FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY pos, term) AS rn FROM hc3) z WHERE rn = 1)
+SELECT doc_id, score, 'text' AS field, 1 AS snippet_no,
   CASE WHEN pos > 0 THEN term ELSE '' END AS term,
   CASE WHEN pos > 0 THEN
     substr(text, greatest(pos - 30, 1), pos - greatest(pos - 30, 1))
@@ -1097,7 +1191,7 @@ SELECT doc_id, score, 'text' AS field,
   ELSE substr(text, 1, 60) END AS snippet
 FROM best WHERE rn = 1
 UNION ALL
-SELECT doc_id, score, 'title' AS field,
+SELECT doc_id, score, 'title' AS field, 1 AS snippet_no,
   CASE WHEN pos > 0 THEN term ELSE '' END AS term,
   CASE WHEN pos > 0 THEN
     substr(title, 1, pos - 1)
@@ -1119,6 +1213,19 @@ FROM (
       USING (doc_id),
          (VALUES ('join'), ('spark')) q(term)) c) b
 WHERE rn = 1
+UNION ALL
+SELECT doc_id, score, 'text3' AS field, 1 AS snippet_no,
+  CASE WHEN pos < 2147483647 THEN term ELSE '' END AS term,
+  CASE WHEN pos < 2147483647 THEN {_FRAG3_SQL} ELSE '' END AS snippet
+FROM hf1
+UNION ALL
+SELECT doc_id, score, 'text3' AS field, 2 AS snippet_no, term,
+  {_FRAG3_SQL} AS snippet
+FROM hf2 WHERE pos < 2147483647
+UNION ALL
+SELECT doc_id, score, 'text3' AS field, 3 AS snippet_no, term,
+  {_FRAG3_SQL} AS snippet
+FROM hf3 WHERE pos < 2147483647
 """
     o["ft_facet_range"] = f"""
 WITH {_toks_cte()},

@@ -1583,6 +1583,99 @@ def facet_value_pairs(
     )
 
 
+def facet_fields_counts(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    facet_fields: list[str] | tuple[str, ...],
+    filters: dict[str, str] | None = None,
+    synonyms: dict[str, list[str]] | None = None,
+    op: str = "OR",
+    limit: int | None = None,
+    mincount: int = 0,
+    sort: str = "count",
+) -> DataFrame:
+    """All of a request's ``facet.field``s in one pass — the /browse
+    defaults declare FOUR (``cat``, ``manu_exact``, ``content_type``,
+    ``author_s``, solrconfig.xml:891-894), and Solr computes every one of
+    them over the SAME DocSet per request.  Calling :func:`facet_counts`
+    per field re-runs the match kernel and re-scans postings N times; this
+    runs ONE match-only job and ONE postings scan pruned to the OR of the
+    field prefixes (Or(StartsWith...) reaches the parquet scan over the
+    term-sorted files), decodes (field, value, doc_id) rows, and serves
+    every field's buckets from a single doc_id equi-join + groupBy.
+
+    Returns (field, value, n) long rows.  ``limit``/``mincount``/``sort``
+    apply PER FIELD (Solr's f.<field>.facet.* scoping with one shared
+    default): limit via a per-field rank window over the already-aggregated
+    buckets (bounded by bucket cardinality, not doc count); ordering field
+    asc, then count desc / value asc ("count") or value asc ("index")."""
+    fields = list(facet_fields)
+    bad = [f for f in fields if f not in index.spec.keyword_fields]
+    if bad:
+        raise ValueError(
+            f"facet fields {bad} are not keyword fields "
+            f"{index.spec.keyword_fields!r}"
+        )
+    block_size = index.spec.block_size
+    prefixes = [f + KW_SEP for f in fields]
+
+    def decode_field_pairs(batches):
+        for pdf in batches:
+            flds: list[np.ndarray] = []
+            vals: list[np.ndarray] = []
+            ids: list[np.ndarray] = []
+            for row in pdf.itertuples(index=False):
+                n = int(row.n_docs)
+                fld, val = row.term.split(KW_SEP, 1)
+                ids.append(decode_doc_ids(row.doc_ids, n, block_size))
+                flds.append(np.repeat(fld, n))
+                vals.append(np.repeat(val, n))
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "field": np.concatenate(flds),
+                    "value": np.concatenate(vals),
+                    "doc_id": np.concatenate(ids),
+                }
+            )
+
+    pred = F.col("term").startswith(prefixes[0])
+    for p in prefixes[1:]:
+        pred = pred | F.col("term").startswith(p)
+    pairs = (
+        index.postings(spark)
+        .filter(pred)
+        .select("term", "n_docs", "doc_ids")
+        .mapInPandas(
+            decode_field_pairs, "field string, value string, doc_id long"
+        )
+    )
+    matched = match_ids(
+        spark, index, query, filters=filters, synonyms=synonyms, op=op
+    )
+    out = (
+        pairs.join(matched, "doc_id")
+        .groupBy("field", "value")
+        .agg(F.count("*").alias("n"))
+    )
+    if mincount > 0:
+        out = out.filter(F.col("n") >= int(mincount))
+    if sort == "index":
+        order = [F.asc("value")]
+    else:
+        order = [F.desc("n"), F.asc("value")]
+    if limit is not None:
+        w = Window.partitionBy("field").orderBy(*order)
+        out = (
+            out.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= int(limit))
+            .drop("_rk")
+        )
+    return out.orderBy(F.asc("field"), *order)
+
+
 def facet_pivot_counts(
     spark: SparkSession,
     index: Index,
@@ -1777,34 +1870,47 @@ def highlight_fields(
     filters: dict[str, str] | None = None,
     synonyms: dict[str, list[str]] | None = None,
     op: str = "OR",
+    pre: str = "<em>",
+    post: str = "</em>",
+    encoder: str | None = None,
 ) -> DataFrame:
     """Multi-field highlighting — the /browse handler's actual highlight
     request (``hl.fl=content features title name`` with PER-FIELD overrides,
     solrconfig.xml:918-931: ``f.title.hl.fragsize=0`` [whole-field
     fragment], ``f.title.hl.alternateField=title`` [no-match fallback
-    text], ``f.content.hl.fragsize=200``,
-    ``f.content.hl.maxAlternateFieldLength=750``).
+    text], ``f.content.hl.fragsize=200``, ``f.content.hl.snippets=3``,
+    ``f.content.hl.maxAlternateFieldLength=750``; global
+    ``hl.simple.pre=<b>``/``hl.simple.post=</b>`` solrconfig.xml:923-924 and
+    ``hl.encoder=html`` :922).
 
-    Returns LONG rows (doc_id, score, field, term, snippet) — one per
-    (result doc, requested field); ordering (score desc, doc_id, field).
-    Per field, the earliest-occurring analyzed query term (ties term-asc,
-    the :func:`highlight` rule) is ``<em>``-wrapped inside a fragment of
-    ~``fragsize`` chars centred on the match; ``fragsize=0`` returns the
-    WHOLE field value with the match wrapped (Solr's fragsize=0 contract).
-    A field without any term occurrence falls back to the head of its
-    ``alternate_field`` (capped at ``max_alternate_length``, Solr's
-    maxAlternateFieldLength) with term='' — or an empty snippet when no
-    alternate is configured (Solr omits the field; a NULL-free '' keeps the
-    schema stable for the oracle).
+    Returns LONG rows (doc_id, score, field, snippet_no, term, snippet) —
+    one per (result doc, requested field, fragment); ordering (score desc,
+    doc_id, field, snippet_no).  Per field, the earliest-occurring analyzed
+    query term (ties term-asc, the :func:`highlight` rule) is wrapped in
+    ``pre``/``post`` inside a fragment of ~``fragsize`` chars centred on
+    the match; ``fragsize=0`` returns the WHOLE field value with the match
+    wrapped (Solr's fragsize=0 contract).  A field without any term
+    occurrence falls back to the head of its ``alternate_field`` (capped at
+    ``max_alternate_length``, Solr's maxAlternateFieldLength) with term=''
+    and snippet_no=1 — or an empty snippet when no alternate is configured
+    (Solr omits the field; a NULL-free '' keeps the schema stable for the
+    oracle).
 
-    ``field_params[field]`` accepts ``fragsize``, ``alternate_field``,
-    ``max_alternate_length`` (default 750 like the /browse config).  Every
-    requested or alternate field must be stored (Solr's stored="true"
-    highlighting rule).  Like :func:`highlight`, snippet extraction is pure
-    Catalyst over the ≤k fetched rows (regexp_instr with (?i) patterns over
-    the ORIGINAL text — offsets immune to Unicode case-fold length shifts);
-    one snippet per field (the reference's f.content.hl.snippets=3
-    multi-fragment mode is not implemented — documented omission)."""
+    ``field_params[field]`` accepts ``fragsize``, ``snippets`` (the
+    f.content.hl.snippets=3 multi-fragment mode: up to N fragments per
+    field in DOCUMENT order, each fragment's search resuming after the
+    previous match — a deterministic stand-in for Solr's fragment scoring,
+    which ranks fragments and so can reorder them; deviation documented),
+    ``alternate_field``, ``max_alternate_length`` (default 750 like the
+    /browse config).  ``encoder="html"`` escapes ``&``, ``<``, ``>`` in
+    the FIELD text (never in the pre/post markup) — Solr's
+    ``hl.encoder=html``.  Every requested or alternate field must be
+    stored (Solr's stored="true" highlighting rule).  Like
+    :func:`highlight`, snippet extraction is pure Catalyst over the ≤k
+    fetched rows (regexp_instr with (?i) patterns over the ORIGINAL text —
+    offsets immune to Unicode case-fold length shifts); the fragment
+    unrolling adds snippets×terms regexp evaluations per row, bounded by
+    k rows — no extra index work."""
     import re as _re
 
     spec = index.spec
@@ -1830,70 +1936,156 @@ def highlight_fields(
     )
     big = 2147483647
 
-    def _field_struct(fld: str):
-        p = field_params.get(fld, {})
-        fsize = int(p.get("fragsize", fragsize))
-        alt = p.get("alternate_field")
-        max_alt = int(p.get("max_alternate_length", 750))
-        text = F.col(fld)
-        if terms:
-            cands = [
+    def _esc(col):
+        # hl.encoder=html: escape the FIELD text only (& first — escaping
+        # it later would re-escape the entities the other two produce)
+        if encoder == "html":
+            col = F.replace(col, F.lit("&"), F.lit("&amp;"))
+            col = F.replace(col, F.lit("<"), F.lit("&lt;"))
+            col = F.replace(col, F.lit(">"), F.lit("&gt;"))
+        elif encoder is not None:
+            raise ValueError(f"unknown hl.encoder {encoder!r} (html or None)")
+        return col
+
+    # Each fragment's best-match struct is MATERIALIZED as a projection
+    # column before the next fragment references it: Catalyst expression
+    # trees are trees, not DAGs, so chaining fragment i's offset directly
+    # into fragment i+1's expressions would copy the whole previous subtree
+    # at every reference — exponential in the snippet count (observed as a
+    # driver OOM serializing the task binary).  Attribute references through
+    # a Project keep growth linear: one bounded expression per fragment.
+    out = top
+    frag_cols: dict[str, list[str]] = {}
+
+    def _best_after(text, from_off):
+        # earliest term occurrence at/after the 1-based offset `from_off`
+        # (ties term-asc) — regexp over the suffix, mapped back to an
+        # absolute position
+        suffix = F.substring(text, from_off, F.length(text))
+        cands = []
+        for t in terms:
+            rel = F.regexp_instr(suffix, F.lit("(?i)" + _re.escape(t)))
+            cands.append(
                 F.struct(
-                    F.when(
-                        F.regexp_instr(text, F.lit("(?i)" + _re.escape(t)))
-                        > 0,
-                        F.regexp_instr(text, F.lit("(?i)" + _re.escape(t))),
-                    )
+                    F.when(rel > 0, rel + from_off - 1)
                     .otherwise(F.lit(big))
                     .alias("pos"),
                     F.lit(t).alias("term"),
                 )
-                for t in terms
-            ]
-            best = F.array_min(F.array(*cands))
-            pos, term = best["pos"], best["term"]
-        else:
-            pos, term = F.lit(big), F.lit("")
-        tlen = F.length(term)
-        if fsize > 0:
-            window = fsize // 2
-            frag_start = F.greatest(pos - F.lit(window), F.lit(1))
-            snip = F.concat(
-                F.substring(text, frag_start, pos - frag_start),
-                F.lit("<em>"),
-                F.substring(text, pos, tlen),
-                F.lit("</em>"),
-                F.substring(text, pos + tlen, F.lit(window)),
             )
-        else:  # fragsize=0: the whole field value, match wrapped
-            snip = F.concat(
-                F.substring(text, 1, pos - 1),
-                F.lit("<em>"),
-                F.substring(text, pos, tlen),
-                F.lit("</em>"),
-                F.substring(text, pos + tlen, F.length(text)),
+        return F.array_min(F.array(*cands))
+
+    for fld in fields:
+        p = field_params.get(fld, {})
+        fsize = int(p.get("fragsize", fragsize))
+        n_snips = int(p.get("snippets", 1))
+        text = F.col(fld)
+        cols: list[str] = []
+        prev: str | None = None
+        # fragsize=0 is whole-field mode: one fragment by definition
+        for i in range(1 if fsize == 0 else max(1, n_snips)):
+            bname = f"_hlb_{fld}_{i}"
+            fname = f"_hlf_{fld}_{i}"
+            if prev is None:
+                from_off = F.lit(1)
+            else:
+                # resume after the previous fragment's match (document
+                # order, non-overlapping matches); not-found propagates:
+                # the suffix search beyond the text finds nothing
+                pv = F.col(prev)
+                from_off = F.when(
+                    pv["pos"] < F.lit(big),
+                    pv["pos"] + F.length(pv["term"]),
+                ).otherwise(F.lit(big))
+            if terms:
+                best = _best_after(text, from_off)
+            else:
+                best = F.struct(
+                    F.lit(big).alias("pos"), F.lit("").alias("term")
+                )
+            out = out.withColumn(bname, best)
+            raw_pos = F.col(bname)["pos"]
+            term = F.col(bname)["term"]
+            # the fragment expressions are evaluated EAGERLY (the array is
+            # built before the pos<big filter), so arithmetic on the
+            # not-found sentinel must not overflow under ANSI mode — clamp
+            # to 1 for construction, keep the raw sentinel for filtering
+            pos = F.when(raw_pos < F.lit(big), raw_pos).otherwise(F.lit(1))
+            tlen = F.length(term)
+            if fsize > 0:
+                window = fsize // 2
+                frag_start = F.greatest(pos - F.lit(window), F.lit(1))
+                snip = F.concat(
+                    _esc(F.substring(text, frag_start, pos - frag_start)),
+                    F.lit(pre),
+                    _esc(F.substring(text, pos, tlen)),
+                    F.lit(post),
+                    _esc(F.substring(text, pos + tlen, F.lit(window))),
+                )
+            else:  # fragsize=0: the whole field value, match wrapped
+                snip = F.concat(
+                    _esc(F.substring(text, 1, pos - 1)),
+                    F.lit(pre),
+                    _esc(F.substring(text, pos, tlen)),
+                    F.lit(post),
+                    _esc(F.substring(text, pos + tlen, F.length(text))),
+                )
+            out = out.withColumn(
+                fname,
+                F.struct(
+                    raw_pos.alias("pos"),
+                    term.alias("term"),
+                    snip.alias("snippet"),
+                ),
             )
+            cols.append(fname)
+            prev = bname
+        frag_cols[fld] = cols
+
+    def _field_struct(fld: str):
+        p = field_params.get(fld, {})
+        alt = p.get("alternate_field")
+        max_alt = int(p.get("max_alternate_length", 750))
+        arr = F.filter(
+            F.array(*[F.col(c) for c in frag_cols[fld]]),
+            lambda s: s["pos"] < F.lit(big),
+        )
         fallback = (
-            F.substring(F.col(alt), 1, max_alt) if alt else F.lit("")
+            _esc(F.substring(F.col(alt), 1, max_alt)) if alt else F.lit("")
+        )
+        fb_arr = F.array(
+            F.struct(
+                F.lit(big).alias("pos"),
+                F.lit("").alias("term"),
+                F.coalesce(fallback, F.lit("")).alias("snippet"),
+            )
         )
         return F.struct(
             F.lit(fld).alias("field"),
-            F.when(pos < big, term).otherwise(F.lit("")).alias("term"),
-            F.coalesce(
-                F.when(pos < big, snip).otherwise(fallback), F.lit("")
-            ).alias("snippet"),
+            F.when(F.size(arr) > 0, arr).otherwise(fb_arr).alias("frags"),
         )
 
     return (
-        top.select(
+        out.select(
             "doc_id",
             "score",
             F.explode(F.array(*[_field_struct(f) for f in fields])).alias(
                 "hl"
             ),
         )
-        .select("doc_id", "score", "hl.field", "hl.term", "hl.snippet")
-        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("field"))
+        .select("doc_id", "score", "hl.field", F.posexplode("hl.frags"))
+        .select(
+            "doc_id",
+            "score",
+            "field",
+            (F.col("pos") + 1).alias("snippet_no"),
+            F.col("col.term").alias("term"),
+            F.col("col.snippet").alias("snippet"),
+        )
+        .orderBy(
+            F.desc("score"), F.asc("doc_id"), F.asc("field"),
+            F.asc("snippet_no"),
+        )
     )
 
 

@@ -1,0 +1,190 @@
+"""Round-5f behaviors: the last concretely-configured /browse highlight and
+facet settings.
+
+* f.content.hl.snippets=3 (solrconfig.xml:928): up to N fragments per
+  (doc, field), document order, each search resuming after the previous
+  match;
+* hl.encoder=html (solrconfig.xml:922): field text escaped, markup not;
+* hl.simple.pre/post=<b>/</b> (solrconfig.xml:923-924): configurable
+  markers;
+* every facet.field of a request in ONE pass (solrconfig.xml:891-894
+  declares four): facet_fields_counts == per-field facet_counts, off a
+  single match job + a single prefix-OR-pruned postings scan.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from cascading_solr_spark.corpus import synth_corpus
+from cascading_solr_spark.indexing.build import build_index
+from cascading_solr_spark.query.search import (
+    facet_counts,
+    facet_fields_counts,
+    highlight_fields,
+)
+from cascading_solr_spark.spec import IndexSpec
+
+R5F_SPEC = IndexSpec(
+    num_shards=2,
+    salt_buckets=2,
+    block_size=16,
+    keyword_fields=("lang", "repo"),
+    stored_fields=("repo", "path", "lang", "content"),
+)
+
+
+@pytest.fixture(scope="module")
+def ix(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("r5fix") / "ix")
+    return build_index(
+        spark, synth_corpus(spark, 300, partitions=4), R5F_SPEC, out
+    )
+
+
+@pytest.fixture(scope="module")
+def pdf(spark):
+    return (
+        synth_corpus(spark, 300, partitions=4)
+        .toPandas()
+        .sort_values(["repo", "path", "commit"])
+        .reset_index(drop=True)
+    )
+
+
+def _occurrences(text: str, terms: list[str], n: int) -> list[tuple]:
+    """Brute-force oracle: up to n (pos, term) document-order occurrences,
+    ties term-asc, each search resuming after the previous match end."""
+    out, off = [], 0
+    low = text.lower()
+    while len(out) < n:
+        best = None
+        for t in sorted(terms):
+            p = low.find(t, off)
+            if p >= 0 and (best is None or p < best[0]):
+                best = (p, t)
+        if best is None:
+            break
+        out.append(best)
+        off = best[0] + len(best[1])
+    return out
+
+
+# ------------------------------------------------------- multi-snippet
+
+
+def test_snippets_match_bruteforce_oracle(spark, ix, pdf):
+    out = highlight_fields(
+        spark, ix, "parse buffer", ["content"], k=10,
+        field_params={"content": {"fragsize": 40, "snippets": 3}},
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(int(r["doc_id"]), []).append(r)
+    assert by_doc, "no results"
+    texts = dict(zip(pdf.index, pdf["content"]))
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["snippet_no"])
+        occ = _occurrences(texts[doc_id], ["parse", "buffer"], 3)
+        assert [r["snippet_no"] for r in rows] == list(
+            range(1, len(occ) + 1)
+        )
+        for r, (p, t) in zip(rows, occ):
+            assert r["term"] == t
+            # the wrapped text IS the document text at that position
+            m = re.search(r"<em>(.*?)</em>", r["snippet"], re.S)
+            assert m and m.group(1).lower() == t
+            assert texts[doc_id][p:p + len(t)] == m.group(1)
+
+
+def test_snippets_default_single_and_snippet_no(spark, ix):
+    out = highlight_fields(
+        spark, ix, "parse", ["content", "path"], k=5,
+        field_params={"path": {"fragsize": 0}},
+    ).collect()
+    assert all(r["snippet_no"] == 1 for r in out)
+    assert len(out) == 10  # k docs x 2 fields, one fragment each
+
+
+def _esc(x: str) -> str:
+    return (
+        x.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def test_html_encoder_escapes_text_not_markup(spark, ix, pdf):
+    out = highlight_fields(
+        spark, ix, "parse", ["content"], k=10,
+        field_params={"content": {"fragsize": 80, "snippets": 2}},
+        pre="<b>", post="</b>", encoder="html",
+    ).collect()
+    assert out
+    texts = dict(zip(pdf.index, pdf["content"]))
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(int(r["doc_id"]), []).append(r)
+    checked = 0
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["snippet_no"])
+        occ = _occurrences(texts[doc_id], ["parse"], 2)
+        for r, (p, t) in zip(rows, occ):
+            text = texts[doc_id]
+            w = 40  # fragsize 80 // 2
+            start = max(p - w, 0)
+            expect = (
+                _esc(text[start:p]) + "<b>" + _esc(text[p:p + len(t)])
+                + "</b>" + _esc(text[p + len(t):p + len(t) + w])
+            )
+            assert r["snippet"] == expect
+            checked += 1
+    assert checked > 0
+    # corpus content carries & or < or > somewhere: prove the escaper is
+    # live by round-tripping one crafted value through the same helper
+    assert _esc("a & b < c > d") == "a &amp; b &lt; c &gt; d"
+
+
+def test_unknown_encoder_raises(spark, ix):
+    with pytest.raises(ValueError):
+        highlight_fields(
+            spark, ix, "parse", ["content"], encoder="latin1"
+        ).collect()
+
+
+# --------------------------------------------- multi-field facet counts
+
+
+def test_facet_fields_counts_equals_per_field(spark, ix):
+    multi = facet_fields_counts(
+        spark, ix, "parse buffer", ["lang", "repo"]
+    ).collect()
+    got = {(r["field"], r["value"]): int(r["n"]) for r in multi}
+    exp = {}
+    for f in ("lang", "repo"):
+        for r in facet_counts(spark, ix, "parse buffer", f).collect():
+            exp[(f, r["value"])] = int(r["n"])
+    assert got == exp
+
+
+def test_facet_fields_limit_and_sort_per_field(spark, ix):
+    top1 = facet_fields_counts(
+        spark, ix, "parse buffer", ["lang", "repo"], limit=1
+    ).collect()
+    assert [r["field"] for r in top1] == ["lang", "repo"]
+    full = facet_fields_counts(
+        spark, ix, "parse buffer", ["lang", "repo"]
+    ).collect()
+    for t in top1:
+        peers = [r for r in full if r["field"] == t["field"]]
+        best = max(peers, key=lambda r: (r["n"], ), default=None)
+        assert int(t["n"]) == int(best["n"])
+    idx_sorted = facet_fields_counts(
+        spark, ix, "parse buffer", ["lang"], sort="index"
+    ).collect()
+    vals = [r["value"] for r in idx_sorted]
+    assert vals == sorted(vals)
+
+
+def test_facet_fields_rejects_non_keyword(spark, ix):
+    with pytest.raises(ValueError):
+        facet_fields_counts(spark, ix, "parse", ["path"]).collect()
