@@ -527,6 +527,17 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
     # ---- 6. deletes: tombstone write + query latency with deletes live ----
     from cascading_solr_spark.indexing.delete import delete_documents
 
+    # the tombstone overhead baseline must be the SAME index state (base +
+    # both appended deltas) immediately before the delete — comparing
+    # against q_maxscore_parse (pristine pre-append index, fewer docs and
+    # segments) conflates append fragmentation with tombstone cost
+    ix_pre = Index.load(ix_dir)
+    timings["query_pre_delete"] = timed(
+        lambda: search(
+            spark, ix_pre, "parse buffer", k=10, with_stored=False
+        ).collect(),
+        repeat=3,
+    )
     n_del = max(200, n_code_files // 100)
     del_ids = list(range(0, n_del * 7, 7))  # spread across shards/blocks
     timings["delete_batch"] = timed(
@@ -590,10 +601,11 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
             ),
         },
         # tombstone overhead on the hot query path: with-deletes latency
-        # over the clean q_maxscore_parse figure (same query, same index)
+        # over the same-query latency on the identical pre-delete index
+        # state (base + appended deltas)
         "delete_query_overhead": round(
             timings["query_with_deletes"]
-            / max(timings["q_maxscore_parse"], 1e-9),
+            / max(timings["query_pre_delete"], 1e-9),
             3,
         ),
         "repeat_policy": "sub-5s queries + appends: min of 3 (additive-noise"
