@@ -434,7 +434,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("value").alias("facet"),
             "n",
         )
-        return field.unionByName(fq).unionByName(browse).unionByName(multi)
+        # r5f: facet.prefix (scan-narrowed buckets) + facet.missing (the
+        # NULL bucket; 0 here — every doc has a lang — but the anti-join
+        # plumbing runs distributed and the row rides the oracle check)
+        pm = facet_counts(
+            s, ix, Q_MAIN, "lang", prefix="e", missing=True
+        ).select(
+            F.lit("prefix_e").alias("kind"),
+            F.coalesce(F.col("value"), F.lit("__missing__")).alias("facet"),
+            "n",
+        )
+        return (
+            field.unionByName(fq).unionByName(browse).unionByName(multi)
+            .unionByName(pm)
+        )
 
     q["ft_facet_counts"] = _facets
 
@@ -1087,6 +1100,15 @@ FROM documents d JOIN matched USING (doc_id) GROUP BY 2
 UNION ALL
 SELECT 'multi_source' AS kind, d.source AS facet, count(*)::BIGINT AS n
 FROM documents d JOIN matched USING (doc_id) GROUP BY 2
+UNION ALL
+SELECT 'prefix_e' AS kind, d.lang AS facet, count(*)::BIGINT AS n
+FROM documents d JOIN matched USING (doc_id)
+WHERE d.lang LIKE 'e%' GROUP BY 2
+UNION ALL
+SELECT 'prefix_e' AS kind, '__missing__' AS facet,
+       (SELECT count(*) FROM matched m
+        LEFT JOIN documents dd USING (doc_id)
+        WHERE dd.lang IS NULL)::BIGINT AS n
 """
     o["ft_spellcheck"] = f"""
 WITH {_toks_cte()},

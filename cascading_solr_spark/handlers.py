@@ -160,3 +160,136 @@ def ping(spark: SparkSession, index_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [("FAIL", 0)], "status string, n_docs long"
         )
+
+
+def browse(
+    spark: SparkSession,
+    index: Index,
+    q: str | None = None,
+    *,
+    qf: dict[str, float] | None = None,
+    tie: float = 0.01,
+    mm: int | str | None = "100%",
+    rows: int = 10,
+    start: int = 0,
+    filters: dict[str, str] | None = None,
+    synonyms: dict[str, list[str]] | None = None,
+    facet_fields: list[str] | tuple[str, ...] | None = None,
+    facet_queries: dict[str, str] | None = None,
+    facet_ranges: list[dict] | None = None,
+    facet_pivot: tuple[str, str] | None = None,
+    hl_fields: list[str] | None = None,
+    hl_params: dict[str, dict] | None = None,
+    hl_pre: str = "<b>",
+    hl_post: str = "</b>",
+    hl_encoder: str | None = "html",
+    spellcheck: bool = True,
+    max_collations: int = 3,
+    max_collation_tries: int = 5,
+) -> dict[str, DataFrame]:
+    """The /browse request handler composed — ONE call serving the
+    reference's actual default request (solrconfig.xml:862-945): eDisMax
+    ranking (``defType=edismax`` + multi-field ``qf`` + ``tie`` :872-877,
+    ``mm=100%`` :878), ``q.alt=*:*`` when no query is given (:879, the
+    landing page: facets render over the whole corpus), every declared
+    ``facet.field`` (:891-894, one pass), ``facet.query`` (:896-897),
+    numeric + DATE ``facet.range`` with other-buckets (:900-914),
+    ``facet.pivot`` (:899), multi-field highlighting with the config's own
+    ``<b>`` markers and html encoder (:918-931), and spellcheck collations
+    (:934-941).
+
+    Returns a dict of LAZY DataFrames keyed ``results``, ``highlighting``,
+    ``facet_fields``, ``facet_queries``, ``range_<field>``, ``facet_pivot``,
+    ``spellcheck`` — collect what you render, exactly like reading the
+    named sections of a Solr response.  Each section is the already
+    oracle-checked component function; this facade only wires the
+    reference's parameter plumbing (shared q/fq, q.alt dispatch, the
+    results←→highlighting correspondence).
+
+    Fidelity notes: highlighting wraps the FACADE's ranked rows (the
+    ``top=`` passthrough), so snippets always correspond to ``results``
+    even under eDisMax.  Facet/pivot/stats match sets run under the
+    equivalent boolean op — ``mm=100%`` (the /browse default) is exactly
+    conjunction, so components run op=AND; fractional mm values fall back
+    to OR for the component match sets (match_ids carries no mm floor) —
+    a documented deviation, not silent.
+
+    ``facet_ranges`` entries: ``{"field", "start", "end", "gap",
+    "other"?}`` — a str start/end selects the DATE path (gap = months),
+    ints the numeric path (the reference ranges price/popularity
+    numerically and manufacturedate_dt by +1YEAR the same way)."""
+    from cascading_solr_spark.query.search import (
+        facet_fields_counts,
+        facet_pivot_counts as _pivot,
+        facet_query_counts,
+        facet_range_counts,
+        facet_range_counts_date,
+        highlight_fields,
+        search,
+        search_dismax,
+        spellcheck_collations,
+    )
+
+    out: dict[str, DataFrame] = {}
+    q_eff = (q or "").strip() or "*:*"
+    is_match_all = q_eff == "*:*"
+    # mm=100% under OR is exactly all-terms conjunction — the op the
+    # component match sets can reproduce without an mm floor
+    op_eff = "AND" if (mm == "100%" and not is_match_all) else "OR"
+
+    if is_match_all:
+        results = search(
+            spark, index, "*:*", k=rows, start=start, filters=filters
+        )
+    elif qf:
+        results = search_dismax(
+            spark, index, q_eff, qf=qf, tie=tie, min_match=mm, k=rows,
+            start=start, filters=filters, synonyms=synonyms,
+        )
+    else:
+        results = search(
+            spark, index, q_eff, k=rows, start=start, filters=filters,
+            synonyms=synonyms, min_match=mm,
+        )
+    out["results"] = results
+
+    if hl_fields and not is_match_all:
+        out["highlighting"] = highlight_fields(
+            spark, index, q_eff, hl_fields, k=rows,
+            field_params=hl_params, filters=filters, synonyms=synonyms,
+            op=op_eff, pre=hl_pre, post=hl_post, encoder=hl_encoder,
+            top=results,
+        )
+    if facet_fields:
+        out["facet_fields"] = facet_fields_counts(
+            spark, index, q_eff, facet_fields, filters=filters,
+            synonyms=synonyms, op=op_eff, mincount=1,
+        )
+    if facet_queries:
+        out["facet_queries"] = facet_query_counts(
+            spark, index, q_eff, facet_queries, filters=filters, op=op_eff
+        )
+    for spec_ in facet_ranges or []:
+        fld = spec_["field"]
+        if isinstance(spec_["start"], str):
+            out[f"range_{fld}"] = facet_range_counts_date(
+                spark, index, q_eff, fld, spec_["start"], spec_["end"],
+                spec_["gap"], filters=filters, op=op_eff,
+                other=spec_.get("other", False),
+            )
+        else:
+            out[f"range_{fld}"] = facet_range_counts(
+                spark, index, q_eff, fld, spec_["start"], spec_["end"],
+                spec_["gap"], filters=filters, op=op_eff,
+                other=spec_.get("other", False),
+            )
+    if facet_pivot:
+        out["facet_pivot"] = _pivot(
+            spark, index, q_eff, facet_pivot, filters=filters, op=op_eff
+        )
+    if spellcheck and not is_match_all:
+        out["spellcheck"] = spellcheck_collations(
+            spark, index, q_eff, max_collations=max_collations,
+            max_tries=max_collation_tries, filters=filters, op=op_eff,
+        )
+    return out

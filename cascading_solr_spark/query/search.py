@@ -290,7 +290,11 @@ def expand_terms(
 
 
 def _fetch_stored(
-    spark: SparkSession, index: Index, top: DataFrame, bounded: bool = True
+    spark: SparkSession,
+    index: Index,
+    top: DataFrame,
+    bounded: bool = True,
+    fl: list[str] | None = None,
 ) -> DataFrame:
     """Stored-field retrieval for a ranked (doc_id, score) frame.
 
@@ -304,9 +308,26 @@ def _fetch_stored(
     broadcast the matches — driver memory and plan size would grow with the
     match count.  It joins distributed instead: a shuffle-hash equi-join of
     the match set against the docs table (both sides partitioned by doc_id;
-    the docs side prunes to the stored columns)."""
+    the docs side prunes to the stored columns).
+
+    ``fl`` (Solr's field list, default ``fl=*`` returning every stored
+    field) prunes the docs read to the REQUESTED columns — the column
+    selection reaches the parquet scan, so ``fl=lang`` over a 100 TB corpus
+    never reads the wide text column."""
+    docs_cols: list[str] | None = None
+    if fl is not None:
+        stored = set(index.spec.stored_fields)
+        bad = sorted(set(fl) - stored - {"doc_id", "score"})
+        if bad:
+            raise ValueError(
+                f"fl fields {bad} are not stored fields {sorted(stored)} "
+                "(Solr returns stored fields only)"
+            )
+        docs_cols = [c for c in fl if c not in ("doc_id", "score")]
     if not bounded:
         docs = index.docs(spark)
+        if docs_cols is not None:
+            docs = docs.select("doc_id", "shard", *docs_cols)
         return (
             docs.drop("shard")
             .join(top.hint("shuffle_hash"), "doc_id")
@@ -314,6 +335,8 @@ def _fetch_stored(
         )
     rows = top.collect()
     docs = index.docs(spark)
+    if docs_cols is not None:
+        docs = docs.select("doc_id", "shard", *docs_cols)
     if not rows:
         return (
             docs.drop("shard")
@@ -486,9 +509,20 @@ def search(
     op: str = "OR",
     start: int = 0,
     min_match: int | str | None = None,
+    fl: list[str] | None = None,
 ) -> DataFrame:
     """Top-k BM25 keyword search; returns (doc_id, score[, stored fields,
     sha256]).
+
+    * ``fl`` is Solr's field list (the /browse default is ``fl=*,score``,
+      solrconfig.xml:881): which stored fields to return.  None = every
+      stored field plus score (fl=*,score).  A list prunes the stored
+      fetch to exactly those columns — the projection reaches the parquet
+      scan, so requesting ``fl=["lang"]`` never reads the text column;
+      ``score`` is returned only if listed (Solr's rule).  ``doc_id`` (the
+      uniqueKey / join key) is always returned — documented deviation.
+      Ignored when ``with_stored=False`` (the (doc_id, score) frame is
+      already minimal).
 
     * ``start`` pages the ranked result like Solr's start param (the
       /select contract returns "the range of documents requested",
@@ -542,7 +576,9 @@ def search(
             top = top.offset(start)
         if not with_stored:
             return top
-        return _fetch_stored(spark, index, top, bounded=k is not None)
+        out = _fetch_stored(spark, index, top, bounded=k is not None, fl=fl)
+        return out.drop("score") if fl is not None and "score" not in fl \
+            else out
     qtext, parsed_fterms = parse_query(query, index.spec.keyword_fields)
     qtext, op = query_op(qtext, default=op)
     terms = expand_terms(qtext, synonyms)
@@ -603,7 +639,8 @@ def search(
             top = top.offset(start)
     if not with_stored:
         return top
-    return _fetch_stored(spark, index, top, bounded=k is not None)
+    out = _fetch_stored(spark, index, top, bounded=k is not None, fl=fl)
+    return out.drop("score") if fl is not None and "score" not in fl else out
 
 
 def _dismax_kernel(
@@ -1501,6 +1538,8 @@ def facet_counts(
     limit: int | None = None,
     mincount: int = 0,
     sort: str = "count",
+    prefix: str | None = None,
+    missing: bool = False,
 ) -> DataFrame:
     """Facet counts over a keyword field for the docs matching ``query`` —
     the Solr ``facet.field`` analogue (the reference config faceting on its
@@ -1522,11 +1561,20 @@ def facet_counts(
     the threshold), and facet.sort ("count" = count desc, Solr's default
     when faceting; "index" = value asc).  A bounded ``limit`` turns the
     global order-merge into TakeOrderedAndProject — at a 10^6-value facet
-    field only the top-N buckets cross to the driver."""
+    field only the top-N buckets cross to the driver.
+
+    ``prefix`` is Solr's facet.prefix: only buckets whose value starts with
+    it.  Pushed into the postings scan (the StartsWith predicate narrows
+    from ``field:`` to ``field:prefix`` over the term-sorted files), so a
+    selective prefix reads fewer row groups — it is a SCAN restriction,
+    not a post-filter.  ``missing=True`` is facet.missing: one extra
+    (NULL, n) bucket counting matched docs with NO value in the field (an
+    anti-join of the match set against the field's pairs; rides the same
+    action as a union leg).  Default-off knobs leave the plan untouched."""
     matched = match_ids(
         spark, index, query, filters=filters, synonyms=synonyms, op=op
     )
-    pairs = facet_value_pairs(spark, index, facet_field)
+    pairs = facet_value_pairs(spark, index, facet_field, value_prefix=prefix)
     out = (
         pairs.join(matched, "doc_id")
         .groupBy("value")
@@ -1534,28 +1582,49 @@ def facet_counts(
     )
     if mincount > 0:
         out = out.filter(F.col("n") >= int(mincount))
+    if missing:
+        # facet.missing counts docs without ANY value for the field —
+        # independent of prefix (Solr's rule), so the anti-join runs
+        # against the field's full pairs
+        all_pairs = (
+            facet_value_pairs(spark, index, facet_field)
+            if prefix
+            else pairs
+        )
+        miss = (
+            matched.join(
+                all_pairs.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+            .agg(F.count("*").alias("n"))
+            .select(F.lit(None).cast("string").alias("value"), "n")
+        )
+        out = out.unionByName(miss)
     if sort == "index":
-        out = out.orderBy(F.asc("value"))
+        out = out.orderBy(F.asc_nulls_last("value"))
     else:
-        out = out.orderBy(F.desc("n"), F.asc("value"))
+        out = out.orderBy(F.desc("n"), F.asc_nulls_last("value"))
     if limit is not None:
         out = out.limit(int(limit))
     return out
 
 
 def facet_value_pairs(
-    spark: SparkSession, index: Index, facet_field: str
+    spark: SparkSession,
+    index: Index,
+    facet_field: str,
+    value_prefix: str | None = None,
 ) -> DataFrame:
     """(value, doc_id) rows of one keyword facet field, decoded from its
     ``field:value`` posting rows — a prefix-pruned scan of the term-sorted
     postings (StartsWith pushdown), never a docs-table scan.  Shared by
-    facet.field and facet.pivot."""
+    facet.field and facet.pivot.  ``value_prefix`` (facet.prefix) narrows
+    the StartsWith to ``field:prefix`` — fewer row groups at the scan."""
     if facet_field not in index.spec.keyword_fields:
         raise ValueError(
             f"facet field {facet_field!r} is not a keyword field "
             f"{index.spec.keyword_fields!r}"
         )
-    prefix = facet_field + KW_SEP
+    prefix = facet_field + KW_SEP + (value_prefix or "")
     block_size = index.spec.block_size
 
     def decode_pairs(batches):
@@ -1873,6 +1942,7 @@ def highlight_fields(
     pre: str = "<em>",
     post: str = "</em>",
     encoder: str | None = None,
+    top: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-field highlighting — the /browse handler's actual highlight
     request (``hl.fl=content features title name`` with PER-FIELD overrides,
@@ -1930,10 +2000,14 @@ def highlight_fields(
     qtext, _ = parse_query(query, spec.keyword_fields)
     qtext, _ = query_op(qtext, default=op)
     terms = sorted(set(expand_terms(qtext, synonyms)))
-    top = search(
-        spark, index, query, k=k, with_stored=True, filters=filters,
-        synonyms=synonyms, op=op,
-    )
+    if top is None:
+        top = search(
+            spark, index, query, k=k, with_stored=True, filters=filters,
+            synonyms=synonyms, op=op,
+        )
+    # else: the caller passes ITS ranked rows (e.g. the /browse facade's
+    # eDisMax results) so snippets wrap exactly the docs being returned;
+    # must carry doc_id, score, and every requested/alternate field
     big = 2147483647
 
     def _esc(col):

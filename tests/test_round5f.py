@@ -23,6 +23,7 @@ from cascading_solr_spark.query.search import (
     facet_counts,
     facet_fields_counts,
     highlight_fields,
+    search,
 )
 from cascading_solr_spark.spec import IndexSpec
 
@@ -188,3 +189,121 @@ def test_facet_fields_limit_and_sort_per_field(spark, ix):
 def test_facet_fields_rejects_non_keyword(spark, ix):
     with pytest.raises(ValueError):
         facet_fields_counts(spark, ix, "parse", ["path"]).collect()
+
+
+# ------------------------------------------------------------ fl param
+
+
+def test_fl_prunes_and_orders(spark, ix):
+    full = search(spark, ix, "parse buffer", k=5).collect()
+    pruned = search(
+        spark, ix, "parse buffer", k=5, fl=["lang", "score"]
+    ).collect()
+    assert set(pruned[0].asDict()) == {"doc_id", "lang", "score"}
+    assert [r["doc_id"] for r in pruned] == [r["doc_id"] for r in full]
+    by_id = {r["doc_id"]: r for r in full}
+    assert all(r["lang"] == by_id[r["doc_id"]]["lang"] for r in pruned)
+
+
+def test_fl_without_score_drops_it(spark, ix):
+    rows = search(spark, ix, "parse", k=3, fl=["path"]).collect()
+    assert set(rows[0].asDict()) == {"doc_id", "path"}
+
+
+def test_fl_rejects_unstored(spark, ix):
+    with pytest.raises(ValueError):
+        search(spark, ix, "parse", k=3, fl=["commit"]).collect()
+
+
+def test_fl_scan_pruned_to_requested_columns(spark, ix):
+    plan = search(
+        spark, ix, "parse", k=3, fl=["lang"]
+    )._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    for m in _re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        # any docs-side scan must never read the wide content column
+        assert "content" not in cols, plan
+
+
+# ----------------------------------------- facet.prefix / facet.missing
+
+
+def test_facet_prefix_filters_buckets(spark, ix):
+    allb = facet_counts(spark, ix, "parse buffer", "lang").collect()
+    pref = {r["value"]: r["n"] for r in facet_counts(
+        spark, ix, "parse buffer", "lang", prefix="p"
+    ).collect()}
+    exp = {r["value"]: r["n"] for r in allb if r["value"].startswith("p")}
+    assert pref == exp and pref  # python matches
+
+
+def test_facet_missing_counts_docs_without_value(spark, ix):
+    # every synth doc has a lang -> missing bucket must be 0
+    rows = facet_counts(
+        spark, ix, "parse buffer", "lang", missing=True
+    ).collect()
+    miss = [r for r in rows if r["value"] is None]
+    assert len(miss) == 1 and int(miss[0]["n"]) == 0
+    # and it composes with prefix (missing is prefix-independent)
+    rows_p = facet_counts(
+        spark, ix, "parse buffer", "lang", prefix="zz", missing=True
+    ).collect()
+    assert [r["value"] for r in rows_p] == [None]
+
+
+# ------------------------------------------------------ /browse facade
+
+
+def test_browse_composes_default_request(spark, ix, pdf):
+    from cascading_solr_spark.handlers import browse
+
+    resp = browse(
+        spark, ix, "parse buffer",
+        facet_fields=["lang", "repo"],
+        facet_queries={"py": "lang:python"},
+        hl_fields=["content"],
+        hl_params={"content": {"fragsize": 60, "snippets": 2}},
+    )
+    res = resp["results"].collect()
+    assert 0 < len(res) <= 10
+    # mm=100% default: every result matches BOTH terms (conjunction)
+    texts = dict(zip(pdf.index, pdf["content"]))
+    for r in res:
+        low = texts[int(r["doc_id"])].lower()
+        assert "parse" in low and "buffer" in low
+    hl = resp["highlighting"].collect()
+    # highlighting corresponds to the results rows exactly
+    assert {int(r["doc_id"]) for r in hl} == {int(r["doc_id"]) for r in res}
+    assert all("<b>" in r["snippet"] for r in hl if r["term"])
+    ff = resp["facet_fields"].collect()
+    assert {r["field"] for r in ff} == {"lang", "repo"}
+    # facet counts run under the mm=100% == AND match set
+    n_matched = sum(int(r["n"]) for r in ff if r["field"] == "lang")
+    n_expected = sum(
+        1 for t in pdf["content"]
+        if "parse" in t.lower() and "buffer" in t.lower()
+    )
+    assert n_matched == n_expected
+    fq = {r["facet"]: int(r["n"]) for r in resp["facet_queries"].collect()}
+    assert set(fq) == {"py"}
+
+
+def test_browse_landing_page_match_all(spark, ix, pdf):
+    from cascading_solr_spark.handlers import browse
+
+    resp = browse(spark, ix, None, facet_fields=["lang"], rows=5)
+    assert "spellcheck" not in resp and "highlighting" not in resp
+    res = resp["results"].collect()
+    assert [int(r["doc_id"]) for r in res] == [0, 1, 2, 3, 4]
+    assert all(float(r["score"]) == 1.0 for r in res)
+    ff = {r["value"]: int(r["n"]) for r in resp["facet_fields"].collect()}
+    assert ff == pdf["lang"].value_counts().to_dict()
+
+
+def test_browse_spellcheck_collation(spark, ix):
+    from cascading_solr_spark.handlers import browse
+
+    resp = browse(spark, ix, "parze buffer")
+    sc = resp["spellcheck"].collect()
+    assert sc and any("parse" in r["collation"] for r in sc)
