@@ -769,9 +769,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _phrase(s, d):
         from cascading_solr_spark.query.search import search_phrase
 
-        return search_phrase(
-            s, _index_for(s, d), "merge sort", k=None, with_stored=False
-        ).select("doc_id", F.round("score", 4).alias("score"))
+        ix = _index_for(s, d)
+        exact = search_phrase(
+            s, ix, "merge sort", k=None, with_stored=False
+        ).select(
+            F.lit("exact").alias("kind"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+        # r5f: the sloppy form "merge sort"~2 — ordered greedy-chain span
+        # <= 3 (semantics documented on _phrase_kernel)
+        slop2 = search_phrase(
+            s, ix, "merge sort", k=None, with_stored=False, slop=2
+        ).select(
+            F.lit("slop2").alias("kind"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+        return exact.unionByName(slop2)
 
     q["ft_phrase"] = _phrase
 
@@ -1505,12 +1520,26 @@ idf AS (SELECT sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS idf_sum
 occ AS (SELECT a.doc_id, count(*)::BIGINT AS pf
         FROM ptoks a JOIN ptoks b ON b.doc_id = a.doc_id AND b.p = a.p + 1
         WHERE a.term = 'merge' AND b.term = 'sort'
-        GROUP BY 1)
-SELECT o.doc_id,
+        GROUP BY 1),
+occ2 AS (SELECT doc_id, count(*)::BIGINT AS pf FROM (
+           SELECT a.doc_id, a.p, min(b.p) AS q
+           FROM ptoks a JOIN ptoks b
+             ON b.doc_id = a.doc_id AND b.term = 'sort' AND b.p > a.p
+           WHERE a.term = 'merge'
+           GROUP BY a.doc_id, a.p
+           HAVING min(b.p) - a.p <= 3) z
+         GROUP BY doc_id)
+SELECT 'exact' AS kind, o.doc_id,
        round(i.idf_sum * (o.pf * (1.2 + 1.0))
              / (o.pf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)), 4)
          AS score
 FROM occ o JOIN dl USING (doc_id) CROSS JOIN idf i CROSS JOIN stats s
+UNION ALL
+SELECT 'slop2' AS kind, o.doc_id,
+       round(i.idf_sum * (o.pf * (1.2 + 1.0))
+             / (o.pf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)), 4)
+         AS score
+FROM occ2 o JOIN dl USING (doc_id) CROSS JOIN idf i CROSS JOIN stats s
 """
     # grouping: docs rank (score desc, doc_id) within lang; groups rank by
     # their head doc; top-5 groups × top-2 docs, with per-group numFound

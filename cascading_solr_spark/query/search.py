@@ -36,6 +36,8 @@ only ``shards × salts × terms`` tiny top-k rows reach the global merge.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -94,6 +96,19 @@ def _scan_terms(index: Index, terms) -> list[str]:
     if index.has_deletes:
         out.append(DELETED_TERM)
     return out
+
+
+_QUOTED_RE = re.compile(r'^"([^"]*)"(?:~(\d+))?$')
+
+
+def parse_quoted(qs: str) -> tuple[str, int] | None:
+    """``'"exact phrase"'`` -> ("exact phrase", 0); ``'"a b"~2'`` ->
+    ("a b", 2) — the Lucene quoted/sloppy phrase forms.  None when the
+    query string is not a single fully-quoted phrase."""
+    m = _QUOTED_RE.match(qs)
+    if not m:
+        return None
+    return m.group(1), int(m.group(2) or 0)
 
 
 def filter_terms_of(filters: dict[str, str] | None) -> set[str]:
@@ -411,8 +426,11 @@ def match_ids(
     and the postings scan projects away the tf/dl binary columns entirely,
     so parquet never reads them.  Returns distinct ``doc_id`` rows."""
     qs = query.strip()
-    if len(qs) >= 2 and qs[0] == '"' and qs[-1] == '"' and '"' not in qs[1:-1]:
-        return phrase_match_ids(spark, index, qs[1:-1], filters=filters)
+    pq = parse_quoted(qs)
+    if pq is not None:
+        return phrase_match_ids(
+            spark, index, pq[0], filters=filters, slop=pq[1]
+        )
     if qs == "*:*":
         # MatchAllDocsQuery (the /browse handler's q.alt=*:* landing page,
         # solrconfig.xml:879): every doc, optionally fq-restricted.  The
@@ -556,10 +574,11 @@ def search(
       so mm queries run the exact TAAT kernel.  Ignored under AND (already
       all-terms)."""
     q = query.strip()
-    if len(q) >= 2 and q[0] == '"' and q[-1] == '"' and '"' not in q[1:-1]:
+    pq = parse_quoted(q)
+    if pq is not None:
         return search_phrase(
-            spark, index, q[1:-1], k=k, with_stored=with_stored,
-            filters=filters, start=start,
+            spark, index, pq[0], k=k, with_stored=with_stored,
+            filters=filters, start=start, slop=pq[1],
         )
     if q == "*:*":
         # MatchAllDocsQuery (q.alt=*:*, solrconfig.xml:879): constant score
@@ -976,8 +995,23 @@ def _phrase_kernel(
     block_size: int,
     fterms: set[str],
     match_only: bool = False,
+    slop: int = 0,
 ):
-    """Per-shard exact phrase scorer (Lucene PhraseQuery semantics).
+    """Per-shard phrase scorer (Lucene PhraseQuery / sloppy-phrase
+    semantics).
+
+    ``slop=0`` is the exact PhraseQuery path (consecutive positions, one
+    vectorized key intersection per slot).  ``slop>0`` is the
+    ``"..."~N`` sloppy form: an occurrence is a FIRST-term position p
+    followed by strictly-increasing positions of the remaining terms in
+    order whose total span ≤ (len(terms)-1) + slop; the chain is found
+    greedily (smallest next position per term — minimal span, so greedy
+    acceptance is exact), vectorized as one searchsorted per term over
+    (doc, pos) packed keys.  phrase_freq = the count of such first-term
+    positions.  Documented deviations from Lucene's SloppyPhraseScorer:
+    matches are ORDERED only (no term transposition within the slop
+    budget) and each match counts 1 toward tf rather than Lucene's
+    1/(1+matchLength) weighting — deterministic and oracle-expressible.
 
     Three stages, each decoding strictly less than the last:
 
@@ -1117,19 +1151,43 @@ def _phrase_kernel(
             if len(p):
                 maxpos = max(maxpos, int(p.max()))
         keymul = maxpos + m + 2  # (doc_idx, pos-slot) packs collision-free
-        cur: np.ndarray | None = None
-        for i, t in enumerate(terms):
-            docs_t, pos_t, cnt_t = occ[t]
-            didx = np.searchsorted(inter, docs_t)
-            drep = np.repeat(didx.astype(np.int64), cnt_t)
-            keys = drep * keymul + (pos_t - i)
-            keys = keys[pos_t >= i]
-            cur = keys if cur is None else np.intersect1d(
-                cur, keys, assume_unique=True
-            )
-            if not len(cur):
+        if slop == 0:
+            cur: np.ndarray | None = None
+            for i, t in enumerate(terms):
+                docs_t, pos_t, cnt_t = occ[t]
+                didx = np.searchsorted(inter, docs_t)
+                drep = np.repeat(didx.astype(np.int64), cnt_t)
+                keys = drep * keymul + (pos_t - i)
+                keys = keys[pos_t >= i]
+                cur = keys if cur is None else np.intersect1d(
+                    cur, keys, assume_unique=True
+                )
+                if not len(cur):
+                    return empty()
+            hit_idx, pf = np.unique(cur // keymul, return_counts=True)
+        else:
+            # sloppy path: greedy minimal chain per first-term occurrence
+            # (one searchsorted per term over sorted (doc, pos) keys)
+            keyarrs = []
+            for t in terms:
+                docs_t, pos_t, cnt_t = occ[t]
+                didx = np.searchsorted(inter, docs_t)
+                drep = np.repeat(didx.astype(np.int64), cnt_t)
+                keyarrs.append(np.sort(drep * keymul + pos_t))
+            start = keyarrs[0]
+            q = start
+            valid = np.ones(len(q), dtype=bool)
+            for arr in keyarrs[1:]:
+                idx = np.searchsorted(arr, q, side="right")
+                ok = idx < len(arr)
+                nxt = arr[np.minimum(idx, len(arr) - 1)]
+                valid &= ok & (nxt // keymul == q // keymul)
+                q = nxt
+            valid &= (q - start) <= (m - 1 + slop)  # same doc -> pos span
+            good = start[valid]
+            if not len(good):
                 return empty()
-        hit_idx, pf = np.unique(cur // keymul, return_counts=True)
+            hit_idx, pf = np.unique(good // keymul, return_counts=True)
         docs = inter[hit_idx]
         if match_only:
             return pd.DataFrame({"doc_id": docs})
@@ -1158,8 +1216,10 @@ def phrase_match_ids(
     index: Index,
     phrase: str,
     filters: dict[str, str] | None = None,
+    slop: int = 0,
 ) -> DataFrame:
-    """Match SET of an exact phrase (no scores) — the phrase analogue of
+    """Match SET of a phrase (no scores; ``slop`` semantics per
+    :func:`_phrase_kernel`) — the phrase analogue of
     :func:`match_ids`, so faceting / field-sorting / stats compose with
     quoted queries (``match_ids`` dispatches fully-quoted query strings
     here).  The kernel stops after positional verification: no dl decode,
@@ -1179,7 +1239,7 @@ def phrase_match_ids(
     spec = index.spec
     kernel = _phrase_kernel(
         terms, 0.0, max(index.avgdl, 1.0), spec.k1, spec.b, None,
-        spec.block_size, fterms, match_only=True,
+        spec.block_size, fterms, match_only=True, slop=slop,
     )
     # match-only: tf (to split position lists) and pos, but never dl — the
     # dls binaries stay in the parquet footer
@@ -1201,10 +1261,13 @@ def search_phrase(
     with_stored: bool = True,
     filters: dict[str, str] | None = None,
     start: int = 0,
+    slop: int = 0,
 ) -> DataFrame:
-    """Exact phrase query over a positional index — the Solr/Lucene
-    ``q="..."`` PhraseQuery analogue (slop 0; the reference's embedded Solr
-    serves these out of the box because text fields index positions,
+    """Phrase query over a positional index — the Solr/Lucene ``q="..."``
+    PhraseQuery analogue, with ``slop`` serving the ``q="..."~N`` sloppy
+    form (ordered within-span matching; semantics and Lucene deviations
+    documented on :func:`_phrase_kernel`; the reference's embedded Solr
+    serves both out of the box because text fields index positions,
     schema.xml text_en_splitting chain).
 
     Matching: documents whose token stream contains the analyzed phrase
@@ -1237,7 +1300,7 @@ def search_phrase(
             )
             kernel = _phrase_kernel(
                 terms, idf_sum, index.avgdl, spec.k1, spec.b, fetch_k,
-                spec.block_size, fterms,
+                spec.block_size, fterms, slop=slop,
             )
             # the phrase kernel never uses the block pruning stats or sum_tf
             # — keep them in the parquet footer
@@ -2957,7 +3020,8 @@ def batch_kernel(
 
     A plan is a bare term list (OR query, no filters — the original
     contract), a ``(terms, filter_terms, conjunctive)`` tuple, or a
-    ``("PHRASE", position_terms, filter_terms)`` tuple — full parity with
+    ``("PHRASE", position_terms, filter_terms[, slop])`` tuple — full
+    parity with
     the single-query surface: keyword filters restrict the candidate set
     per query (fq semantics, same block-granular intersection), a
     conjunctive query runs the exact TAAT intersection kernel, and a
@@ -2969,8 +3033,11 @@ def batch_kernel(
     ``counters`` and assert the skip counters fire."""
     norm_plans: dict[str, tuple] = {}
     for qid, p in plans.items():
-        if isinstance(p, tuple) and len(p) == 3 and p[0] == "PHRASE":
-            norm_plans[qid] = ("PHRASE", list(p[1]), set(p[2]))
+        if isinstance(p, tuple) and p and p[0] == "PHRASE":
+            norm_plans[qid] = (
+                "PHRASE", list(p[1]), set(p[2]),
+                int(p[3]) if len(p) > 3 else 0,
+            )
         elif isinstance(p, tuple):
             norm_plans[qid] = (list(p[0]), set(p[1]), bool(p[2]))
         else:
@@ -3014,7 +3081,8 @@ def batch_kernel(
                 qrows += del_rows
                 idf_sum = sum(idf[t] for t in pterms)
                 scorer = _phrase_kernel(
-                    pterms, idf_sum, avgdl, k1, b, k, block_size, pfterms
+                    pterms, idf_sum, avgdl, k1, b, k, block_size, pfterms,
+                    slop=plan[3],
                 )
                 res = scorer.rows(qrows)
                 if not len(res):
@@ -3161,12 +3229,8 @@ def search_many(
         if isinstance(req, str):
             req = {"q": req}
         raw_q = req["q"].strip()
-        if (
-            len(raw_q) >= 2
-            and raw_q[0] == '"'
-            and raw_q[-1] == '"'
-            and '"' not in raw_q[1:-1]
-        ):
+        pq = parse_quoted(raw_q)
+        if pq is not None:
             if not index.spec.positions:
                 raise ValueError(
                     "phrase queries need a positional index "
@@ -3174,8 +3238,9 @@ def search_many(
                 )
             plans[qid] = (
                 "PHRASE",
-                _phrase_terms(raw_q[1:-1]),
+                _phrase_terms(pq[0]),
                 filter_terms_of(req.get("filters")),
+                pq[1],
             )
             continue
         qtext, parsed_fterms = parse_query(

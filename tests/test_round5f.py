@@ -307,3 +307,130 @@ def test_browse_spellcheck_collation(spark, ix):
     resp = browse(spark, ix, "parze buffer")
     sc = resp["spellcheck"].collect()
     assert sc and any("parse" in r["collation"] for r in sc)
+
+
+# -------------------------------------------------------- sloppy phrase
+
+
+POS_SPEC = IndexSpec(
+    num_shards=2,
+    salt_buckets=2,
+    block_size=16,
+    keyword_fields=("lang",),
+    stored_fields=("repo", "path", "lang", "content"),
+    positions=True,
+)
+
+
+@pytest.fixture(scope="module")
+def pix(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("r5fpos") / "ix")
+    return build_index(
+        spark, synth_corpus(spark, 300, partitions=4), POS_SPEC, out
+    )
+
+
+def _sloppy_freq(positions: dict, terms: list[str], slop: int) -> int:
+    """Brute-force twin of the kernel's definition: count of first-term
+    positions whose greedy strictly-increasing chain through the remaining
+    terms spans <= len(terms)-1+slop."""
+    import bisect
+
+    if any(t not in positions for t in terms):
+        return 0
+    n = 0
+    for p in positions[terms[0]]:
+        q = p
+        ok = True
+        for t in terms[1:]:
+            arr = positions[t]
+            i = bisect.bisect_right(arr, q)
+            if i >= len(arr):
+                ok = False
+                break
+            q = arr[i]
+        if ok and q - p <= len(terms) - 1 + slop:
+            n += 1
+    return n
+
+
+def _doc_positions(text: str) -> dict:
+    from cascading_solr_spark.analyzer import tokenize_with_positions
+
+    out: dict = {}
+    for term, pos in tokenize_with_positions(text):
+        out.setdefault(term, []).append(pos)
+    for v in out.values():
+        v.sort()
+    return out
+
+
+def test_slop_matches_bruteforce(spark, pix, pdf):
+    from cascading_solr_spark.query.search import search_phrase
+
+    terms = ["parse", "buffer"]
+    for slop in (0, 1, 3):
+        got = {
+            int(r["doc_id"])
+            for r in search_phrase(
+                spark, pix, "parse buffer", k=None, with_stored=False,
+                slop=slop,
+            ).collect()
+        }
+        exp = {
+            i for i, t in zip(pdf.index, pdf["content"])
+            if _sloppy_freq(_doc_positions(t), terms, slop) > 0
+        }
+        assert got == exp, f"slop={slop}"
+    # monotone: bigger slop never loses matches, and finds strictly more
+    # somewhere on this corpus
+    s0 = {int(r["doc_id"]) for r in search_phrase(
+        spark, pix, "parse buffer", k=None, with_stored=False).collect()}
+    s3 = {int(r["doc_id"]) for r in search_phrase(
+        spark, pix, "parse buffer", k=None, with_stored=False, slop=3
+    ).collect()}
+    assert s0 <= s3 and len(s3) > len(s0)
+
+
+def test_slop_zero_equals_exact(spark, pix):
+    from cascading_solr_spark.query.search import search_phrase
+
+    exact = search_phrase(
+        spark, pix, "parse buffer", k=None, with_stored=False
+    ).collect()
+    zero = search_phrase(
+        spark, pix, "parse buffer", k=None, with_stored=False, slop=0
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in exact] == [
+        (r["doc_id"], r["score"]) for r in zero
+    ]
+
+
+def test_slop_query_string_and_batch_parity(spark, pix):
+    from cascading_solr_spark.query.search import (
+        match_ids,
+        search_many,
+        search_phrase,
+    )
+
+    via_string = search(
+        spark, pix, '"parse buffer"~2', k=None, with_stored=False
+    ).collect()
+    direct = search_phrase(
+        spark, pix, "parse buffer", k=None, with_stored=False, slop=2
+    ).collect()
+    assert [(r["doc_id"], round(r["score"], 6)) for r in via_string] == [
+        (r["doc_id"], round(r["score"], 6)) for r in direct
+    ]
+    assert direct, "fixture produced no sloppy matches"
+    batch = search_many(
+        spark, pix, {"a": '"parse buffer"~2'}, k=10
+    ).collect()
+    single = search_phrase(
+        spark, pix, "parse buffer", k=10, with_stored=False, slop=2
+    ).collect()
+    assert [(r["doc_id"], round(r["score"], 6)) for r in batch] == [
+        (r["doc_id"], round(r["score"], 6)) for r in single
+    ]
+    n = match_ids(spark, pix, '"parse buffer"~2').count()
+    assert n == len(direct)
