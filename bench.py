@@ -131,6 +131,23 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
         lambda: facet_counts(spark, ix_docs, "spark join", "lang").collect(),
         repeat=3,
     )
+    # every facet.field of the request in ONE pass (1 match job + 1
+    # prefix-OR-pruned scan) vs the 2x facet_counts it replaces
+    from cascading_solr_spark.query.search import facet_fields_counts
+
+    timings["facet_two_fields_one_pass"] = timed(
+        lambda: facet_fields_counts(
+            spark, ix_docs, "spark join", ["lang", "source"]
+        ).collect(),
+        repeat=3,
+    )
+    timings["facet_two_fields_two_calls"] = timed(
+        lambda: (
+            facet_counts(spark, ix_docs, "spark join", "lang").collect(),
+            facet_counts(spark, ix_docs, "spark join", "source").collect(),
+        ),
+        repeat=3,
+    )
     # eDisMax multi-field ranked retrieval (qf=text^0.5 title^1.2, tie=0.1)
     from cascading_solr_spark.query.search import search_dismax
 
@@ -288,6 +305,12 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
     timings["phrase_query"] = timed(
         lambda: search_phrase(
             spark, ix_docs, "merge sort", k=10, with_stored=False
+        ).collect(),
+        repeat=3,
+    )
+    timings["phrase_query_slop2"] = timed(
+        lambda: search_phrase(
+            spark, ix_docs, "merge sort", k=10, with_stored=False, slop=2
         ).collect(),
         repeat=3,
     )
