@@ -758,12 +758,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).select(F.lit("index").alias("path"), "doc_id")
         )
     )
-    # the reference's own query-string form (q=cat:Japanese through the
-    # Lucene parser, AbstractSolrSchemeTest.java:163-165): field:value tokens
-    # parsed against spec.keyword_fields into index-side filters
-    q["ix_query_string"] = lambda s, d: search(
-        s, _index_for(s, d), "lang:es " + Q_MAIN, k=10, with_stored=False
-    ).select("doc_id", F.round("score", 4).alias("score"))
+    # the reference's own query-string form through the Lucene parser
+    # (q=cat:Japanese, AbstractSolrSchemeTest.java:163-165): field:value
+    # tokens parsed against spec.keyword_fields into index-side filters,
+    # plus (r5g) the MUST_NOT form — '-merge' strips matching docs
+    # in-kernel (shard-local: sharding is by doc id) before top-k
+    def _query_string(s, d):
+        ix = _index_for(s, d)
+        filt = search(
+            s, ix, "lang:es " + Q_MAIN, k=10, with_stored=False
+        ).select(
+            F.lit("filter").alias("kind"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+        neg = search(
+            s, ix, Q_MAIN + " -merge", k=10, with_stored=False
+        ).select(
+            F.lit("neg").alias("kind"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+        return filt.unionByName(neg)
+
+    q["ix_query_string"] = _query_string
 
     # --- exact phrase query (PhraseQuery; positional index, r5c) ---
     def _phrase(s, d):
@@ -1491,13 +1509,22 @@ SELECT 'naive' AS path, doc_id FROM ({_and_sql}) a
 UNION ALL
 SELECT 'index' AS path, doc_id FROM ({_and_sql}) b
 """
-    # query-string parser path: 'lang:es spark join' == filter + ranked query
+    # query-string parser path: 'lang:es spark join' == filter + ranked
+    # query; '-merge' (MUST_NOT) == ranked query minus docs containing the
+    # excluded term, scores unchanged (exclusion never alters BM25 stats)
     o["ix_query_string"] = f"""
-WITH scores AS ({_bm25_sql(tuple(Q_MAIN.split()), None)})
-SELECT s.doc_id, s.score
-FROM scores s JOIN documents d USING (doc_id)
-WHERE d.lang = 'es'
-ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+WITH scores AS ({_bm25_sql(tuple(Q_MAIN.split()), None)}),
+mtoks AS (WITH {_toks_cte()}
+          SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')
+SELECT 'filter' AS kind, s.doc_id, s.score
+FROM (SELECT * FROM scores s JOIN documents d USING (doc_id)
+      WHERE d.lang = 'es'
+      ORDER BY s.score DESC, s.doc_id ASC LIMIT 10) s
+UNION ALL
+SELECT 'neg' AS kind, doc_id, score
+FROM (SELECT s.doc_id, s.score FROM scores s
+      WHERE s.doc_id NOT IN (SELECT doc_id FROM mtoks)
+      ORDER BY s.score DESC, s.doc_id ASC LIMIT 10) n
 """
     # exact phrase 'merge sort': positional adjacency + Lucene PhraseWeight
     # (Σidf over phrase slots × tf_norm(phrase_freq, dl)); positions are

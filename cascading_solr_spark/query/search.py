@@ -159,6 +159,65 @@ def query_op(query: str, default: str = "OR") -> tuple[str, str]:
     return " ".join(stripped), op
 
 
+def parse_prohibited(query: str) -> tuple[str, list[str]]:
+    """Lucene-parser prohibited clauses in the query string: ``-token`` and
+    the standalone uppercase ``NOT token`` form (the Solr query parser
+    treats both as MUST_NOT).  Returns ``(query_without_prohibited,
+    prohibited_tokens)`` — the prohibited tokens are RAW (un-analyzed;
+    resolve them with :func:`excluded_terms_of`).  Must run BEFORE the
+    analyzer sees the string: the tokenizer drops punctuation, so an
+    unparsed ``-foo`` would silently match ``foo`` POSITIVELY.
+
+    A quoted prohibited phrase (``-"a b"``) is not supported (exact top-k
+    under phrase exclusion needs a positional verify per candidate) —
+    rejected loudly, never silently dropped."""
+    toks = [t for t in query.split() if t]
+    rest: list[str] = []
+    neg: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == "NOT" and i + 1 < len(toks):
+            neg.append(toks[i + 1])
+            i += 2
+            continue
+        if t.startswith("-") and len(t) > 1:
+            neg.append(t[1:])
+            i += 1
+            continue
+        rest.append(t)
+        i += 1
+    for t in neg:
+        if t.startswith('"') or t.endswith('"'):
+            raise ValueError(
+                f"prohibited phrase clause {t!r} is not supported "
+                "(only -term / -field:value)"
+            )
+    return " ".join(rest), neg
+
+
+def excluded_terms_of(
+    neg_tokens: list[str], keyword_fields: tuple[str, ...]
+) -> set[str]:
+    """Resolve raw prohibited tokens to index terms: ``-field:value`` with a
+    keyword field becomes the exact keyword term (StrField semantics, same
+    parse as :func:`parse_query`); anything else is analyzed, and the doc
+    is excluded when it matches ANY resulting form.  (A multi-form analyzed
+    token — camelCase ``-TurboWriter`` → {turbo, writer, turbowriter} —
+    therefore excludes MORE than Lucene's structured sub-query would;
+    conservative over-exclusion, documented not hidden.)"""
+    fields = set(keyword_fields)
+    ex: set[str] = set()
+    for tok in neg_tokens:
+        if KW_SEP in tok:
+            f, v = tok.split(KW_SEP, 1)
+            if f in fields and v:
+                ex.add(f"{f}{KW_SEP}{v}")
+                continue
+        ex.update(analyze_query(tok))
+    return ex
+
+
 def _taat_kernel(
     idf: dict[str, float],
     avgdl: float,
@@ -170,8 +229,13 @@ def _taat_kernel(
     require_n_terms: int | None = None,
     cursor: tuple[float, int] | None = None,
     decode_cache: dict | None = None,
+    excluded_terms: set[str] | None = None,
 ):
     """Exact term-at-a-time scorer for one shard (numpy accumulate).
+
+    ``excluded_terms`` are prohibited clauses (Lucene ``-term``): docs
+    posting any of them are stripped with the tombstones, before the
+    conjunctive count / cursor / top-k — see wand.denied_ids.
 
     ``decode_cache`` memoizes full (ids, tfs, dls) row decodes keyed by
     row content (wand.row_cache_key) — shared across the queries of one
@@ -201,7 +265,7 @@ def _taat_kernel(
             return pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": "int64", "score": "float64"}
             )
-        denied = denied_ids(rows, block_size)
+        denied = denied_ids(rows, block_size, excluded_terms)
         all_ids: list[np.ndarray] = []
         all_contrib: list[np.ndarray] = []
         for row in rows:
@@ -379,13 +443,17 @@ def keyword_filter(
     index: Index,
     filters: dict[str, str] | set[str],
     k: int | None = None,
+    excluded: set[str] | None = None,
 ) -> DataFrame:
     """Pure keyword-field query (no ranking): doc_ids matching ALL filters,
     served from the index postings (never a docs-table scan).  The reference
     semantics target: ``cat:Japanese`` (AbstractSolrSchemeTest.java:163-169).
     ``filters`` is a field->value dict or a pre-built ``field:value`` term set.
+    ``excluded`` (index terms — analyzed or ``field:value``) strips docs
+    posting any of them, in-kernel (prohibited clauses over a filter query).
     """
     fterms = filters if isinstance(filters, set) else filter_terms_of(filters)
+    eterms = excluded or set()
     spec = index.spec
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -393,13 +461,13 @@ def keyword_filter(
         allowed = allowed_ids(rows, fterms, spec.block_size)
         if allowed is None or not len(allowed):
             return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
-        denied = denied_ids(rows, spec.block_size)
+        denied = denied_ids(rows, spec.block_size, eterms)
         if denied is not None:
             allowed = allowed[strip_denied(allowed, denied)]
         return pd.DataFrame({"doc_id": allowed})
 
     matched = _score_rows(index, spark).filter(
-        F.col("term").isin(_scan_terms(index, fterms))
+        F.col("term").isin(_scan_terms(index, fterms | eterms))
     )
     out = (
         matched.groupBy("shard")
@@ -407,6 +475,38 @@ def keyword_filter(
         .orderBy("doc_id")
     )
     return out if k is None else out.limit(k)
+
+
+def _ids_of_terms(
+    spark: SparkSession, index: Index, terms: set[str]
+) -> DataFrame:
+    """Distinct doc_ids posting ANY of ``terms`` (pre-resolved index terms —
+    no analysis, no synonym expansion, no tombstone strip: callers compose).
+    The OR-union leg of the pure-negative rewrite; id-columns-only decode,
+    same pruned scan shape as the match-only kernel."""
+    sterms = set(terms)
+    block_size = index.spec.block_size
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = list(pdf.itertuples(index=False))
+        parts = [
+            decode_doc_ids(r.doc_ids, int(r.n_docs), block_size)
+            for r in rows
+            if r.term in sterms
+        ]
+        if not parts:
+            return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
+        return pd.DataFrame({"doc_id": np.unique(np.concatenate(parts))})
+
+    matched = (
+        index.postings(spark)
+        .filter(F.col("term").isin(list(sterms)))
+        .select(
+            "shard", "term", "n_docs", "n_blocks",
+            "doc_ids", "boffs_ids", "block_last_id",
+        )
+    )
+    return matched.groupBy("shard").applyInPandas(kernel, "doc_id long")
 
 
 def match_ids(
@@ -424,34 +524,51 @@ def match_ids(
     filters, synonym expansion), but the kernel decodes ONLY the doc-id
     buffers: no tf/dl decode, no idf/tf-norm arithmetic, no top-k merge —
     and the postings scan projects away the tf/dl binary columns entirely,
-    so parquet never reads them.  Returns distinct ``doc_id`` rows."""
+    so parquet never reads them.  Returns distinct ``doc_id`` rows.
+
+    Prohibited clauses (``-term`` / ``-field:value`` / ``NOT term``,
+    Solr's MUST_NOT) strip matching docs in-kernel — shard-local, since
+    sharding is by doc id.  A pure-negative query (``-foo``, ``*:* -foo``)
+    follows Solr's top-level rewrite to ``*:* AND NOT foo``: the live-doc
+    set minus the excluded match set (one anti-join)."""
     qs = query.strip()
     pq = parse_quoted(qs)
     if pq is not None:
         return phrase_match_ids(
             spark, index, pq[0], filters=filters, slop=pq[1]
         )
-    if qs == "*:*":
+    qs, neg = parse_prohibited(qs)
+    eterms = excluded_terms_of(neg, index.spec.keyword_fields)
+    if qs == "*:*" or (not qs and neg):
         # MatchAllDocsQuery (the /browse handler's q.alt=*:* landing page,
-        # solrconfig.xml:879): every doc, optionally fq-restricted.  The
+        # solrconfig.xml:879), incl. Solr's pure-negative top-level rewrite:
+        # every doc, optionally fq-restricted, minus the excluded set.  The
         # unfiltered case reads ONE int column of the docs table (columnar
         # pruned scan, no postings touched); filtered goes index-side.
         fterms = filter_terms_of(filters)
         if fterms:
-            return keyword_filter(spark, index, fterms)
+            return keyword_filter(spark, index, fterms, excluded=eterms)
         live = index.docs(spark).select("doc_id")
         if index.has_deletes:
             live = live.join(
                 F.broadcast(index.deleted_ids(spark)), "doc_id", "left_anti"
             )
+        if eterms:
+            live = live.join(
+                _ids_of_terms(spark, index, eterms), "doc_id", "left_anti"
+            )
         return live
-    qtext, parsed_fterms = parse_query(query, index.spec.keyword_fields)
+    qtext, parsed_fterms = parse_query(qs, index.spec.keyword_fields)
     qtext, op = query_op(qtext, default=op)
     terms = expand_terms(qtext, synonyms)
     fterms = filter_terms_of(filters) | parsed_fterms
     empty = spark.createDataFrame([], "doc_id long")
     if not terms:
-        return keyword_filter(spark, index, fterms) if fterms else empty
+        return (
+            keyword_filter(spark, index, fterms, excluded=eterms)
+            if fterms
+            else empty
+        )
     dfs = term_dfs(spark, index, terms)
     conjunctive = op.upper() == "AND"
     n_required = len(set(terms))
@@ -483,14 +600,16 @@ def match_ids(
             uniq = np.unique(ids)
         if allowed is not None:
             uniq = uniq[_member(uniq, allowed)]
-        denied = denied_ids(rows, block_size)
+        denied = denied_ids(rows, block_size, eterms)
         if denied is not None:
             uniq = uniq[strip_denied(uniq, denied)]
         return pd.DataFrame({"doc_id": uniq})
 
     matched = (
         index.postings(spark)
-        .filter(F.col("term").isin(_scan_terms(index, sterms | fterms)))
+        .filter(
+            F.col("term").isin(_scan_terms(index, sterms | fterms | eterms))
+        )
         # id-side columns only: tfs/dls/boffs_tfs/boffs_dls and the block
         # pruning stats never leave the parquet footer
         .select(
@@ -580,12 +699,16 @@ def search(
             spark, index, pq[0], k=k, with_stored=with_stored,
             filters=filters, start=start, slop=pq[1],
         )
-    if q == "*:*":
+    q, neg = parse_prohibited(q)
+    eterms = excluded_terms_of(neg, index.spec.keyword_fields)
+    if q == "*:*" or (not q and neg):
         # MatchAllDocsQuery (q.alt=*:*, solrconfig.xml:879): constant score
-        # 1.0 (Lucene's match-all), doc_id order, normal paging/fq/stored
+        # 1.0 (Lucene's match-all), doc_id order, normal paging/fq/stored.
+        # A pure-negative query follows Solr's top-level rewrite to
+        # ``*:* AND NOT ...`` (match_ids serves the exclusion).
         fetch_k = None if k is None else k + start
         top = (
-            match_ids(spark, index, "*:*", filters=filters)
+            match_ids(spark, index, query.strip(), filters=filters)
             .select("doc_id", F.lit(1.0).alias("score"))
             .orderBy("doc_id")
         )
@@ -598,7 +721,7 @@ def search(
         out = _fetch_stored(spark, index, top, bounded=k is not None, fl=fl)
         return out.drop("score") if fl is not None and "score" not in fl \
             else out
-    qtext, parsed_fterms = parse_query(query, index.spec.keyword_fields)
+    qtext, parsed_fterms = parse_query(q, index.spec.keyword_fields)
     qtext, op = query_op(qtext, default=op)
     terms = expand_terms(qtext, synonyms)
     fterms = filter_terms_of(filters) | parsed_fterms
@@ -619,9 +742,9 @@ def search(
         # term with global df=0 empties the result outright
         if fterms and not terms:
             # pure filter query: matching docs ranked by doc_id, score 0
-            top = keyword_filter(spark, index, fterms, k=fetch_k).withColumn(
-                "score", F.lit(0.0)
-            )
+            top = keyword_filter(
+                spark, index, fterms, k=fetch_k, excluded=eterms
+            ).withColumn("score", F.lit(0.0))
             if start:
                 top = top.offset(start)
         else:
@@ -634,21 +757,24 @@ def search(
                 idf, index.avgdl, spec.k1, spec.b, fetch_k, spec.block_size,
                 fterms,
                 require_n_terms=n_required if conjunctive else mm,
+                excluded_terms=eterms,
             )
         elif mode == "taat" or k is None:
             # k=None returns every match — exhaustive TAAT (top-k pruning
             # has nothing to prune against)
             kernel = _taat_kernel(
                 idf, index.avgdl, spec.k1, spec.b, fetch_k, spec.block_size,
-                fterms,
+                fterms, excluded_terms=eterms,
             )
         else:
             kernel = maxscore_kernel(
                 idf, index.avgdl, spec.k1, spec.b, fetch_k, spec.block_size,
-                fterms,
+                fterms, excluded_terms=eterms,
             )
         matched = postings.filter(
-            F.col("term").isin(_scan_terms(index, list(dfs) + list(fterms)))
+            F.col("term").isin(
+                _scan_terms(index, list(dfs) + list(fterms) + list(eterms))
+            )
         )
         local_topk = matched.groupBy("shard").applyInPandas(kernel, _RESULT_SCHEMA)
         top = local_topk.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -674,6 +800,7 @@ def _dismax_kernel(
     block_size: int,
     filter_terms: set[str] | None = None,
     require_n_groups: int | None = None,
+    excluded_terms: set[str] | None = None,
 ):
     """Exact DisMax scorer for one shard (the eDisMax combination rule,
     Lucene DisjunctionMaxQuery: per query clause, the MAX over per-field
@@ -698,7 +825,7 @@ def _dismax_kernel(
         allowed = allowed_ids(rows, filter_terms, block_size)
         if allowed is not None and not len(allowed):
             return empty
-        denied = denied_ids(rows, block_size)
+        denied = denied_ids(rows, block_size, excluded_terms)
         g_ids: list[list[np.ndarray]] = [[] for _ in range(n_groups)]
         g_contrib: list[list[np.ndarray]] = [[] for _ in range(n_groups)]
         for row in rows:
@@ -812,7 +939,21 @@ def search_dismax(
                 f"qf field {f!r} is not content_field or a spec.text_fields "
                 f"entry ({sorted(text_set)})"
             )
-    qtext, parsed_fterms = parse_query(query, spec.keyword_fields)
+    qs, negtoks = parse_prohibited(query.strip())
+    raw_eterms = excluded_terms_of(negtoks, spec.keyword_fields)
+    # a prohibited CLAUSE excludes a doc matching it in ANY qf field
+    # (Lucene: the MUST_NOT sub-query is itself a dismax over qf); keyword
+    # exclusions stay exact terms.  Analyzed tokens never contain ':'
+    # (alphanumeric runs), so the KW_SEP test is unambiguous.
+    kwf = set(spec.keyword_fields)
+    eterms: set[str] = set()
+    for t in raw_eterms:
+        if KW_SEP in t and t.split(KW_SEP, 1)[0] in kwf:
+            eterms.add(t)
+        else:
+            for f in qf:
+                eterms.add(t if f == spec.content_field else f"{f}{KW_SEP}{t}")
+    qtext, parsed_fterms = parse_query(qs, spec.keyword_fields)
     qtext, op = query_op(qtext, default=op)
     tokens = expand_terms(qtext, synonyms)
     fterms = filter_terms_of(filters) | parsed_fterms
@@ -855,9 +996,9 @@ def search_dismax(
         or (mm is not None and len(present_groups) < mm)
     ):
         if fterms and not clauses:
-            top = keyword_filter(spark, index, fterms, k=fetch_k).withColumn(
-                "score", F.lit(0.0)
-            )
+            top = keyword_filter(
+                spark, index, fterms, k=fetch_k, excluded=eterms
+            ).withColumn("score", F.lit(0.0))
             if start:
                 top = top.offset(start)
         else:
@@ -870,9 +1011,12 @@ def search_dismax(
             require_n_groups=(
                 n_clauses if conjunctive else mm
             ),
+            excluded_terms=eterms,
         )
         matched = _score_rows(index, spark).filter(
-            F.col("term").isin(_scan_terms(index, list(dfs) + list(fterms)))
+            F.col("term").isin(
+                _scan_terms(index, list(dfs) + list(fterms) + list(eterms))
+            )
         )
         local_topk = matched.groupBy("shard").applyInPandas(
             kernel, _RESULT_SCHEMA
@@ -934,7 +1078,9 @@ def search_after(
                 bounded=True,
             )
         )
-    qtext, parsed_fterms = parse_query(query, index.spec.keyword_fields)
+    qs, neg = parse_prohibited(query.strip())
+    eterms = excluded_terms_of(neg, index.spec.keyword_fields)
+    qtext, parsed_fterms = parse_query(qs, index.spec.keyword_fields)
     qtext, op = query_op(qtext, default=op)
     terms = expand_terms(qtext, synonyms)
     fterms = filter_terms_of(filters) | parsed_fterms
@@ -945,7 +1091,7 @@ def search_after(
         if fterms and not terms:
             # pure filter query: (doc_id asc, score 0) order — the cursor
             # degenerates to a doc_id floor
-            out = keyword_filter(spark, index, fterms)
+            out = keyword_filter(spark, index, fterms, excluded=eterms)
             if cursor is not None:
                 out = out.filter(F.col("doc_id") > int(cursor[1]))
             top = (
@@ -959,10 +1105,12 @@ def search_after(
         kernel = _taat_kernel(
             idf, index.avgdl, spec.k1, spec.b, k, spec.block_size, fterms,
             require_n_terms=n_required if conjunctive else None,
-            cursor=cursor,
+            cursor=cursor, excluded_terms=eterms,
         )
         matched = _score_rows(index, spark).filter(
-            F.col("term").isin(_scan_terms(index, list(dfs) + list(fterms)))
+            F.col("term").isin(
+                _scan_terms(index, list(dfs) + list(fterms) + list(eterms))
+            )
         )
         local = matched.groupBy("shard").applyInPandas(kernel, _RESULT_SCHEMA)
         top = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -1420,7 +1568,8 @@ def explain_score(
     float64 arithmetic; asserted in tests).  Stats come from the INDEX
     (dict df + postings tf/dl), not from re-analyzing stored text, so the
     explanation is the ground truth of what scored."""
-    qtext, _ = parse_query(query, index.spec.keyword_fields)
+    qs, _ = parse_prohibited(query.strip())  # ranked docs never match a
+    qtext, _ = parse_query(qs, index.spec.keyword_fields)  # prohibited term
     qtext, _ = query_op(qtext)
     terms = expand_terms(qtext, synonyms)
     dfs = term_dfs(spark, index, terms) if terms else {}
@@ -1549,7 +1698,8 @@ def search_elevated(
     )
     if not pinned:
         return tail
-    qtext, _ = parse_query(query, index.spec.keyword_fields)
+    qs, _ = parse_prohibited(query.strip())
+    qtext, _ = parse_query(qs, index.spec.keyword_fields)
     qtext, _ = query_op(qtext, default=op)
     terms = expand_terms(qtext)
     dfs = term_dfs(spark, index, terms) if terms else {}
@@ -1946,7 +2096,8 @@ def highlight(
             f"highlighting requires content field {spec.content_field!r} in "
             f"stored_fields {spec.stored_fields!r} (Solr stored=\"true\")"
         )
-    qtext, _ = parse_query(query, spec.keyword_fields)
+    qs, _ = parse_prohibited(query.strip())  # never highlight a prohibited
+    qtext, _ = parse_query(qs, spec.keyword_fields)  # term (search excludes)
     qtext, _ = query_op(qtext, default=op)
     terms = sorted(set(expand_terms(qtext, synonyms)))
     top = search(
@@ -2060,7 +2211,8 @@ def highlight_fields(
             f"highlight fields must be stored (Solr stored=\"true\"): "
             f"{missing} not in {sorted(stored)}"
         )
-    qtext, _ = parse_query(query, spec.keyword_fields)
+    qs, _ = parse_prohibited(query.strip())
+    qtext, _ = parse_query(qs, spec.keyword_fields)
     qtext, _ = query_op(qtext, default=op)
     terms = sorted(set(expand_terms(qtext, synonyms)))
     if top is None:
@@ -3019,12 +3171,13 @@ def batch_kernel(
     term shares across queries are memoized in one per-partition cache.
 
     A plan is a bare term list (OR query, no filters — the original
-    contract), a ``(terms, filter_terms, conjunctive)`` tuple, or a
-    ``("PHRASE", position_terms, filter_terms[, slop])`` tuple — full
-    parity with
+    contract), a ``(terms, filter_terms, conjunctive[, excluded_terms])``
+    tuple, or a ``("PHRASE", position_terms, filter_terms[, slop])`` tuple
+    — full parity with
     the single-query surface: keyword filters restrict the candidate set
     per query (fq semantics, same block-granular intersection), a
-    conjunctive query runs the exact TAAT intersection kernel, and a
+    conjunctive query runs the exact TAAT intersection kernel, excluded
+    (prohibited-clause) terms strip their docs before top-k, and a
     phrase plan runs the positional phrase kernel (rarest-first candidate
     generation + blockwise position decode; PhraseWeight scoring — the
     same kernel :func:`search_phrase` uses, per-query rank-identical).
@@ -3039,9 +3192,12 @@ def batch_kernel(
                 int(p[3]) if len(p) > 3 else 0,
             )
         elif isinstance(p, tuple):
-            norm_plans[qid] = (list(p[0]), set(p[1]), bool(p[2]))
+            norm_plans[qid] = (
+                list(p[0]), set(p[1]), bool(p[2]),
+                set(p[3]) if len(p) > 3 else set(),
+            )
         else:
-            norm_plans[qid] = (list(p), set(), False)
+            norm_plans[qid] = (list(p), set(), False, set())
 
     def _plan_terms(p: tuple) -> tuple[list[str], set[str]]:
         return (p[1], p[2]) if p[0] == "PHRASE" else (p[0], p[1])
@@ -3050,6 +3206,8 @@ def batch_kernel(
     for p in norm_plans.values():
         terms, fterms = _plan_terms(p)
         want |= set(terms) | fterms
+        if p[0] != "PHRASE":
+            want |= p[3]
     # tombstone rows (present in the scan only when the index has deletes)
     # are appended to every query's row group so each sub-kernel excludes
     # them exactly like the single-query path
@@ -3091,9 +3249,10 @@ def batch_kernel(
                 out_ids.append(res["doc_id"].to_numpy())
                 out_scores.append(res["score"].to_numpy())
                 continue
-            terms, fterms, conjunctive = plan
+            terms, fterms, conjunctive, eterms = plan
             uniq_terms = list(dict.fromkeys(terms))
             idf_q = {t: idf[t] for t in uniq_terms if t in idf}
+            erows = [r for t in sorted(eterms) for r in by_term.get(t, [])]
             if not uniq_terms and fterms:
                 # pure keyword-filter query: doc_ids (score 0.0), the same
                 # result shape the single-query path serves via
@@ -3103,7 +3262,7 @@ def batch_kernel(
                 allowed = allowed_ids(frows, fterms, block_size)
                 if allowed is None or not len(allowed):
                     continue
-                denied = denied_ids(del_rows, block_size)
+                denied = denied_ids(del_rows + erows, block_size, eterms)
                 if denied is not None:
                     allowed = allowed[strip_denied(allowed, denied)]
                 hits = allowed[:k]
@@ -3117,18 +3276,19 @@ def batch_kernel(
             qrows += [r for t in sorted(fterms) for r in by_term.get(t, [])]
             if not qrows:
                 continue
-            qrows += del_rows
+            qrows += del_rows + erows
             if conjunctive:
                 scorer = _taat_kernel(
                     idf_q, avgdl, k1, b, k, block_size, fterms,
                     require_n_terms=len(set(uniq_terms)),
-                    decode_cache=cache,
+                    decode_cache=cache, excluded_terms=eterms,
                 )
             else:
                 scorer = maxscore_kernel(
                     idf_q, avgdl, k1, b, k, block_size,
                     filter_terms=fterms,
                     counters=counters, decode_cache=cache,
+                    excluded_terms=eterms,
                 )
             res = scorer.rows(qrows)
             if not len(res):
@@ -3243,13 +3403,13 @@ def search_many(
                 pq[1],
             )
             continue
-        qtext, parsed_fterms = parse_query(
-            req["q"], index.spec.keyword_fields
-        )
+        qs, neg = parse_prohibited(raw_q)
+        eterms = excluded_terms_of(neg, index.spec.keyword_fields)
+        qtext, parsed_fterms = parse_query(qs, index.spec.keyword_fields)
         qtext, op = query_op(qtext, default=req.get("op", "OR"))
         terms = expand_terms(qtext, req.get("synonyms"))
         fterms = filter_terms_of(req.get("filters")) | parsed_fterms
-        plans[qid] = (terms, fterms, op.upper() == "AND")
+        plans[qid] = (terms, fterms, op.upper() == "AND", eterms)
     have_phrase = any(p[0] == "PHRASE" for p in plans.values())
     all_terms = sorted(
         {
@@ -3265,6 +3425,14 @@ def search_many(
             for t in (p[2] if p[0] == "PHRASE" else p[1])
         }
     )
+    all_eterms = sorted(
+        {
+            t
+            for p in plans.values()
+            if p[0] != "PHRASE"
+            for t in p[3]
+        }
+    )
     empty = spark.createDataFrame([], "query_id string, doc_id long, score double")
     if not all_terms and not all_fterms:
         return empty
@@ -3278,7 +3446,9 @@ def search_many(
     )
     scan_cols = _SCORE_COLS + (["pos", "boffs_pos"] if have_phrase else [])
     matched = index.postings(spark).select(*scan_cols).filter(
-        F.col("term").isin(_scan_terms(index, list(idf) + all_fterms))
+        F.col("term").isin(
+            _scan_terms(index, list(idf) + all_fterms + all_eterms)
+        )
     )
     local = matched.groupBy("shard").applyInPandas(
         kernel, "query_id string, doc_id long, score double"

@@ -192,21 +192,31 @@ def allowed_ids(
     return allowed
 
 
-def denied_ids(pdf_rows: list, block_size: int) -> np.ndarray | None:
-    """Sorted unique tombstoned doc ids in this shard's rows (None = no
-    deletes present — the scan only includes ``DELETED_TERM`` when the index
-    has deletes, so a delete-free index pays nothing here).
+def denied_ids(
+    pdf_rows: list,
+    block_size: int,
+    excluded_terms: set[str] | None = None,
+) -> np.ndarray | None:
+    """Sorted unique DENIED doc ids in this shard's rows (None = nothing to
+    deny): delete tombstones (the scan only includes ``DELETED_TERM`` when
+    the index has deletes, so a delete-free index pays nothing here) plus,
+    when ``excluded_terms`` is given, every doc posting one of those terms
+    — the Lucene prohibited-clause (``-term`` / ReqExclScorer) analogue.
+    Sharding is by doc id, so an excluded term's postings for THIS shard
+    are exactly the shard's excluded docs: prohibition is shard-local,
+    never a cross-shard join.
 
     The Lucene liveDocs analogue: every kernel drops these ids BEFORE
-    accumulation / top-k selection, so deleted docs can never raise θ or
+    accumulation / top-k selection, so denied docs can never raise θ or
     occupy a result slot, while df/avgdl statistics stay unchanged (scores
     of surviving docs are bit-identical across a delete).  Cost is one
-    filter-term-shaped decode per shard, bounded by the tombstone count —
-    compaction folds it back to zero."""
+    filter-term-shaped decode per shard, bounded by the denied count —
+    compaction folds the tombstone part back to zero."""
+    deny = excluded_terms or set()
     parts = [
         decode_doc_ids(r.doc_ids, int(r.n_docs), block_size)
         for r in pdf_rows
-        if r.term == DELETED_TERM
+        if r.term == DELETED_TERM or r.term in deny
     ]
     if not parts:
         return None
@@ -241,6 +251,7 @@ def maxscore_kernel(
     filter_terms: set[str] | None = None,
     counters: dict | None = None,
     decode_cache: dict | None = None,
+    excluded_terms: set[str] | None = None,
 ):
     """Build the per-shard applyInPandas scorer (same contract as TAAT).
 
@@ -271,12 +282,13 @@ def maxscore_kernel(
         allowed = allowed_ids(rows, filter_terms, block_size, counters)
         if allowed is not None and not len(allowed):
             return _EMPTY.copy()
-        # tombstones (only present in the scan when the index has deletes):
-        # stripped in the ESSENTIAL branch, i.e. before any doc enters the
-        # accumulator — θ then only ever reflects live docs, so MaxScore
-        # pruning stays exact.  The non-essential branch touches only
-        # already-accumulated (live) docs and needs no mask.
-        denied = denied_ids(rows, block_size)
+        # tombstones (only present in the scan when the index has deletes)
+        # and prohibited-term postings: stripped in the ESSENTIAL branch,
+        # i.e. before any doc enters the accumulator — θ then only ever
+        # reflects eligible docs, so MaxScore pruning stays exact.  The
+        # non-essential branch touches only already-accumulated (eligible)
+        # docs and needs no mask.
+        denied = denied_ids(rows, block_size, excluded_terms)
 
         # group scoring rows (one per salt/segment) by term, each term's
         # rows in canonical content order (accumulation-order determinism

@@ -1,0 +1,213 @@
+"""Prohibited clauses — the Lucene-parser MUST_NOT surface (``-term``,
+``-field:value``, ``NOT term``, and Solr's pure-negative top-level rewrite
+``-foo`` == ``*:* AND NOT foo``).
+
+The reference serves these through Solr's query parser (its /browse and
+/select handlers accept any Lucene boolean syntax; solrconfig.xml:766-774).
+Sharding is by doc id, so exclusion is SHARD-LOCAL: an excluded term's
+postings for shard s are exactly the shard's excluded docs, decoded with the
+delete tombstones and stripped before the accumulator / top-k (wand.denied_ids
+— θ never reflects an excluded doc, so MaxScore pruning stays exact).
+"""
+
+import pytest
+
+from cascading_solr_spark.corpus import synth_corpus
+from cascading_solr_spark.indexing.build import build_index
+from cascading_solr_spark.query.search import (
+    highlight,
+    match_ids,
+    parse_prohibited,
+    search,
+    search_after,
+    search_dismax,
+    search_many,
+)
+from cascading_solr_spark.spec import IndexSpec
+
+R5G_SPEC = IndexSpec(
+    num_shards=2,
+    salt_buckets=2,
+    block_size=16,
+    keyword_fields=("lang", "repo"),
+    stored_fields=("repo", "lang", "content"),
+)
+
+
+@pytest.fixture(scope="module")
+def ix(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("r5gix") / "ix")
+    return build_index(
+        spark, synth_corpus(spark, 300, partitions=4), R5G_SPEC, out
+    )
+
+
+def _ids(df):
+    return {r["doc_id"] for r in df.collect()}
+
+
+def _scored(df):
+    return {(r["doc_id"], round(r["score"], 9)) for r in df.collect()}
+
+
+def test_parse_prohibited_forms():
+    assert parse_prohibited("spark join -merge NOT sort") == (
+        "spark join", ["merge", "sort"],
+    )
+    assert parse_prohibited("-foo") == ("", ["foo"])
+    # a bare hyphen token is not a clause
+    assert parse_prohibited("a - b") == ("a - b", [])
+    with pytest.raises(ValueError):
+        parse_prohibited('-"a b"')
+
+
+def test_ranked_negation_is_exact_antijoin(spark, ix):
+    """search('a b -c') == search('a b') minus docs matching c — same
+    scores for every survivor (exclusion never changes BM25 stats)."""
+    pos = _scored(search(spark, ix, "parse buffer", k=None, with_stored=False))
+    excl = _ids(match_ids(spark, ix, "merge"))
+    neg = _scored(
+        search(spark, ix, "parse buffer -merge", k=None, with_stored=False)
+    )
+    want = {(d, s) for d, s in pos if d not in excl}
+    assert neg == want and len(neg) < len(pos)
+
+
+def test_topk_negation_exact_under_maxscore(spark, ix):
+    """Top-10 under exclusion equals the first 10 of the full excluded
+    ranking — MaxScore θ never counts an excluded doc."""
+    full = sorted(
+        _scored(
+            search(spark, ix, "parse buffer -merge", k=None, with_stored=False)
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    t10 = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(
+            spark, ix, "parse buffer -merge", k=10, with_stored=False
+        ).collect()
+    ]
+    assert t10 == full
+
+
+def test_pure_negative_matches_all_but(spark, ix):
+    allids = _ids(match_ids(spark, ix, "*:*"))
+    excl = _ids(match_ids(spark, ix, "merge"))
+    assert _ids(match_ids(spark, ix, "-merge")) == allids - excl
+    assert _ids(match_ids(spark, ix, "*:* -merge")) == allids - excl
+
+
+def test_not_form_and_keyword_exclusion(spark, ix):
+    base = _ids(match_ids(spark, ix, "parse buffer"))
+    excl = _ids(match_ids(spark, ix, "merge"))
+    assert _ids(match_ids(spark, ix, "parse buffer NOT merge")) == base - excl
+    es = _ids(match_ids(spark, ix, "*:*", filters={"lang": "python"}))
+    assert _ids(match_ids(spark, ix, "parse buffer -lang:python")) == base - es
+
+
+def test_negation_ground_truth(spark, ix):
+    """Membership against a brute-force per-doc oracle (the analyzer run
+    driver-side over every stored text), not another kernel path."""
+    from cascading_solr_spark.analyzer import tokenize
+
+    docs = ix.docs(spark).select("doc_id", "content").toPandas()
+    tok = {
+        int(r.doc_id): set(tokenize(r.content))
+        for r in docs.itertuples(index=False)
+    }
+    got = _ids(match_ids(spark, ix, "parse -merge"))
+    want = {d for d, ts in tok.items() if "parse" in ts and "merge" not in ts}
+    assert got == want
+
+
+def test_and_and_filters_compose_with_negation(spark, ix):
+    a_pos = _ids(match_ids(spark, ix, "parse buffer", op="AND"))
+    excl = _ids(match_ids(spark, ix, "merge"))
+    assert (
+        _ids(match_ids(spark, ix, "parse buffer -merge", op="AND"))
+        == a_pos - excl
+    )
+    f_pos = _ids(
+        match_ids(spark, ix, "parse buffer", filters={"lang": "java"})
+    )
+    assert (
+        _ids(
+            match_ids(
+                spark, ix, "parse buffer -merge", filters={"lang": "java"}
+            )
+        )
+        == f_pos - excl
+    )
+
+
+def test_batch_negation_parity(spark, ix):
+    single = {
+        ("a", d, s)
+        for d, s in [
+            (r["doc_id"], round(r["score"], 9))
+            for r in search(
+                spark, ix, "parse buffer -merge", k=10, with_stored=False
+            ).collect()
+        ]
+    }
+    got = {
+        (r["query_id"], r["doc_id"], round(r["score"], 9))
+        for r in search_many(
+            spark, ix, {"a": "parse buffer -merge"}, k=10
+        ).collect()
+    }
+    assert got == single
+
+
+def test_cursor_paging_with_negation(spark, ix):
+    from cascading_solr_spark.query.search import next_cursor
+
+    full = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(
+            spark, ix, "parse buffer -merge", k=None, with_stored=False
+        ).collect()
+    ]
+    pages, cursor = [], None
+    for _ in range(3):
+        rows = search_after(
+            spark, ix, "parse buffer -merge", cursor=cursor, k=7
+        ).collect()
+        if not rows:
+            break
+        pages += [(r["doc_id"], round(r["score"], 9)) for r in rows]
+        cursor = next_cursor(rows)
+    assert pages == full[: len(pages)] and len(pages) == min(21, len(full))
+
+
+def test_dismax_negation(spark, ix):
+    qf = {"content": 1.0}
+    pos = _scored(
+        search_dismax(
+            spark, ix, "parse buffer", qf, k=None, with_stored=False
+        )
+    )
+    excl = _ids(match_ids(spark, ix, "merge"))
+    neg = _scored(
+        search_dismax(
+            spark, ix, "parse buffer -merge", qf, k=None, with_stored=False
+        )
+    )
+    assert neg == {(d, s) for d, s in pos if d not in excl}
+
+
+def test_highlight_never_wraps_prohibited_term(spark, ix):
+    rows = highlight(spark, ix, "parse -merge", k=10).collect()
+    assert rows
+    for r in rows:
+        assert r["term"] != "merge"
+        assert "<em>merge</em>" not in r["snippet"].lower()
+
+
+def test_excluded_term_absent_from_index_is_noop(spark, ix):
+    base = _scored(search(spark, ix, "parse buffer", k=5, with_stored=False))
+    got = _scored(
+        search(spark, ix, "parse buffer -zzzzznotaterm", k=5, with_stored=False)
+    )
+    assert got == base
