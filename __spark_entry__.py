@@ -174,23 +174,32 @@ def _toks_cte(table: str = "documents") -> str:
     )
 
 
-def _bm25_sql(terms: tuple[str, ...], k: int | None) -> str:
-    tl = ", ".join(f"('{t}')" for t in terms)
+def _bm25_sql(
+    terms: tuple[str, ...],
+    k: int | None,
+    weights: dict[str, float] | None = None,
+) -> str:
+    """``weights``: per-term boost multipliers (the ``term^2`` query form —
+    the engine premultiplies boosts into idf; ×1.0 is exact in IEEE, so the
+    weighted SQL is bit-identical to the old unweighted form)."""
+    w = weights or {}
+    tl = ", ".join(f"('{t}', {float(w.get(t, 1.0))!r})" for t in terms)
     return f"""
 WITH {_toks_cte()},
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
 stats AS (SELECT (SELECT count(*) FROM documents) AS n,
                  (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
-q(term) AS (VALUES {tl}),
-dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf
-          WHERE term IN (SELECT term FROM q) GROUP BY 1),
+q(term, w) AS (VALUES {tl}),
+dfreq AS (SELECT tf.term, q.w, count(*)::BIGINT AS df FROM tf
+          JOIN q ON q.term = tf.term GROUP BY 1, 2),
 scores AS (
   SELECT tf.doc_id,
-         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         sum( d.w * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
               * (tf.tf * (1.2 + 1.0))
               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
-  FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  FROM tf JOIN dfreq d ON d.term = tf.term
+  JOIN dl USING (doc_id) CROSS JOIN stats s
   GROUP BY 1)
 SELECT doc_id, round(score, 4) AS score
 FROM scores ORDER BY round(score, 4) DESC, doc_id ASC
@@ -779,7 +788,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             F.round("score", 4).alias("score"),
         )
-        return filt.unionByName(neg)
+        # r5g: per-term boost 'join^2' — clause weight multiplier (Lucene
+        # boost placement: premultiplied into idf, MaxScore bounds scale)
+        boost = search(
+            s, ix, "spark join^2", k=10, with_stored=False
+        ).select(
+            F.lit("boost").alias("kind"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+        return filt.unionByName(neg).unionByName(boost)
 
     q["ix_query_string"] = _query_string
 
@@ -1525,6 +1543,9 @@ SELECT 'neg' AS kind, doc_id, score
 FROM (SELECT s.doc_id, s.score FROM scores s
       WHERE s.doc_id NOT IN (SELECT doc_id FROM mtoks)
       ORDER BY s.score DESC, s.doc_id ASC LIMIT 10) n
+UNION ALL
+SELECT 'boost' AS kind, doc_id, score
+FROM ({_bm25_sql(tuple(Q_MAIN.split()), 10, weights={"join": 2.0})}) b
 """
     # exact phrase 'merge sort': positional adjacency + Lucene PhraseWeight
     # (Σidf over phrase slots × tf_norm(phrase_freq, dl)); positions are

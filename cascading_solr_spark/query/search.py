@@ -196,6 +196,47 @@ def parse_prohibited(query: str) -> tuple[str, list[str]]:
     return " ".join(rest), neg
 
 
+_BOOST_RE = re.compile(r"^(.+?)\^(\d+(?:\.\d+)?)$")
+
+
+def parse_boosts(query: str) -> tuple[str, dict[str, float]]:
+    """Lucene-parser per-term boosts in the query string: ``term^2`` /
+    ``term^2.5``.  Returns ``(query_without_boost_syntax, {raw_token:
+    boost})`` — tokens are RAW (pre-analysis; resolve with
+    :func:`boost_weights_of`).  Must run before the analyzer sees the
+    string (the tokenizer drops ``^``, so ``foo^2`` would otherwise match
+    the literal term ``2``).  A non-positive boost is rejected (Lucene
+    requires boost > 0).  Duplicate boosted tokens: the last boost wins
+    (query clauses collapse per distinct term in this engine — the
+    documented dedupe rule — so boosts collapse with them)."""
+    out: list[str] = []
+    boosts: dict[str, float] = {}
+    for tok in query.split():
+        m = _BOOST_RE.match(tok)
+        if m and not tok.startswith('"'):
+            b = float(m.group(2))
+            if b <= 0:
+                raise ValueError(f"boost must be > 0 (got {tok!r})")
+            boosts[m.group(1)] = b
+            out.append(m.group(1))
+        else:
+            out.append(tok)
+    return " ".join(out), boosts
+
+
+def boost_weights_of(raw_boosts: dict[str, float]) -> dict[str, float]:
+    """Resolve raw boosted tokens to per-ANALYZED-term weight multipliers:
+    every analyzed form of a boosted token inherits its boost (Lucene
+    multiplies the rewritten sub-query's weight; with this engine's
+    flat-OR rewrite that is a per-form idf multiplier).  ``+``-required
+    prefixes are transparent (``+foo^2``)."""
+    w: dict[str, float] = {}
+    for tok, b in raw_boosts.items():
+        for t in analyze_query(tok.lstrip("+")):
+            w[t] = b
+    return w
+
+
 def excluded_terms_of(
     neg_tokens: list[str], keyword_fields: tuple[str, ...]
 ) -> set[str]:
@@ -209,6 +250,9 @@ def excluded_terms_of(
     fields = set(keyword_fields)
     ex: set[str] = set()
     for tok in neg_tokens:
+        m = _BOOST_RE.match(tok)
+        if m:  # a boost on a prohibited clause is meaningless — strip it
+            tok = m.group(1)
         if KW_SEP in tok:
             f, v = tok.split(KW_SEP, 1)
             if f in fields and v:
@@ -538,6 +582,7 @@ def match_ids(
             spark, index, pq[0], filters=filters, slop=pq[1]
         )
     qs, neg = parse_prohibited(qs)
+    qs, _ = parse_boosts(qs)  # boosts never change the MATCH set
     eterms = excluded_terms_of(neg, index.spec.keyword_fields)
     if qs == "*:*" or (not qs and neg):
         # MatchAllDocsQuery (the /browse handler's q.alt=*:* landing page,
@@ -700,6 +745,7 @@ def search(
             filters=filters, start=start, slop=pq[1],
         )
     q, neg = parse_prohibited(q)
+    q, raw_boosts = parse_boosts(q)
     eterms = excluded_terms_of(neg, index.spec.keyword_fields)
     if q == "*:*" or (not q and neg):
         # MatchAllDocsQuery (q.alt=*:*, solrconfig.xml:879): constant score
@@ -751,6 +797,13 @@ def search(
             top = spark.createDataFrame([], _RESULT_SCHEMA)
     else:
         idf = {t: bm25_idf(df, index.n_docs) for t, df in dfs.items()}
+        # per-term boosts (term^2.5): multiply the clause weight — exactly
+        # Lucene's boost placement (idf is the per-term weight factor, so
+        # every downstream bound, incl. MaxScore block maxima, scales with
+        # it and pruning stays exact)
+        for t, w in boost_weights_of(raw_boosts).items():
+            if t in idf:
+                idf[t] *= w
         spec = index.spec
         if conjunctive or mm is not None:
             kernel = _taat_kernel(
@@ -940,6 +993,8 @@ def search_dismax(
                 f"entry ({sorted(text_set)})"
             )
     qs, negtoks = parse_prohibited(query.strip())
+    qs, raw_boosts = parse_boosts(qs)
+    clause_w = boost_weights_of(raw_boosts)
     raw_eterms = excluded_terms_of(negtoks, spec.keyword_fields)
     # a prohibited CLAUSE excludes a doc matching it in ANY qf field
     # (Lucene: the MUST_NOT sub-query is itself a dismax over qf); keyword
@@ -978,7 +1033,9 @@ def search_dismax(
         for f, bst in qf.items():
             phys = t if f == spec.content_field else f"{f}{KW_SEP}{t}"
             group[phys] = gi
-            boost[phys] = float(bst)
+            # a per-term boost (term^2) multiplies the whole clause's
+            # weight, i.e. every qf field's contribution for that clause
+            boost[phys] = float(bst) * clause_w.get(t, 1.0)
             avgdl_of[phys] = avgdl_f[f]
     dfs = term_dfs(spark, index, list(group)) if group else {}
     present_groups = {group[t] for t in dfs}
@@ -1079,6 +1136,7 @@ def search_after(
             )
         )
     qs, neg = parse_prohibited(query.strip())
+    qs, raw_boosts = parse_boosts(qs)
     eterms = excluded_terms_of(neg, index.spec.keyword_fields)
     qtext, parsed_fterms = parse_query(qs, index.spec.keyword_fields)
     qtext, op = query_op(qtext, default=op)
@@ -1102,6 +1160,9 @@ def search_after(
     else:
         spec = index.spec
         idf = {t: bm25_idf(df, index.n_docs) for t, df in dfs.items()}
+        for t, w in boost_weights_of(raw_boosts).items():
+            if t in idf:
+                idf[t] *= w
         kernel = _taat_kernel(
             idf, index.avgdl, spec.k1, spec.b, k, spec.block_size, fterms,
             require_n_terms=n_required if conjunctive else None,
@@ -1569,7 +1630,9 @@ def explain_score(
     (dict df + postings tf/dl), not from re-analyzing stored text, so the
     explanation is the ground truth of what scored."""
     qs, _ = parse_prohibited(query.strip())  # ranked docs never match a
-    qtext, _ = parse_query(qs, index.spec.keyword_fields)  # prohibited term
+    qs, raw_boosts = parse_boosts(qs)        # prohibited term
+    weights = boost_weights_of(raw_boosts)
+    qtext, _ = parse_query(qs, index.spec.keyword_fields)
     qtext, _ = query_op(qtext)
     terms = expand_terms(qtext, synonyms)
     dfs = term_dfs(spark, index, terms) if terms else {}
@@ -1586,7 +1649,9 @@ def explain_score(
     data = []
     for t in sorted(stats):
         tf, dl = stats[t]
-        idf = bm25_idf(dfs[t], index.n_docs)
+        # the ranked kernels premultiply boosts into idf — same placement
+        # here keeps sum(contribution) bit-equal to the ranked score
+        idf = bm25_idf(dfs[t], index.n_docs) * weights.get(t, 1.0)
         tf_norm = float(
             bm25_tf_norm(
                 np.array([tf]), np.array([dl]), index.avgdl, spec.k1, spec.b
@@ -1699,11 +1764,15 @@ def search_elevated(
     if not pinned:
         return tail
     qs, _ = parse_prohibited(query.strip())
+    qs, raw_boosts = parse_boosts(qs)
     qtext, _ = parse_query(qs, index.spec.keyword_fields)
     qtext, _ = query_op(qtext, default=op)
     terms = expand_terms(qtext)
     dfs = term_dfs(spark, index, terms) if terms else {}
     idf = {t: bm25_idf(d, index.n_docs) for t, d in dfs.items()}
+    for t, w in boost_weights_of(raw_boosts).items():
+        if t in idf:
+            idf[t] *= w
     stats = _doc_scores_for_ids(spark, index, list(dfs), pinned)
     spec = index.spec
     rows = []
@@ -2097,7 +2166,8 @@ def highlight(
             f"stored_fields {spec.stored_fields!r} (Solr stored=\"true\")"
         )
     qs, _ = parse_prohibited(query.strip())  # never highlight a prohibited
-    qtext, _ = parse_query(qs, spec.keyword_fields)  # term (search excludes)
+    qs, _ = parse_boosts(qs)                 # term (search excludes)
+    qtext, _ = parse_query(qs, spec.keyword_fields)
     qtext, _ = query_op(qtext, default=op)
     terms = sorted(set(expand_terms(qtext, synonyms)))
     top = search(
@@ -2212,6 +2282,7 @@ def highlight_fields(
             f"{missing} not in {sorted(stored)}"
         )
     qs, _ = parse_prohibited(query.strip())
+    qs, _ = parse_boosts(qs)
     qtext, _ = parse_query(qs, spec.keyword_fields)
     qtext, _ = query_op(qtext, default=op)
     terms = sorted(set(expand_terms(qtext, synonyms)))
@@ -3171,8 +3242,9 @@ def batch_kernel(
     term shares across queries are memoized in one per-partition cache.
 
     A plan is a bare term list (OR query, no filters — the original
-    contract), a ``(terms, filter_terms, conjunctive[, excluded_terms])``
-    tuple, or a ``("PHRASE", position_terms, filter_terms[, slop])`` tuple
+    contract), a ``(terms, filter_terms, conjunctive[, excluded_terms[,
+    weights]])`` tuple (``weights``: per-analyzed-term boost multipliers),
+    or a ``("PHRASE", position_terms, filter_terms[, slop])`` tuple
     — full parity with
     the single-query surface: keyword filters restrict the candidate set
     per query (fq semantics, same block-granular intersection), a
@@ -3195,9 +3267,10 @@ def batch_kernel(
             norm_plans[qid] = (
                 list(p[0]), set(p[1]), bool(p[2]),
                 set(p[3]) if len(p) > 3 else set(),
+                dict(p[4]) if len(p) > 4 else {},
             )
         else:
-            norm_plans[qid] = (list(p), set(), False, set())
+            norm_plans[qid] = (list(p), set(), False, set(), {})
 
     def _plan_terms(p: tuple) -> tuple[list[str], set[str]]:
         return (p[1], p[2]) if p[0] == "PHRASE" else (p[0], p[1])
@@ -3249,9 +3322,13 @@ def batch_kernel(
                 out_ids.append(res["doc_id"].to_numpy())
                 out_scores.append(res["score"].to_numpy())
                 continue
-            terms, fterms, conjunctive, eterms = plan
+            terms, fterms, conjunctive, eterms, weights = plan
             uniq_terms = list(dict.fromkeys(terms))
-            idf_q = {t: idf[t] for t in uniq_terms if t in idf}
+            idf_q = {
+                t: idf[t] * weights.get(t, 1.0)
+                for t in uniq_terms
+                if t in idf
+            }
             erows = [r for t in sorted(eterms) for r in by_term.get(t, [])]
             if not uniq_terms and fterms:
                 # pure keyword-filter query: doc_ids (score 0.0), the same
@@ -3404,12 +3481,16 @@ def search_many(
             )
             continue
         qs, neg = parse_prohibited(raw_q)
+        qs, raw_boosts = parse_boosts(qs)
         eterms = excluded_terms_of(neg, index.spec.keyword_fields)
         qtext, parsed_fterms = parse_query(qs, index.spec.keyword_fields)
         qtext, op = query_op(qtext, default=req.get("op", "OR"))
         terms = expand_terms(qtext, req.get("synonyms"))
         fterms = filter_terms_of(req.get("filters")) | parsed_fterms
-        plans[qid] = (terms, fterms, op.upper() == "AND", eterms)
+        plans[qid] = (
+            terms, fterms, op.upper() == "AND", eterms,
+            boost_weights_of(raw_boosts),
+        )
     have_phrase = any(p[0] == "PHRASE" for p in plans.values())
     all_terms = sorted(
         {

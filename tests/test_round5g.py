@@ -205,6 +205,86 @@ def test_highlight_never_wraps_prohibited_term(spark, ix):
         assert "<em>merge</em>" not in r["snippet"].lower()
 
 
+def test_parse_boosts_forms():
+    from cascading_solr_spark.query.search import parse_boosts
+
+    assert parse_boosts("a^2 b c^1.5") == ("a b c", {"a": 2.0, "c": 1.5})
+    assert parse_boosts("plain query") == ("plain query", {})
+    with pytest.raises(ValueError):
+        parse_boosts("a^0")
+
+
+def test_boost_additive_identity(spark, ix):
+    """score('a b^2', d) == score('a b', d) + score('b', d): doubling a
+    clause weight adds one extra copy of its contribution (the exact
+    Lucene boost placement — idf multiplier)."""
+    def scored(q):
+        return {
+            r["doc_id"]: r["score"]
+            for r in search(spark, ix, q, k=None, with_stored=False).collect()
+        }
+
+    b2 = scored("parse buffer^2")
+    base = scored("parse buffer")
+    only_b = scored("buffer")
+    assert set(b2) == set(base)
+    assert all(
+        abs(b2[d] - (base[d] + only_b.get(d, 0.0))) < 1e-9 for d in b2
+    )
+
+
+def test_boost_never_changes_match_set(spark, ix):
+    assert _ids(match_ids(spark, ix, "parse buffer^3")) == _ids(
+        match_ids(spark, ix, "parse buffer")
+    )
+
+
+def test_boost_batch_and_explain_parity(spark, ix):
+    from cascading_solr_spark.query.search import explain_score
+
+    single = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(
+            spark, ix, "parse buffer^2", k=10, with_stored=False
+        ).collect()
+    }
+    batch = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in search_many(spark, ix, {"q": "parse buffer^2"}, k=10).collect()
+    }
+    assert batch == single
+    top = search(
+        spark, ix, "parse buffer^2", k=1, with_stored=False
+    ).collect()[0]
+    ex = explain_score(spark, ix, "parse buffer^2", top["doc_id"]).collect()
+    assert abs(sum(r["contribution"] for r in ex) - top["score"]) < 1e-9
+
+
+def test_boost_dismax_single_field_additive(spark, ix):
+    qf = {"content": 1.0}
+
+    def scored(q):
+        return {
+            r["doc_id"]: r["score"]
+            for r in search_dismax(
+                spark, ix, q, qf, k=None, with_stored=False
+            ).collect()
+        }
+
+    b2 = scored("parse buffer^2")
+    base = scored("parse buffer")
+    only_b = scored("buffer")
+    assert all(
+        abs(b2[d] - (base[d] + only_b.get(d, 0.0))) < 1e-9 for d in b2
+    )
+
+
+def test_boost_on_prohibited_clause_is_stripped(spark, ix):
+    assert _ids(match_ids(spark, ix, "parse -merge^2")) == _ids(
+        match_ids(spark, ix, "parse -merge")
+    )
+
+
 def test_excluded_term_absent_from_index_is_noop(spark, ix):
     base = _scored(search(spark, ix, "parse buffer", k=5, with_stored=False))
     got = _scored(
