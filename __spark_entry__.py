@@ -797,7 +797,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             F.round("score", 4).alias("score"),
         )
-        return filt.unionByName(neg).unionByName(boost)
+        # r5g: wildcard clause 'so*' — dict-expanded constant-score
+        # (Solr's multi-term rewrite: +1.0 per doc matching any expansion,
+        # added to the BM25 of the plain terms)
+        wild = search(
+            s, ix, "join s*", k=10, with_stored=False
+        ).select(
+            F.lit("wild").alias("kind"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+        return filt.unionByName(neg).unionByName(boost).unionByName(wild)
 
     q["ix_query_string"] = _query_string
 
@@ -1546,6 +1556,29 @@ FROM (SELECT s.doc_id, s.score FROM scores s
 UNION ALL
 SELECT 'boost' AS kind, doc_id, score
 FROM ({_bm25_sql(tuple(Q_MAIN.split()), 10, weights={"join": 2.0})}) b
+UNION ALL
+SELECT 'wild' AS kind, doc_id, round(score, 4) AS score FROM (
+  WITH {_toks_cte()},
+  tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM toks
+         WHERE term = 'join' GROUP BY 1),
+  dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+  st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                (SELECT sum(dl) FROM dl)
+                  / (SELECT count(*) FROM documents) AS avgdl),
+  jdf AS (SELECT count(*)::BIGINT AS df FROM tf),
+  jraw AS (SELECT tf.doc_id,
+                  ln(1 + (s.n - j.df + 0.5) / (j.df + 0.5))
+                  * (tf.tf * (1.2 + 1.0))
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                    AS score
+           FROM tf JOIN dl USING (doc_id) CROSS JOIN jdf j CROSS JOIN st s),
+  wdocs AS (SELECT DISTINCT doc_id FROM toks WHERE term LIKE 's%')
+  SELECT coalesce(j.doc_id, w.doc_id) AS doc_id,
+         coalesce(j.score, 0)
+           + CASE WHEN w.doc_id IS NOT NULL THEN 1.0 ELSE 0 END AS score
+  FROM jraw j FULL OUTER JOIN wdocs w ON w.doc_id = j.doc_id
+  ORDER BY round(score, 4) DESC, 1 ASC LIMIT 10
+) wl
 """
     # exact phrase 'merge sort': positional adjacency + Lucene PhraseWeight
     # (Σidf over phrase slots × tf_norm(phrase_freq, dl)); positions are

@@ -198,6 +198,103 @@ def parse_prohibited(query: str) -> tuple[str, list[str]]:
 
 _BOOST_RE = re.compile(r"^(.+?)\^(\d+(?:\.\d+)?)$")
 
+#: Lucene's BooleanQuery.maxClauseCount default — the expansion cap for
+#: multi-term (wildcard / fuzzy) rewrites
+MAX_EXPANSIONS = 1024
+
+
+def is_wildcard(tok: str) -> bool:
+    """True for Lucene wildcard syntax (``*`` / ``?`` anywhere in the
+    token — PrefixQuery is the trailing-``*`` special case)."""
+    return "*" in tok or "?" in tok
+
+
+def split_wildcards(qtext: str) -> tuple[str, list[str]]:
+    """Pull wildcard tokens out of analyzed-bound query text (they must
+    never reach the analyzer, whose tokenizer drops ``*``/``?``).  Returns
+    (remaining_text, wildcard_tokens)."""
+    rest, wild = [], []
+    for tok in qtext.split():
+        # the literal match-all token is not a wildcard clause (a mixed
+        # '*:* term' query is the OR-with-everything degenerate — the
+        # match-all part adds nothing to ranked retrieval)
+        (wild if is_wildcard(tok) and tok != "*:*" else rest).append(tok)
+    return " ".join(rest), wild
+
+
+def expand_wildcard(
+    spark: SparkSession,
+    index: Index,
+    pattern: str,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> list[str]:
+    """Dictionary expansion of a wildcard pattern — the MultiTermQuery
+    rewrite's term enumeration (Lucene walks the term dictionary; this
+    walks the build's term-sorted ``dict`` table).
+
+    The pattern is lowercased but NOT analyzed (Solr's multiterm analysis
+    rule for wildcards), and matches bare content-field terms only —
+    a wildcard on a keyword field (``lang:e*``) is rejected loudly.  A
+    literal prefix before the first wildcard becomes a dict range predicate
+    (``term >= p AND term < p + chr(MAX)``) that prunes row groups of the
+    term-sorted dict files; a LEADING wildcard degrades to a full dict scan
+    (Solr disallows it by default for the same reason) — supported but the
+    cost is the vocabulary, not the corpus.  More than ``max_expansions``
+    matching terms raises (Lucene's TooManyClauses).  Small vocabularies
+    are served from the driver-side dict cache — zero Spark jobs."""
+    pat = pattern.lower().strip()
+    if KW_SEP in pat:
+        raise ValueError(
+            f"wildcard on a keyword field is not supported: {pat!r}"
+        )
+    if not pat.strip("*?"):
+        raise ValueError(
+            f"bare wildcard {pat!r} matches everything — use q='*:*'"
+        )
+    rx = re.compile(
+        "^"
+        + "".join(
+            ".*" if c == "*" else "." if c == "?" else re.escape(c)
+            for c in pat
+        )
+        + "$"
+    )
+    cache = index.dict_cache(spark)
+    if cache is not None:
+        terms = sorted(
+            t
+            for t in cache
+            if KW_SEP not in t and t != DELETED_TERM and rx.match(t)
+        )[: max_expansions + 1]
+    else:
+        d = index.term_dict(spark)
+        if d is None:
+            raise ValueError(
+                "wildcard queries need the dict table (pre-dict index)"
+            )
+        cond = (
+            ~F.col("term").contains(KW_SEP)
+            & (F.col("term") != DELETED_TERM)
+            & F.col("term").rlike(rx.pattern)
+        )
+        prefix = re.split(r"[*?]", pat, maxsplit=1)[0]
+        if prefix:
+            cond = (
+                (F.col("term") >= prefix)
+                & (F.col("term") < prefix + "￿")
+                & cond
+            )
+        rows = (
+            d.filter(cond).select("term").limit(max_expansions + 1).collect()
+        )
+        terms = sorted(r["term"] for r in rows)
+    if len(terms) > max_expansions:
+        raise ValueError(
+            f"wildcard {pattern!r} expands to more than {max_expansions} "
+            "terms (maxBooleanClauses) — narrow the pattern"
+        )
+    return terms
+
 
 def parse_boosts(query: str) -> tuple[str, dict[str, float]]:
     """Lucene-parser per-term boosts in the query string: ``term^2`` /
@@ -274,12 +371,21 @@ def _taat_kernel(
     cursor: tuple[float, int] | None = None,
     decode_cache: dict | None = None,
     excluded_terms: set[str] | None = None,
+    const_groups: list[tuple[frozenset, float]] | None = None,
 ):
     """Exact term-at-a-time scorer for one shard (numpy accumulate).
 
     ``excluded_terms`` are prohibited clauses (Lucene ``-term``): docs
     posting any of them are stripped with the tombstones, before the
     conjunctive count / cursor / top-k — see wand.denied_ids.
+
+    ``const_groups`` are CONSTANT-SCORE clauses — the multi-term
+    (wildcard/fuzzy) rewrite, Lucene's CONSTANT_SCORE_REWRITE / Solr's
+    default for these query types: each ``(member_terms, weight)`` adds
+    ``weight`` exactly once per doc posting ANY member term.  A group
+    contributes ONE per-doc id row to the accumulator, so with
+    ``require_n_terms`` it counts as one matched clause — the AND / mm
+    semantics fall out of the same per-doc count.
 
     ``decode_cache`` memoizes full (ids, tfs, dls) row decodes keyed by
     row content (wand.row_cache_key) — shared across the queries of one
@@ -333,6 +439,23 @@ def _taat_kernel(
                 ids, contrib = ids[keep], contrib[keep]
             all_ids.append(ids)
             all_contrib.append(contrib)
+        for gterms, w in const_groups or ():
+            parts = [
+                decode_doc_ids(row.doc_ids, int(row.n_docs), block_size)
+                for row in rows
+                if row.term in gterms
+            ]
+            if not parts:
+                continue
+            gids = np.unique(np.concatenate(parts))
+            if allowed is not None:
+                pos = np.minimum(
+                    np.searchsorted(allowed, gids), len(allowed) - 1
+                )
+                gids = gids[allowed[pos] == gids]
+            if len(gids):
+                all_ids.append(gids)
+                all_contrib.append(np.full(len(gids), float(w)))
         if not all_ids:
             return pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": "int64", "score": "float64"}
@@ -521,6 +644,23 @@ def keyword_filter(
     return out if k is None else out.limit(k)
 
 
+def resolve_excluded(
+    spark: SparkSession, index: Index, neg_tokens: list[str]
+) -> set[str]:
+    """:func:`excluded_terms_of` plus dict expansion of prohibited WILDCARD
+    clauses (``-tmp*`` excludes docs posting any matching term — Lucene's
+    MUST_NOT over the rewritten multi-term query)."""
+    plain = [t for t in neg_tokens if not is_wildcard(t)]
+    ex = excluded_terms_of(plain, index.spec.keyword_fields)
+    for tok in neg_tokens:
+        if is_wildcard(tok):
+            m = _BOOST_RE.match(tok)
+            if m:  # boosts on prohibited clauses are meaningless — strip
+                tok = m.group(1)
+            ex.update(expand_wildcard(spark, index, tok))
+    return ex
+
+
 def _ids_of_terms(
     spark: SparkSession, index: Index, terms: set[str]
 ) -> DataFrame:
@@ -583,7 +723,7 @@ def match_ids(
         )
     qs, neg = parse_prohibited(qs)
     qs, _ = parse_boosts(qs)  # boosts never change the MATCH set
-    eterms = excluded_terms_of(neg, index.spec.keyword_fields)
+    eterms = resolve_excluded(spark, index, neg)
     if qs == "*:*" or (not qs and neg):
         # MatchAllDocsQuery (the /browse handler's q.alt=*:* landing page,
         # solrconfig.xml:879), incl. Solr's pure-negative top-level rewrite:
@@ -605,19 +745,27 @@ def match_ids(
         return live
     qtext, parsed_fterms = parse_query(qs, index.spec.keyword_fields)
     qtext, op = query_op(qtext, default=op)
+    qtext, wild_tokens = split_wildcards(qtext)
     terms = expand_terms(qtext, synonyms)
     fterms = filter_terms_of(filters) | parsed_fterms
+    # wildcard clauses: each is ONE clause matched by any dict expansion
+    groups = [
+        frozenset(expand_wildcard(spark, index, tok)) for tok in wild_tokens
+    ]
+    live_groups = [g for g in groups if g]
     empty = spark.createDataFrame([], "doc_id long")
-    if not terms:
+    if not terms and not groups:
         return (
             keyword_filter(spark, index, fterms, excluded=eterms)
             if fterms
             else empty
         )
-    dfs = term_dfs(spark, index, terms)
+    dfs = term_dfs(spark, index, terms) if terms else {}
     conjunctive = op.upper() == "AND"
-    n_required = len(set(terms))
-    if not dfs or (conjunctive and len(dfs) < n_required):
+    n_required = len(set(terms)) + len(groups)
+    if (not dfs and not live_groups) or (
+        conjunctive and len(dfs) + len(live_groups) < n_required
+    ):
         return empty
     sterms = set(dfs)
     block_size = index.spec.block_size
@@ -632,13 +780,23 @@ def match_ids(
             for r in rows
             if r.term in sterms
         ]
+        for g in live_groups:
+            # a wildcard clause contributes each matching doc ONCE, so the
+            # per-doc count below still counts matched CLAUSES
+            gparts = [
+                decode_doc_ids(r.doc_ids, int(r.n_docs), block_size)
+                for r in rows
+                if r.term in g
+            ]
+            if gparts:
+                parts.append(np.unique(np.concatenate(gparts)))
         if not parts:
             return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
         ids = np.concatenate(parts)
         if conjunctive:
             # each (term, doc) posting exists once, so the per-doc posting
-            # count IS the matched distinct-term count (same invariant as
-            # the ranked AND kernel)
+            # count IS the matched distinct-clause count (same invariant as
+            # the ranked AND kernel; wildcard groups uniq'd above)
             uniq, cnt = np.unique(ids, return_counts=True)
             uniq = uniq[cnt >= n_required]
         else:
@@ -650,10 +808,15 @@ def match_ids(
             uniq = uniq[strip_denied(uniq, denied)]
         return pd.DataFrame({"doc_id": uniq})
 
+    expansion_terms = {t for g in live_groups for t in g}
     matched = (
         index.postings(spark)
         .filter(
-            F.col("term").isin(_scan_terms(index, sterms | fterms | eterms))
+            F.col("term").isin(
+                _scan_terms(
+                    index, sterms | fterms | eterms | expansion_terms
+                )
+            )
         )
         # id-side columns only: tfs/dls/boffs_tfs/boffs_dls and the block
         # pruning stats never leave the parquet footer
@@ -746,7 +909,7 @@ def search(
         )
     q, neg = parse_prohibited(q)
     q, raw_boosts = parse_boosts(q)
-    eterms = excluded_terms_of(neg, index.spec.keyword_fields)
+    eterms = resolve_excluded(spark, index, neg)
     if q == "*:*" or (not q and neg):
         # MatchAllDocsQuery (q.alt=*:*, solrconfig.xml:879): constant score
         # 1.0 (Lucene's match-all), doc_id order, normal paging/fq/stored.
@@ -769,24 +932,45 @@ def search(
             else out
     qtext, parsed_fterms = parse_query(q, index.spec.keyword_fields)
     qtext, op = query_op(qtext, default=op)
+    qtext, wild_tokens = split_wildcards(qtext)
     terms = expand_terms(qtext, synonyms)
     fterms = filter_terms_of(filters) | parsed_fterms
+    # wildcard clauses: dict-expanded, constant-score (Solr's rewrite for
+    # multi-term queries); a boost on the wildcard token is the clause
+    # weight.  Scoring with const groups runs the exact TAAT kernel —
+    # MaxScore's per-term bounds don't model a once-per-doc clause.
+    const_groups = [
+        (
+            frozenset(expand_wildcard(spark, index, tok)),
+            float(raw_boosts.get(tok, 1.0)),
+        )
+        for tok in wild_tokens
+    ]
+    live_groups = [g for g in const_groups if g[0]]
     postings = _score_rows(index, spark)
     dfs = term_dfs(spark, index, terms) if terms else {}
     conjunctive = op.upper() == "AND"
-    n_required = len(set(terms))
+    n_required = len(set(terms)) + len(const_groups)
     mm = (
         _min_match_count(min_match, n_required)
-        if (min_match is not None and not conjunctive and terms)
+        if (
+            min_match is not None
+            and not conjunctive
+            and (terms or const_groups)
+        )
         else None
     )
     fetch_k = None if k is None else k + start
-    if not dfs or (conjunctive and len(dfs) < n_required) or (
-        mm is not None and len(dfs) < mm
+    reachable = len(dfs) + len(live_groups)
+    if (
+        (not dfs and not live_groups)
+        or (conjunctive and reachable < n_required)
+        or (mm is not None and reachable < mm)
     ):
         # Q7 zero-hit short-circuit (schema stays stable below); under AND a
-        # term with global df=0 empties the result outright
-        if fterms and not terms:
+        # term with global df=0 (or an empty wildcard expansion) empties
+        # the result outright
+        if fterms and not terms and not const_groups:
             # pure filter query: matching docs ranked by doc_id, score 0
             top = keyword_filter(
                 spark, index, fterms, k=fetch_k, excluded=eterms
@@ -801,16 +985,21 @@ def search(
         # Lucene's boost placement (idf is the per-term weight factor, so
         # every downstream bound, incl. MaxScore block maxima, scales with
         # it and pruning stays exact)
-        for t, w in boost_weights_of(raw_boosts).items():
+        plain_boosts = {
+            t: bw for t, bw in raw_boosts.items() if not is_wildcard(t)
+        }
+        for t, w in boost_weights_of(plain_boosts).items():
             if t in idf:
                 idf[t] *= w
         spec = index.spec
-        if conjunctive or mm is not None:
+        if conjunctive or mm is not None or live_groups:
             kernel = _taat_kernel(
                 idf, index.avgdl, spec.k1, spec.b, fetch_k, spec.block_size,
                 fterms,
-                require_n_terms=n_required if conjunctive else mm,
-                excluded_terms=eterms,
+                require_n_terms=(
+                    n_required if conjunctive else mm
+                ),
+                excluded_terms=eterms, const_groups=live_groups,
             )
         elif mode == "taat" or k is None:
             # k=None returns every match — exhaustive TAAT (top-k pruning
@@ -824,9 +1013,14 @@ def search(
                 idf, index.avgdl, spec.k1, spec.b, fetch_k, spec.block_size,
                 fterms, excluded_terms=eterms,
             )
+        expansion_terms = [t for g, _ in live_groups for t in g]
         matched = postings.filter(
             F.col("term").isin(
-                _scan_terms(index, list(dfs) + list(fterms) + list(eterms))
+                _scan_terms(
+                    index,
+                    list(dfs) + list(fterms) + list(eterms)
+                    + expansion_terms,
+                )
             )
         )
         local_topk = matched.groupBy("shard").applyInPandas(kernel, _RESULT_SCHEMA)
@@ -994,6 +1188,11 @@ def search_dismax(
             )
     qs, negtoks = parse_prohibited(query.strip())
     qs, raw_boosts = parse_boosts(qs)
+    if any(is_wildcard(t) for t in qs.split() + negtoks):
+        raise ValueError(
+            "wildcard clauses are not supported in dismax (qf) queries — "
+            "use search() for wildcard retrieval"
+        )
     clause_w = boost_weights_of(raw_boosts)
     raw_eterms = excluded_terms_of(negtoks, spec.keyword_fields)
     # a prohibited CLAUSE excludes a doc matching it in ANY qf field
@@ -1137,16 +1336,27 @@ def search_after(
         )
     qs, neg = parse_prohibited(query.strip())
     qs, raw_boosts = parse_boosts(qs)
-    eterms = excluded_terms_of(neg, index.spec.keyword_fields)
+    eterms = resolve_excluded(spark, index, neg)
     qtext, parsed_fterms = parse_query(qs, index.spec.keyword_fields)
     qtext, op = query_op(qtext, default=op)
+    qtext, wild_tokens = split_wildcards(qtext)
     terms = expand_terms(qtext, synonyms)
     fterms = filter_terms_of(filters) | parsed_fterms
+    const_groups = [
+        (
+            frozenset(expand_wildcard(spark, index, tok)),
+            float(raw_boosts.get(tok, 1.0)),
+        )
+        for tok in wild_tokens
+    ]
+    live_groups = [g for g in const_groups if g[0]]
     dfs = term_dfs(spark, index, terms) if terms else {}
     conjunctive = op.upper() == "AND"
-    n_required = len(set(terms))
-    if not dfs or (conjunctive and len(dfs) < n_required):
-        if fterms and not terms:
+    n_required = len(set(terms)) + len(const_groups)
+    if (not dfs and not live_groups) or (
+        conjunctive and len(dfs) + len(live_groups) < n_required
+    ):
+        if fterms and not terms and not const_groups:
             # pure filter query: (doc_id asc, score 0) order — the cursor
             # degenerates to a doc_id floor
             out = keyword_filter(spark, index, fterms, excluded=eterms)
@@ -1160,17 +1370,25 @@ def search_after(
     else:
         spec = index.spec
         idf = {t: bm25_idf(df, index.n_docs) for t, df in dfs.items()}
-        for t, w in boost_weights_of(raw_boosts).items():
+        plain_boosts = {
+            t: bw for t, bw in raw_boosts.items() if not is_wildcard(t)
+        }
+        for t, w in boost_weights_of(plain_boosts).items():
             if t in idf:
                 idf[t] *= w
         kernel = _taat_kernel(
             idf, index.avgdl, spec.k1, spec.b, k, spec.block_size, fterms,
             require_n_terms=n_required if conjunctive else None,
-            cursor=cursor, excluded_terms=eterms,
+            cursor=cursor, excluded_terms=eterms, const_groups=live_groups,
         )
+        expansion_terms = [t for g, _ in live_groups for t in g]
         matched = _score_rows(index, spark).filter(
             F.col("term").isin(
-                _scan_terms(index, list(dfs) + list(fterms) + list(eterms))
+                _scan_terms(
+                    index,
+                    list(dfs) + list(fterms) + list(eterms)
+                    + expansion_terms,
+                )
             )
         )
         local = matched.groupBy("shard").applyInPandas(kernel, _RESULT_SCHEMA)
@@ -1631,23 +1849,33 @@ def explain_score(
     explanation is the ground truth of what scored."""
     qs, _ = parse_prohibited(query.strip())  # ranked docs never match a
     qs, raw_boosts = parse_boosts(qs)        # prohibited term
-    weights = boost_weights_of(raw_boosts)
+    weights = boost_weights_of(
+        {t: b for t, b in raw_boosts.items() if not is_wildcard(t)}
+    )
     qtext, _ = parse_query(qs, index.spec.keyword_fields)
     qtext, _ = query_op(qtext)
+    qtext, wild_tokens = split_wildcards(qtext)
     terms = expand_terms(qtext, synonyms)
+    groups = [
+        (tok, frozenset(expand_wildcard(spark, index, tok)),
+         float(raw_boosts.get(tok, 1.0)))
+        for tok in wild_tokens
+    ]
     dfs = term_dfs(spark, index, terms) if terms else {}
     schema = (
         "term string, df long, tf long, dl long, idf double, "
         "tf_norm double, contribution double"
     )
-    if not dfs:
+    exp_terms = sorted({t for _, g, _ in groups for t in g})
+    if not dfs and not exp_terms:
         return spark.createDataFrame([], schema)
+    exp_dfs = term_dfs(spark, index, exp_terms) if exp_terms else {}
     stats = _doc_scores_for_ids(
-        spark, index, list(dfs), [int(doc_id)]
+        spark, index, sorted(set(dfs) | set(exp_dfs)), [int(doc_id)]
     ).get(int(doc_id), {})
     spec = index.spec
     data = []
-    for t in sorted(stats):
+    for t in sorted(t for t in stats if t in dfs):
         tf, dl = stats[t]
         # the ranked kernels premultiply boosts into idf — same placement
         # here keeps sum(contribution) bit-equal to the ranked score
@@ -1660,6 +1888,14 @@ def explain_score(
         data.append(
             (t, int(dfs[t]), tf, dl, float(idf), tf_norm, float(idf * tf_norm))
         )
+    for tok, g, w in groups:
+        # constant-score clause: weight once per matched doc (tf/dl carry
+        # no meaning — reported 0; df = the expansion's summed df)
+        if any(t in stats for t in g):
+            data.append(
+                (tok, int(sum(exp_dfs.get(t, 0) for t in g)), 0, 0,
+                 float(w), 1.0, float(w))
+            )
     return spark.createDataFrame(data, schema)
 
 
@@ -1767,24 +2003,41 @@ def search_elevated(
     qs, raw_boosts = parse_boosts(qs)
     qtext, _ = parse_query(qs, index.spec.keyword_fields)
     qtext, _ = query_op(qtext, default=op)
+    qtext, wild_tokens = split_wildcards(qtext)
     terms = expand_terms(qtext)
+    groups = [
+        (frozenset(expand_wildcard(spark, index, tok)),
+         float(raw_boosts.get(tok, 1.0)))
+        for tok in wild_tokens
+    ]
     dfs = term_dfs(spark, index, terms) if terms else {}
     idf = {t: bm25_idf(d, index.n_docs) for t, d in dfs.items()}
-    for t, w in boost_weights_of(raw_boosts).items():
+    plain_boosts = {
+        t: b for t, b in raw_boosts.items() if not is_wildcard(t)
+    }
+    for t, w in boost_weights_of(plain_boosts).items():
         if t in idf:
             idf[t] *= w
-    stats = _doc_scores_for_ids(spark, index, list(dfs), pinned)
+    exp_terms = sorted({t for g, _ in groups for t in g} - set(dfs))
+    stats = _doc_scores_for_ids(
+        spark, index, list(dfs) + exp_terms, pinned
+    )
     spec = index.spec
     rows = []
     for i in pinned[:k]:
         score = 0.0
         for t, (tf, dl) in sorted(stats.get(i, {}).items()):
+            if t not in idf:
+                continue  # expansion-only terms score via their group
             score += idf[t] * float(
                 bm25_tf_norm(
                     np.array([tf]), np.array([dl]), index.avgdl,
                     spec.k1, spec.b,
                 )[0]
             )
+        for g, w in groups:  # constant-score clause: weight once per doc
+            if any(t in stats.get(i, {}) for t in g):
+                score += w
         rows.append((i, float(score), True))
     head = spark.createDataFrame(
         rows, "doc_id long, score double, elevated boolean"
@@ -2169,7 +2422,15 @@ def highlight(
     qs, _ = parse_boosts(qs)                 # term (search excludes)
     qtext, _ = parse_query(qs, spec.keyword_fields)
     qtext, _ = query_op(qtext, default=op)
-    terms = sorted(set(expand_terms(qtext, synonyms)))
+    qtext, wild_tokens = split_wildcards(qtext)
+    terms = sorted(
+        set(expand_terms(qtext, synonyms))
+        | {  # wildcard matches highlight their matched expansion
+            t
+            for tok in wild_tokens
+            for t in expand_wildcard(spark, index, tok)
+        }
+    )
     top = search(
         spark, index, query, k=k, with_stored=True, filters=filters,
         synonyms=synonyms, op=op,
@@ -2181,22 +2442,21 @@ def highlight(
         return top.select(
             "doc_id", "score", F.lit("").alias("term"), head.alias("snippet")
         )
-    def _pos(t: str):
-        return F.regexp_instr(text, F.lit("(?i)" + _re.escape(t)))
-
-    cands = [
-        F.struct(
-            F.when(_pos(t) > 0, _pos(t)).otherwise(F.lit(big)).alias("pos"),
-            F.lit(t).alias("term"),
-        )
-        for t in terms
-    ]
-    # struct comparison is lexicographic (pos asc, then term asc) — the
-    # documented earliest-position / term-asc tie rule in one array_min
-    best = F.array_min(F.array(*cands))
-    pos, term = best["pos"], best["term"]
+    # ONE ordered-alternation regex over all candidate terms (sorted asc):
+    # Java regex scans offsets left-to-right and tries alternatives in
+    # listed order at each offset, so the match IS the documented
+    # earliest-position / term-asc tie rule — and the plan carries one
+    # regexp per row instead of 2·N (a 300-term wildcard expansion built
+    # a codegen unit large enough to OOM janino the per-term way)
+    pat = "(?i)(" + "|".join(_re.escape(t) for t in terms) + ")"
+    raw_pos = F.regexp_instr(text, F.lit(pat))
+    pos = F.when(raw_pos > 0, raw_pos).otherwise(F.lit(big))
+    surface = F.regexp_extract(text, pat, 1)
+    # the analyzed term of the wrapped occurrence == lower(surface) for
+    # this analyzer (tokens are contiguous substrings; ascii-range terms)
+    term = F.lower(surface)
     start = F.greatest(pos - F.lit(window), F.lit(1))
-    tlen = F.length(term)
+    tlen = F.length(surface)
     snip = F.concat(
         F.substring(text, start, pos - start),
         F.lit("<em>"),
@@ -2285,7 +2545,15 @@ def highlight_fields(
     qs, _ = parse_boosts(qs)
     qtext, _ = parse_query(qs, spec.keyword_fields)
     qtext, _ = query_op(qtext, default=op)
-    terms = sorted(set(expand_terms(qtext, synonyms)))
+    qtext, wild_tokens = split_wildcards(qtext)
+    terms = sorted(
+        set(expand_terms(qtext, synonyms))
+        | {
+            t
+            for tok in wild_tokens
+            for t in expand_wildcard(spark, index, tok)
+        }
+    )
     if top is None:
         top = search(
             spark, index, query, k=k, with_stored=True, filters=filters,
@@ -2317,23 +2585,25 @@ def highlight_fields(
     out = top
     frag_cols: dict[str, list[str]] = {}
 
+    # ONE ordered-alternation regex (terms sorted asc): Java regex tries
+    # offsets left-to-right and alternatives in listed order, which IS the
+    # earliest-position / term-asc rule — and keeps the per-fragment
+    # expression O(1) in term count (a wildcard expansion can contribute
+    # hundreds of terms; per-term expressions OOM'd janino codegen)
+    _alt_pat = "(?i)(" + "|".join(_re.escape(t) for t in terms) + ")"
+
     def _best_after(text, from_off):
         # earliest term occurrence at/after the 1-based offset `from_off`
         # (ties term-asc) — regexp over the suffix, mapped back to an
         # absolute position
         suffix = F.substring(text, from_off, F.length(text))
-        cands = []
-        for t in terms:
-            rel = F.regexp_instr(suffix, F.lit("(?i)" + _re.escape(t)))
-            cands.append(
-                F.struct(
-                    F.when(rel > 0, rel + from_off - 1)
-                    .otherwise(F.lit(big))
-                    .alias("pos"),
-                    F.lit(t).alias("term"),
-                )
-            )
-        return F.array_min(F.array(*cands))
+        rel = F.regexp_instr(suffix, F.lit(_alt_pat))
+        return F.struct(
+            F.when(rel > 0, rel + from_off - 1)
+            .otherwise(F.lit(big))
+            .alias("pos"),
+            F.lower(F.regexp_extract(suffix, _alt_pat, 1)).alias("term"),
+        )
 
     for fld in fields:
         p = field_params.get(fld, {})
@@ -3243,8 +3513,10 @@ def batch_kernel(
 
     A plan is a bare term list (OR query, no filters — the original
     contract), a ``(terms, filter_terms, conjunctive[, excluded_terms[,
-    weights]])`` tuple (``weights``: per-analyzed-term boost multipliers),
-    or a ``("PHRASE", position_terms, filter_terms[, slop])`` tuple
+    weights[, const_groups]]])`` tuple (``weights``: per-analyzed-term
+    boost multipliers; ``const_groups``: pre-expanded constant-score
+    wildcard clauses, each ``(member_terms, weight)``), or a
+    ``("PHRASE", position_terms, filter_terms[, slop])`` tuple
     — full parity with
     the single-query surface: keyword filters restrict the candidate set
     per query (fq semantics, same block-granular intersection), a
@@ -3268,9 +3540,11 @@ def batch_kernel(
                 list(p[0]), set(p[1]), bool(p[2]),
                 set(p[3]) if len(p) > 3 else set(),
                 dict(p[4]) if len(p) > 4 else {},
+                [(frozenset(g), float(w)) for g, w in p[5]]
+                if len(p) > 5 else [],
             )
         else:
-            norm_plans[qid] = (list(p), set(), False, set(), {})
+            norm_plans[qid] = (list(p), set(), False, set(), {}, [])
 
     def _plan_terms(p: tuple) -> tuple[list[str], set[str]]:
         return (p[1], p[2]) if p[0] == "PHRASE" else (p[0], p[1])
@@ -3281,6 +3555,8 @@ def batch_kernel(
         want |= set(terms) | fterms
         if p[0] != "PHRASE":
             want |= p[3]
+            for g, _ in p[5]:
+                want |= g
     # tombstone rows (present in the scan only when the index has deletes)
     # are appended to every query's row group so each sub-kernel excludes
     # them exactly like the single-query path
@@ -3322,15 +3598,19 @@ def batch_kernel(
                 out_ids.append(res["doc_id"].to_numpy())
                 out_scores.append(res["score"].to_numpy())
                 continue
-            terms, fterms, conjunctive, eterms, weights = plan
+            terms, fterms, conjunctive, eterms, weights, cgroups = plan
             uniq_terms = list(dict.fromkeys(terms))
             idf_q = {
                 t: idf[t] * weights.get(t, 1.0)
                 for t in uniq_terms
                 if t in idf
             }
+            # live = non-empty expansion (a GLOBAL dict fact from plan
+            # construction — per-shard row presence must not change the
+            # clause count or shards would disagree on conjunctive floors)
+            live_groups = [(g, w) for g, w in cgroups if g]
             erows = [r for t in sorted(eterms) for r in by_term.get(t, [])]
-            if not uniq_terms and fterms:
+            if not uniq_terms and not cgroups and fterms:
                 # pure keyword-filter query: doc_ids (score 0.0), the same
                 # result shape the single-query path serves via
                 # keyword_filter — first k by doc_id per shard, the global
@@ -3347,18 +3627,32 @@ def batch_kernel(
                 out_ids.append(hits)
                 out_scores.append(np.zeros(len(hits), dtype=np.float64))
                 continue
-            if not idf_q or (conjunctive and len(idf_q) < len(set(uniq_terms))):
+            n_req = len(set(uniq_terms)) + len(cgroups)
+            if (not idf_q and not live_groups) or (
+                conjunctive and len(idf_q) + len(live_groups) < n_req
+            ):
                 continue  # zero-hit (or AND with a df=0 term) short-circuit
             qrows = [r for t in idf_q for r in by_term.get(t, [])]
             qrows += [r for t in sorted(fterms) for r in by_term.get(t, [])]
+            qrows += [
+                r
+                for g, _ in live_groups
+                for t in sorted(g)
+                for r in by_term.get(t, [])
+            ]
             if not qrows:
                 continue
             qrows += del_rows + erows
-            if conjunctive:
+            # a term can be BOTH a scoring term and a wildcard-group member
+            # (q='sort s*') — its rows would be appended twice and score
+            # twice; row_cache_key is unique per row within a partition
+            qrows = list({row_cache_key(r): r for r in qrows}.values())
+            if conjunctive or live_groups:
                 scorer = _taat_kernel(
                     idf_q, avgdl, k1, b, k, block_size, fterms,
-                    require_n_terms=len(set(uniq_terms)),
+                    require_n_terms=n_req if conjunctive else None,
                     decode_cache=cache, excluded_terms=eterms,
+                    const_groups=live_groups,
                 )
             else:
                 scorer = maxscore_kernel(
@@ -3482,14 +3776,25 @@ def search_many(
             continue
         qs, neg = parse_prohibited(raw_q)
         qs, raw_boosts = parse_boosts(qs)
-        eterms = excluded_terms_of(neg, index.spec.keyword_fields)
+        eterms = resolve_excluded(spark, index, neg)
         qtext, parsed_fterms = parse_query(qs, index.spec.keyword_fields)
         qtext, op = query_op(qtext, default=req.get("op", "OR"))
+        qtext, wild_tokens = split_wildcards(qtext)
         terms = expand_terms(qtext, req.get("synonyms"))
         fterms = filter_terms_of(req.get("filters")) | parsed_fterms
+        cgroups = [
+            (
+                frozenset(expand_wildcard(spark, index, tok)),
+                float(raw_boosts.get(tok, 1.0)),
+            )
+            for tok in wild_tokens
+        ]
+        plain_boosts = {
+            t: b for t, b in raw_boosts.items() if not is_wildcard(t)
+        }
         plans[qid] = (
             terms, fterms, op.upper() == "AND", eterms,
-            boost_weights_of(raw_boosts),
+            boost_weights_of(plain_boosts), cgroups,
         )
     have_phrase = any(p[0] == "PHRASE" for p in plans.values())
     all_terms = sorted(
@@ -3513,12 +3818,22 @@ def search_many(
             if p[0] != "PHRASE"
             for t in p[3]
         }
+        | {
+            t
+            for p in plans.values()
+            if p[0] != "PHRASE"
+            for g, _ in p[5]
+            for t in g
+        }
+    )
+    have_groups = any(
+        p[0] != "PHRASE" and any(g for g, _ in p[5]) for p in plans.values()
     )
     empty = spark.createDataFrame([], "query_id string, doc_id long, score double")
-    if not all_terms and not all_fterms:
+    if not all_terms and not all_fterms and not have_groups:
         return empty
     dfs = term_dfs(spark, index, all_terms) if all_terms else {}
-    if not dfs and not all_fterms:
+    if not dfs and not all_fterms and not have_groups:
         return empty
     spec = index.spec
     idf = {t: bm25_idf(df, index.n_docs) for t, df in dfs.items()}

@@ -291,3 +291,134 @@ def test_excluded_term_absent_from_index_is_noop(spark, ix):
         search(spark, ix, "parse buffer -zzzzznotaterm", k=5, with_stored=False)
     )
     assert got == base
+
+
+# ---- wildcard / prefix queries (MultiTermQuery rewrite) ----
+
+
+def _vocab(spark, ix):
+    from cascading_solr_spark.analyzer import tokenize
+
+    docs = ix.docs(spark).select("doc_id", "content").toPandas()
+    return {
+        int(r.doc_id): set(tokenize(r.content))
+        for r in docs.itertuples(index=False)
+    }
+
+
+def test_expand_wildcard_matches_vocabulary(spark, ix):
+    import fnmatch
+
+    from cascading_solr_spark.query.search import expand_wildcard
+
+    tok = _vocab(spark, ix)
+    vocab = sorted({t for ts in tok.values() for t in ts})
+    for pat in ("parse*", "b?ffer", "*ream", "re*y"):
+        want = sorted(t for t in vocab if fnmatch.fnmatchcase(t, pat))
+        assert expand_wildcard(spark, ix, pat) == want, pat
+
+
+def test_wildcard_match_set_ground_truth(spark, ix):
+    import fnmatch
+
+    tok = _vocab(spark, ix)
+    got = _ids(match_ids(spark, ix, "parse*"))
+    want = {
+        d
+        for d, ts in tok.items()
+        if any(fnmatch.fnmatchcase(t, "parse*") for t in ts)
+    }
+    assert got == want and got
+
+
+def test_wildcard_constant_score_additivity(spark, ix):
+    """Mixed 'term wild*' scores bm25(term) + 1.0·[matched wild*] — Solr's
+    constant-score rewrite for multi-term queries."""
+    import fnmatch
+
+    tok = _vocab(spark, ix)
+    wdocs = {
+        d
+        for d, ts in tok.items()
+        if any(fnmatch.fnmatchcase(t, "stream*") for t in ts)
+    }
+    base = {
+        r["doc_id"]: r["score"]
+        for r in search(spark, ix, "parse", k=None, with_stored=False).collect()
+    }
+    mixed = {
+        r["doc_id"]: r["score"]
+        for r in search(
+            spark, ix, "parse stream*", k=None, with_stored=False
+        ).collect()
+    }
+    assert set(mixed) == set(base) | wdocs
+    for d, s in mixed.items():
+        want = base.get(d, 0.0) + (1.0 if d in wdocs else 0.0)
+        assert abs(s - want) < 1e-9
+
+
+def test_wildcard_and_neg_and_boost(spark, ix):
+    import fnmatch
+
+    tok = _vocab(spark, ix)
+    wdocs = {
+        d
+        for d, ts in tok.items()
+        if any(fnmatch.fnmatchcase(t, "stream*") for t in ts)
+    }
+    pdocs = {d for d, ts in tok.items() if "parse" in ts}
+    assert _ids(match_ids(spark, ix, "parse stream*", op="AND")) == (
+        pdocs & wdocs
+    )
+    assert _ids(match_ids(spark, ix, "parse -stream*")) == pdocs - wdocs
+    boosted = {
+        r["doc_id"]: r["score"]
+        for r in search(
+            spark, ix, "parse stream*^3", k=None, with_stored=False
+        ).collect()
+    }
+    base = {
+        r["doc_id"]: r["score"]
+        for r in search(spark, ix, "parse", k=None, with_stored=False).collect()
+    }
+    for d, s in boosted.items():
+        assert abs(s - (base.get(d, 0.0) + (3.0 if d in wdocs else 0.0))) < 1e-9
+
+
+def test_wildcard_batch_and_cursor_parity(spark, ix):
+    single = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(
+            spark, ix, "parse stream*", k=10, with_stored=False
+        ).collect()
+    ]
+    batch = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in search_many(spark, ix, {"q": "parse stream*"}, k=10).collect()
+    }
+    assert batch == set(single)
+    paged = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search_after(spark, ix, "parse stream*", k=10).collect()
+    ]
+    assert paged == single
+
+
+def test_wildcard_guards(spark, ix):
+    from cascading_solr_spark.query.search import expand_wildcard
+
+    with pytest.raises(ValueError, match="keyword field"):
+        expand_wildcard(spark, ix, "lang:p*")
+    with pytest.raises(ValueError, match="matches everything"):
+        expand_wildcard(spark, ix, "*")
+    with pytest.raises(ValueError, match="maxBooleanClauses"):
+        expand_wildcard(spark, ix, "*a*", max_expansions=1)
+    with pytest.raises(ValueError, match="dismax"):
+        search_dismax(spark, ix, "parse str*", {"content": 1.0})
+
+
+def test_wildcard_highlight_wraps_expansion(spark, ix):
+    rows = highlight(spark, ix, "stream*", k=5).collect()
+    assert rows
+    assert any("<em>" in r["snippet"] for r in rows)
