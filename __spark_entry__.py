@@ -207,6 +207,40 @@ FROM scores ORDER BY round(score, 4) DESC, doc_id ASC
 """
 
 
+def _const_clause_sql(member_pred: str, k: int = 10) -> str:
+    """DuckDB twin of a 'join <multiterm-clause>' query: BM25 over the
+    plain term 'join' plus a CONSTANT 1.0 for every doc containing any
+    term satisfying ``member_pred`` (the engine's wildcard/fuzzy rewrite —
+    Solr's constant-score multi-term rewrite)."""
+    return f"""
+SELECT cdoc AS doc_id, round(cscore, 4) AS score FROM (
+  WITH {_toks_cte()},
+  tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM toks
+         WHERE term = 'join' GROUP BY 1),
+  dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+  st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                (SELECT sum(dl) FROM dl)
+                  / (SELECT count(*) FROM documents) AS avgdl),
+  jdf AS (SELECT count(*)::BIGINT AS df FROM tf),
+  jraw AS (SELECT tf.doc_id,
+                  ln(1 + (s.n - j.df + 0.5) / (j.df + 0.5))
+                  * (tf.tf * (1.2 + 1.0))
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                    AS score
+           FROM tf JOIN dl USING (doc_id) CROSS JOIN jdf j CROSS JOIN st s),
+  wdocs AS (SELECT DISTINCT doc_id FROM toks WHERE {member_pred})
+  -- UNAMBIGUOUS aliases: 'score'/'doc_id' here would bind to the JOINED
+  -- COLUMNS in ORDER BY (alias shadowing), silently sorting by the plain
+  -- BM25 leg instead of the combined score
+  SELECT coalesce(j.doc_id, w.doc_id) AS cdoc,
+         coalesce(j.score, 0)
+           + CASE WHEN w.doc_id IS NOT NULL THEN 1.0 ELSE 0 END AS cscore
+  FROM jraw j FULL OUTER JOIN wdocs w ON w.doc_id = j.doc_id
+  ORDER BY round(cscore, 4) DESC, cdoc ASC LIMIT {k}
+) cc
+"""
+
+
 def _dismax_sql(
     terms: tuple[str, ...],
     qf: dict[str, str],
@@ -807,7 +841,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             F.round("score", 4).alias("score"),
         )
-        return filt.unionByName(neg).unionByName(boost).unionByName(wild)
+        # r5g: fuzzy clause 'xerge~1' — Levenshtein-ball dict expansion,
+        # constant-score like the wildcard rewrite (classic Levenshtein,
+        # the documented deviation from Lucene's Damerau default)
+        fuzzy = search(
+            s, ix, "join xerge~1", k=10, with_stored=False
+        ).select(
+            F.lit("fuzzy").alias("kind"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+        return (
+            filt.unionByName(neg).unionByName(boost)
+            .unionByName(wild).unionByName(fuzzy)
+        )
 
     q["ix_query_string"] = _query_string
 
@@ -1557,28 +1604,11 @@ UNION ALL
 SELECT 'boost' AS kind, doc_id, score
 FROM ({_bm25_sql(tuple(Q_MAIN.split()), 10, weights={"join": 2.0})}) b
 UNION ALL
-SELECT 'wild' AS kind, doc_id, round(score, 4) AS score FROM (
-  WITH {_toks_cte()},
-  tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM toks
-         WHERE term = 'join' GROUP BY 1),
-  dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
-  st AS (SELECT (SELECT count(*) FROM documents) AS n,
-                (SELECT sum(dl) FROM dl)
-                  / (SELECT count(*) FROM documents) AS avgdl),
-  jdf AS (SELECT count(*)::BIGINT AS df FROM tf),
-  jraw AS (SELECT tf.doc_id,
-                  ln(1 + (s.n - j.df + 0.5) / (j.df + 0.5))
-                  * (tf.tf * (1.2 + 1.0))
-                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
-                    AS score
-           FROM tf JOIN dl USING (doc_id) CROSS JOIN jdf j CROSS JOIN st s),
-  wdocs AS (SELECT DISTINCT doc_id FROM toks WHERE term LIKE 's%')
-  SELECT coalesce(j.doc_id, w.doc_id) AS doc_id,
-         coalesce(j.score, 0)
-           + CASE WHEN w.doc_id IS NOT NULL THEN 1.0 ELSE 0 END AS score
-  FROM jraw j FULL OUTER JOIN wdocs w ON w.doc_id = j.doc_id
-  ORDER BY round(score, 4) DESC, 1 ASC LIMIT 10
-) wl
+SELECT 'wild' AS kind, doc_id, score
+FROM ({_const_clause_sql("term LIKE 's%'")}) wl
+UNION ALL
+SELECT 'fuzzy' AS kind, doc_id, score
+FROM ({_const_clause_sql("levenshtein(term, 'xerge') <= 1")}) fz
 """
     # exact phrase 'merge sort': positional adjacency + Lucene PhraseWeight
     # (Σidf over phrase slots × tf_norm(phrase_freq, dl)); positions are

@@ -209,17 +209,110 @@ def is_wildcard(tok: str) -> bool:
     return "*" in tok or "?" in tok
 
 
+_FUZZY_RE = re.compile(r"^(.+?)~(\d*)$")
+
+
+def is_multiterm(tok: str) -> bool:
+    """True for any multi-term clause syntax: wildcard (``tur*``/``b?f``)
+    or fuzzy (``roam~1`` / bare ``roam~`` = 2 edits, Lucene's default)."""
+    return is_wildcard(tok) or ("~" in tok and not tok.startswith('"'))
+
+
 def split_wildcards(qtext: str) -> tuple[str, list[str]]:
-    """Pull wildcard tokens out of analyzed-bound query text (they must
-    never reach the analyzer, whose tokenizer drops ``*``/``?``).  Returns
-    (remaining_text, wildcard_tokens)."""
+    """Pull multi-term clause tokens (wildcard AND fuzzy) out of
+    analyzed-bound query text — they must never reach the analyzer, whose
+    tokenizer drops ``*``/``?``/``~`` (a fuzzy ``roam~1`` would otherwise
+    positively match the literal terms ``roam`` and ``1``).  Returns
+    (remaining_text, multiterm_tokens).  Malformed fuzzy syntax
+    (``roam~0.8`` — the deprecated float-similarity form) is rejected
+    loudly, never silently analyzed."""
     rest, wild = [], []
     for tok in qtext.split():
         # the literal match-all token is not a wildcard clause (a mixed
         # '*:* term' query is the OR-with-everything degenerate — the
         # match-all part adds nothing to ranked retrieval)
-        (wild if is_wildcard(tok) and tok != "*:*" else rest).append(tok)
+        if tok == "*:*" or not is_multiterm(tok):
+            rest.append(tok)
+            continue
+        if not is_wildcard(tok) and not _FUZZY_RE.match(tok):
+            raise ValueError(
+                f"unsupported fuzzy syntax {tok!r} — use term~N with "
+                "N in 0..2 (the float-similarity form is not supported)"
+            )
+        wild.append(tok)
     return " ".join(rest), wild
+
+
+def expand_fuzzy(
+    spark: SparkSession,
+    index: Index,
+    token: str,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> list[str]:
+    """Dictionary expansion of a fuzzy clause (``roam~1``; bare ``roam~``
+    = 2 edits, Lucene's FuzzyQuery default): every dict term within
+    maxEdits CLASSIC Levenshtein edits of the lowercased token.
+
+    Documented deviations from Lucene: distance is classic Levenshtein
+    (Spark's and DuckDB's builtin — Lucene defaults to Damerau, counting a
+    transposition as one edit), and ALL matching terms join the
+    constant-score clause (Lucene's default rewrite keeps the top 50 by
+    blended frequency) — capped at ``max_expansions`` like the wildcard
+    path.  Candidates come from the spellcheck ngram table when present
+    (the provable no-miss gram bound — see :func:`ngram_candidates`), else
+    a full dict scan of the single narrow term column."""
+    m = _FUZZY_RE.match(token)
+    if not m:
+        raise ValueError(f"not a fuzzy clause: {token!r}")
+    q = m.group(1).lower()
+    edits = int(m.group(2)) if m.group(2) else 2
+    if edits > 2:
+        raise ValueError(
+            f"fuzzy edits must be 0..2 (Lucene's LevenshteinAutomata "
+            f"bound): {token!r}"
+        )
+    if KW_SEP in q:
+        raise ValueError(f"fuzzy on a keyword field is not supported: {q!r}")
+    if edits == 0:
+        d0 = index.term_dict(spark)
+        if d0 is not None and not term_dfs(spark, index, [q]):
+            return []
+        return [q]
+    d = index.term_dict(spark)
+    if d is None:
+        raise ValueError("fuzzy queries need the dict table (pre-dict index)")
+    cand = ngram_candidates(spark, index, q, edits)
+    base = cand if cand is not None else d.select("term")
+    rows = (
+        base.filter(
+            ~F.col("term").contains(KW_SEP)
+            & (F.col("term") != DELETED_TERM)
+            & (F.levenshtein(F.col("term"), F.lit(q)) <= edits)
+        )
+        .select("term")
+        .limit(max_expansions + 1)
+        .collect()
+    )
+    terms = sorted(r["term"] for r in rows)
+    if len(terms) > max_expansions:
+        raise ValueError(
+            f"fuzzy {token!r} expands to more than {max_expansions} terms "
+            "(maxBooleanClauses) — lower the edit distance"
+        )
+    return terms
+
+
+def expand_multiterm(
+    spark: SparkSession,
+    index: Index,
+    token: str,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> list[str]:
+    """Dispatch a multi-term clause token to its expansion: wildcard
+    (dict pattern walk) or fuzzy (Levenshtein ball)."""
+    if is_wildcard(token):
+        return expand_wildcard(spark, index, token, max_expansions)
+    return expand_fuzzy(spark, index, token, max_expansions)
 
 
 def expand_wildcard(
@@ -650,14 +743,14 @@ def resolve_excluded(
     """:func:`excluded_terms_of` plus dict expansion of prohibited WILDCARD
     clauses (``-tmp*`` excludes docs posting any matching term — Lucene's
     MUST_NOT over the rewritten multi-term query)."""
-    plain = [t for t in neg_tokens if not is_wildcard(t)]
+    plain = [t for t in neg_tokens if not is_multiterm(t)]
     ex = excluded_terms_of(plain, index.spec.keyword_fields)
     for tok in neg_tokens:
-        if is_wildcard(tok):
+        if is_multiterm(tok):
             m = _BOOST_RE.match(tok)
             if m:  # boosts on prohibited clauses are meaningless — strip
                 tok = m.group(1)
-            ex.update(expand_wildcard(spark, index, tok))
+            ex.update(expand_multiterm(spark, index, tok))
     return ex
 
 
@@ -750,7 +843,7 @@ def match_ids(
     fterms = filter_terms_of(filters) | parsed_fterms
     # wildcard clauses: each is ONE clause matched by any dict expansion
     groups = [
-        frozenset(expand_wildcard(spark, index, tok)) for tok in wild_tokens
+        frozenset(expand_multiterm(spark, index, tok)) for tok in wild_tokens
     ]
     live_groups = [g for g in groups if g]
     empty = spark.createDataFrame([], "doc_id long")
@@ -941,7 +1034,7 @@ def search(
     # MaxScore's per-term bounds don't model a once-per-doc clause.
     const_groups = [
         (
-            frozenset(expand_wildcard(spark, index, tok)),
+            frozenset(expand_multiterm(spark, index, tok)),
             float(raw_boosts.get(tok, 1.0)),
         )
         for tok in wild_tokens
@@ -986,7 +1079,7 @@ def search(
         # every downstream bound, incl. MaxScore block maxima, scales with
         # it and pruning stays exact)
         plain_boosts = {
-            t: bw for t, bw in raw_boosts.items() if not is_wildcard(t)
+            t: bw for t, bw in raw_boosts.items() if not is_multiterm(t)
         }
         for t, w in boost_weights_of(plain_boosts).items():
             if t in idf:
@@ -1188,7 +1281,7 @@ def search_dismax(
             )
     qs, negtoks = parse_prohibited(query.strip())
     qs, raw_boosts = parse_boosts(qs)
-    if any(is_wildcard(t) for t in qs.split() + negtoks):
+    if any(is_multiterm(t) for t in qs.split() + negtoks):
         raise ValueError(
             "wildcard clauses are not supported in dismax (qf) queries — "
             "use search() for wildcard retrieval"
@@ -1344,7 +1437,7 @@ def search_after(
     fterms = filter_terms_of(filters) | parsed_fterms
     const_groups = [
         (
-            frozenset(expand_wildcard(spark, index, tok)),
+            frozenset(expand_multiterm(spark, index, tok)),
             float(raw_boosts.get(tok, 1.0)),
         )
         for tok in wild_tokens
@@ -1371,7 +1464,7 @@ def search_after(
         spec = index.spec
         idf = {t: bm25_idf(df, index.n_docs) for t, df in dfs.items()}
         plain_boosts = {
-            t: bw for t, bw in raw_boosts.items() if not is_wildcard(t)
+            t: bw for t, bw in raw_boosts.items() if not is_multiterm(t)
         }
         for t, w in boost_weights_of(plain_boosts).items():
             if t in idf:
@@ -1850,14 +1943,14 @@ def explain_score(
     qs, _ = parse_prohibited(query.strip())  # ranked docs never match a
     qs, raw_boosts = parse_boosts(qs)        # prohibited term
     weights = boost_weights_of(
-        {t: b for t, b in raw_boosts.items() if not is_wildcard(t)}
+        {t: b for t, b in raw_boosts.items() if not is_multiterm(t)}
     )
     qtext, _ = parse_query(qs, index.spec.keyword_fields)
     qtext, _ = query_op(qtext)
     qtext, wild_tokens = split_wildcards(qtext)
     terms = expand_terms(qtext, synonyms)
     groups = [
-        (tok, frozenset(expand_wildcard(spark, index, tok)),
+        (tok, frozenset(expand_multiterm(spark, index, tok)),
          float(raw_boosts.get(tok, 1.0)))
         for tok in wild_tokens
     ]
@@ -2006,14 +2099,14 @@ def search_elevated(
     qtext, wild_tokens = split_wildcards(qtext)
     terms = expand_terms(qtext)
     groups = [
-        (frozenset(expand_wildcard(spark, index, tok)),
+        (frozenset(expand_multiterm(spark, index, tok)),
          float(raw_boosts.get(tok, 1.0)))
         for tok in wild_tokens
     ]
     dfs = term_dfs(spark, index, terms) if terms else {}
     idf = {t: bm25_idf(d, index.n_docs) for t, d in dfs.items()}
     plain_boosts = {
-        t: b for t, b in raw_boosts.items() if not is_wildcard(t)
+        t: b for t, b in raw_boosts.items() if not is_multiterm(t)
     }
     for t, w in boost_weights_of(plain_boosts).items():
         if t in idf:
@@ -2428,7 +2521,7 @@ def highlight(
         | {  # wildcard matches highlight their matched expansion
             t
             for tok in wild_tokens
-            for t in expand_wildcard(spark, index, tok)
+            for t in expand_multiterm(spark, index, tok)
         }
     )
     top = search(
@@ -2551,7 +2644,7 @@ def highlight_fields(
         | {
             t
             for tok in wild_tokens
-            for t in expand_wildcard(spark, index, tok)
+            for t in expand_multiterm(spark, index, tok)
         }
     )
     if top is None:
@@ -3784,13 +3877,13 @@ def search_many(
         fterms = filter_terms_of(req.get("filters")) | parsed_fterms
         cgroups = [
             (
-                frozenset(expand_wildcard(spark, index, tok)),
+                frozenset(expand_multiterm(spark, index, tok)),
                 float(raw_boosts.get(tok, 1.0)),
             )
             for tok in wild_tokens
         ]
         plain_boosts = {
-            t: b for t, b in raw_boosts.items() if not is_wildcard(t)
+            t: b for t, b in raw_boosts.items() if not is_multiterm(t)
         }
         plans[qid] = (
             terms, fterms, op.upper() == "AND", eterms,

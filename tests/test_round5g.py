@@ -422,3 +422,75 @@ def test_wildcard_highlight_wraps_expansion(spark, ix):
     rows = highlight(spark, ix, "stream*", k=5).collect()
     assert rows
     assert any("<em>" in r["snippet"] for r in rows)
+
+
+# ---- fuzzy queries (FuzzyQuery analogue; classic Levenshtein) ----
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_expand_fuzzy_matches_vocabulary(spark, ix):
+    from cascading_solr_spark.query.search import expand_fuzzy
+
+    tok = _vocab(spark, ix)
+    vocab = sorted({t for ts in tok.values() for t in ts})
+    for token, q, d in (("parse~1", "parse", 1), ("bufer~", "bufer", 2)):
+        want = sorted(t for t in vocab if _lev(t, q) <= d)
+        assert expand_fuzzy(spark, ix, token) == want, token
+    assert expand_fuzzy(spark, ix, "parse~0") == ["parse"]
+    assert expand_fuzzy(spark, ix, "zzqxj~0") == []
+
+
+def test_fuzzy_constant_score_and_neg(spark, ix):
+    tok = _vocab(spark, ix)
+    fdocs = {
+        d for d, ts in tok.items() if any(_lev(t, "bufer") <= 1 for t in ts)
+    }
+    base = {
+        r["doc_id"]: r["score"]
+        for r in search(spark, ix, "parse", k=None, with_stored=False).collect()
+    }
+    mixed = {
+        r["doc_id"]: r["score"]
+        for r in search(
+            spark, ix, "parse bufer~1", k=None, with_stored=False
+        ).collect()
+    }
+    assert set(mixed) == set(base) | fdocs
+    for d, s in mixed.items():
+        assert abs(s - (base.get(d, 0.0) + (1.0 if d in fdocs else 0.0))) < 1e-9
+    pdocs = {d for d, ts in tok.items() if "parse" in ts}
+    assert _ids(match_ids(spark, ix, "parse bufer~1", op="AND")) == (
+        pdocs & fdocs
+    )
+    assert _ids(match_ids(spark, ix, "parse -bufer~1")) == pdocs - fdocs
+
+
+def test_fuzzy_batch_parity_and_guards(spark, ix):
+    single = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(
+            spark, ix, "parse bufer~1", k=10, with_stored=False
+        ).collect()
+    }
+    batch = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in search_many(spark, ix, {"q": "parse bufer~1"}, k=10).collect()
+    }
+    assert batch == single
+    with pytest.raises(ValueError, match="unsupported fuzzy"):
+        search(spark, ix, "roam~0.8", k=5)
+    with pytest.raises(ValueError, match="0..2"):
+        search(spark, ix, "roam~3", k=5)
+    with pytest.raises(ValueError, match="dismax"):
+        search_dismax(spark, ix, "parse bufer~1", {"content": 1.0})
