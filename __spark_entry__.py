@@ -851,9 +851,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             F.round("score", 4).alias("score"),
         )
+        # r5g: keyword range filter 'lang:[de TO es]' — StrField
+        # lexicographic range, dict-expanded to a filter GROUP (OR within,
+        # AND against other fq) composed index-side with the ranked query
+        rng = search(
+            s, ix, Q_MAIN + " lang:[de TO es]", k=10, with_stored=False
+        ).select(
+            F.lit("range").alias("kind"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
         return (
             filt.unionByName(neg).unionByName(boost)
-            .unionByName(wild).unionByName(fuzzy)
+            .unionByName(wild).unionByName(fuzzy).unionByName(rng)
         )
 
     q["ix_query_string"] = _query_string
@@ -1609,6 +1619,12 @@ FROM ({_const_clause_sql("term LIKE 's%'")}) wl
 UNION ALL
 SELECT 'fuzzy' AS kind, doc_id, score
 FROM ({_const_clause_sql("levenshtein(term, 'xerge') <= 1")}) fz
+UNION ALL
+SELECT 'range' AS kind, doc_id, score
+FROM (SELECT s.doc_id, s.score
+      FROM scores s JOIN documents d USING (doc_id)
+      WHERE d.lang >= 'de' AND d.lang <= 'es'
+      ORDER BY s.score DESC, s.doc_id ASC LIMIT 10) rg
 """
     # exact phrase 'merge sort': positional adjacency + Lucene PhraseWeight
     # (Σidf over phrase slots × tf_norm(phrase_freq, dl)); positions are

@@ -91,8 +91,14 @@ def _scan_terms(index: Index, terms) -> list[str]:
     index therefore plans byte-identically (no extra term, no extra row
     groups read); with deletes, each shard's kernel receives its tombstone
     rows in the same scan and excludes them in-process — no extra job, no
-    broadcast."""
-    out = list(terms)
+    broadcast.  Filter GROUPS (frozensets — range filters) flatten into
+    their member terms."""
+    out: list[str] = []
+    for t in terms:
+        if isinstance(t, str):
+            out.append(t)
+        else:
+            out.extend(t)
     if index.has_deletes:
         out.append(DELETED_TERM)
     return out
@@ -157,6 +163,19 @@ def query_op(query: str, default: str = "OR") -> tuple[str, str]:
     stripped = [t.lstrip("+") if t.startswith("+") else t for t in words]
     op = "AND" if (has_and or plus) else default
     return " ".join(stripped), op
+
+
+def _flat_terms(fterms) -> set[str]:
+    """Flatten a filter-clause set (strings + frozenset groups) to its
+    member terms — for scan IN-lists and row grouping; the AND/OR clause
+    structure stays with the original set (wand.allowed_ids)."""
+    out: set[str] = set()
+    for t in fterms:
+        if isinstance(t, str):
+            out.add(t)
+        else:
+            out.update(t)
+    return out
 
 
 def parse_prohibited(query: str) -> tuple[str, list[str]]:
@@ -300,6 +319,100 @@ def expand_fuzzy(
             "(maxBooleanClauses) — lower the edit distance"
         )
     return terms
+
+
+_RANGE_RE = re.compile(
+    r"(-?)([A-Za-z_][\w.]*):([\[\{])(\S+)\s+TO\s+(\S+)([\]\}])"
+)
+
+
+def parse_ranges(
+    qs: str, keyword_fields: tuple[str, ...]
+) -> tuple[str, list[tuple], list[tuple]]:
+    """Lucene range syntax over keyword (StrField) fields in the query
+    string: ``lang:[aa TO ez]`` (inclusive), ``{a TO b}`` (exclusive),
+    ``*`` for an open end, leading ``-`` for a prohibited range.  StrField
+    semantics: LEXICOGRAPHIC order on the raw stored value, exactly Solr's
+    string-field range query.  Values with whitespace are not addressable
+    by this form (Solr quotes them; unsupported — documented).
+
+    Returns ``(rest, ranges, neg_ranges)`` with each range a
+    ``(field, lo, hi, incl_lo, incl_hi)`` tuple.  A range on a non-keyword
+    field is rejected loudly (Solr errors on undefined fields too)."""
+    ranges: list[tuple] = []
+    neg: list[tuple] = []
+    fields = set(keyword_fields)
+
+    def repl(m: re.Match) -> str:
+        if m.group(2) not in fields:
+            raise ValueError(
+                f"range query on non-keyword field {m.group(2)!r} "
+                f"(keyword fields: {sorted(fields)})"
+            )
+        r = (
+            m.group(2), m.group(4), m.group(5),
+            m.group(3) == "[", m.group(6) == "]",
+        )
+        (neg if m.group(1) else ranges).append(r)
+        return " "
+    rest = _RANGE_RE.sub(repl, qs)
+    return " ".join(rest.split()), ranges, neg
+
+
+def expand_keyword_range(
+    spark: SparkSession,
+    index: Index,
+    rng: tuple,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> frozenset:
+    """Expand one keyword range to its concrete ``field:value`` index terms
+    via the term-sorted dict (range predicate prunes row groups; the
+    driver dict cache serves small vocabularies with zero jobs).  The
+    result is a filter GROUP: OR within, AND against the other filters —
+    wand.allowed_ids composes it blockwise like any fq."""
+    field, lo, hi, incl_lo, incl_hi = rng
+    prefix = field + KW_SEP
+
+    def _in_range(term: str) -> bool:
+        v = term[len(prefix):]
+        if lo != "*" and (v < lo or (v == lo and not incl_lo)):
+            return False
+        if hi != "*" and (v > hi or (v == hi and not incl_hi)):
+            return False
+        return True
+
+    cache = index.dict_cache(spark)
+    if cache is not None:
+        terms = sorted(
+            t for t in cache if t.startswith(prefix) and _in_range(t)
+        )[: max_expansions + 1]
+    else:
+        d = index.term_dict(spark)
+        if d is None:
+            raise ValueError(
+                "range queries need the dict table (pre-dict index)"
+            )
+        cond = F.col("term").startswith(prefix)
+        if lo != "*":
+            bound = prefix + lo
+            cond &= (
+                F.col("term") >= bound if incl_lo else F.col("term") > bound
+            )
+        if hi != "*":
+            bound = prefix + hi
+            cond &= (
+                F.col("term") <= bound if incl_hi else F.col("term") < bound
+            )
+        rows = (
+            d.filter(cond).select("term").limit(max_expansions + 1).collect()
+        )
+        terms = sorted(r["term"] for r in rows)
+    if len(terms) > max_expansions:
+        raise ValueError(
+            f"range {field}:[{lo} TO {hi}] expands to more than "
+            f"{max_expansions} terms — narrow the range"
+        )
+    return frozenset(terms)
 
 
 def expand_multiterm(
@@ -814,16 +927,20 @@ def match_ids(
         return phrase_match_ids(
             spark, index, pq[0], filters=filters, slop=pq[1]
         )
+    qs, ranges, neg_ranges = parse_ranges(qs, index.spec.keyword_fields)
     qs, neg = parse_prohibited(qs)
     qs, _ = parse_boosts(qs)  # boosts never change the MATCH set
     eterms = resolve_excluded(spark, index, neg)
-    if qs == "*:*" or (not qs and neg):
+    rgroups = {expand_keyword_range(spark, index, r) for r in ranges}
+    for r in neg_ranges:  # a prohibited range excludes its whole expansion
+        eterms |= expand_keyword_range(spark, index, r)
+    if qs == "*:*" or (not qs and (neg or neg_ranges)):
         # MatchAllDocsQuery (the /browse handler's q.alt=*:* landing page,
         # solrconfig.xml:879), incl. Solr's pure-negative top-level rewrite:
         # every doc, optionally fq-restricted, minus the excluded set.  The
         # unfiltered case reads ONE int column of the docs table (columnar
         # pruned scan, no postings touched); filtered goes index-side.
-        fterms = filter_terms_of(filters)
+        fterms = filter_terms_of(filters) | rgroups
         if fterms:
             return keyword_filter(spark, index, fterms, excluded=eterms)
         live = index.docs(spark).select("doc_id")
@@ -840,7 +957,7 @@ def match_ids(
     qtext, op = query_op(qtext, default=op)
     qtext, wild_tokens = split_wildcards(qtext)
     terms = expand_terms(qtext, synonyms)
-    fterms = filter_terms_of(filters) | parsed_fterms
+    fterms = filter_terms_of(filters) | parsed_fterms | rgroups
     # wildcard clauses: each is ONE clause matched by any dict expansion
     groups = [
         frozenset(expand_multiterm(spark, index, tok)) for tok in wild_tokens
@@ -1000,10 +1117,14 @@ def search(
             spark, index, pq[0], k=k, with_stored=with_stored,
             filters=filters, start=start, slop=pq[1],
         )
+    q, ranges, neg_ranges = parse_ranges(q, index.spec.keyword_fields)
     q, neg = parse_prohibited(q)
     q, raw_boosts = parse_boosts(q)
     eterms = resolve_excluded(spark, index, neg)
-    if q == "*:*" or (not q and neg):
+    rgroups = {expand_keyword_range(spark, index, r) for r in ranges}
+    for r in neg_ranges:
+        eterms |= expand_keyword_range(spark, index, r)
+    if q == "*:*" or (not q and (neg or neg_ranges)):
         # MatchAllDocsQuery (q.alt=*:*, solrconfig.xml:879): constant score
         # 1.0 (Lucene's match-all), doc_id order, normal paging/fq/stored.
         # A pure-negative query follows Solr's top-level rewrite to
@@ -1027,7 +1148,7 @@ def search(
     qtext, op = query_op(qtext, default=op)
     qtext, wild_tokens = split_wildcards(qtext)
     terms = expand_terms(qtext, synonyms)
-    fterms = filter_terms_of(filters) | parsed_fterms
+    fterms = filter_terms_of(filters) | parsed_fterms | rgroups
     # wildcard clauses: dict-expanded, constant-score (Solr's rewrite for
     # multi-term queries); a boost on the wildcard token is the clause
     # weight.  Scoring with const groups runs the exact TAAT kernel —
@@ -1279,13 +1400,15 @@ def search_dismax(
                 f"qf field {f!r} is not content_field or a spec.text_fields "
                 f"entry ({sorted(text_set)})"
             )
-    qs, negtoks = parse_prohibited(query.strip())
+    qs, ranges, neg_ranges = parse_ranges(query.strip(), spec.keyword_fields)
+    qs, negtoks = parse_prohibited(qs)
     qs, raw_boosts = parse_boosts(qs)
     if any(is_multiterm(t) for t in qs.split() + negtoks):
         raise ValueError(
             "wildcard clauses are not supported in dismax (qf) queries — "
             "use search() for wildcard retrieval"
         )
+    rgroups = {expand_keyword_range(spark, index, r) for r in ranges}
     clause_w = boost_weights_of(raw_boosts)
     raw_eterms = excluded_terms_of(negtoks, spec.keyword_fields)
     # a prohibited CLAUSE excludes a doc matching it in ANY qf field
@@ -1300,10 +1423,12 @@ def search_dismax(
         else:
             for f in qf:
                 eterms.add(t if f == spec.content_field else f"{f}{KW_SEP}{t}")
+    for r in neg_ranges:
+        eterms |= expand_keyword_range(spark, index, r)
     qtext, parsed_fterms = parse_query(qs, spec.keyword_fields)
     qtext, op = query_op(qtext, default=op)
     tokens = expand_terms(qtext, synonyms)
-    fterms = filter_terms_of(filters) | parsed_fterms
+    fterms = filter_terms_of(filters) | parsed_fterms | rgroups
     # physical candidate terms: one per (clause, qf field)
     group: dict[str, int] = {}
     boost: dict[str, float] = {}
@@ -1427,14 +1552,20 @@ def search_after(
                 bounded=True,
             )
         )
-    qs, neg = parse_prohibited(query.strip())
+    qs, ranges, neg_ranges = parse_ranges(
+        query.strip(), index.spec.keyword_fields
+    )
+    qs, neg = parse_prohibited(qs)
     qs, raw_boosts = parse_boosts(qs)
     eterms = resolve_excluded(spark, index, neg)
+    rgroups = {expand_keyword_range(spark, index, r) for r in ranges}
+    for r in neg_ranges:
+        eterms |= expand_keyword_range(spark, index, r)
     qtext, parsed_fterms = parse_query(qs, index.spec.keyword_fields)
     qtext, op = query_op(qtext, default=op)
     qtext, wild_tokens = split_wildcards(qtext)
     terms = expand_terms(qtext, synonyms)
-    fterms = filter_terms_of(filters) | parsed_fterms
+    fterms = filter_terms_of(filters) | parsed_fterms | rgroups
     const_groups = [
         (
             frozenset(expand_multiterm(spark, index, tok)),
@@ -1940,8 +2071,9 @@ def explain_score(
     float64 arithmetic; asserted in tests).  Stats come from the INDEX
     (dict df + postings tf/dl), not from re-analyzing stored text, so the
     explanation is the ground truth of what scored."""
-    qs, _ = parse_prohibited(query.strip())  # ranked docs never match a
-    qs, raw_boosts = parse_boosts(qs)        # prohibited term
+    qs, _, _ = parse_ranges(query.strip(), index.spec.keyword_fields)
+    qs, _ = parse_prohibited(qs)       # ranked docs never match a
+    qs, raw_boosts = parse_boosts(qs)  # prohibited term
     weights = boost_weights_of(
         {t: b for t, b in raw_boosts.items() if not is_multiterm(t)}
     )
@@ -2092,7 +2224,8 @@ def search_elevated(
     )
     if not pinned:
         return tail
-    qs, _ = parse_prohibited(query.strip())
+    qs, _, _ = parse_ranges(query.strip(), index.spec.keyword_fields)
+    qs, _ = parse_prohibited(qs)
     qs, raw_boosts = parse_boosts(qs)
     qtext, _ = parse_query(qs, index.spec.keyword_fields)
     qtext, _ = query_op(qtext, default=op)
@@ -2511,8 +2644,9 @@ def highlight(
             f"highlighting requires content field {spec.content_field!r} in "
             f"stored_fields {spec.stored_fields!r} (Solr stored=\"true\")"
         )
-    qs, _ = parse_prohibited(query.strip())  # never highlight a prohibited
-    qs, _ = parse_boosts(qs)                 # term (search excludes)
+    qs, _, _ = parse_ranges(query.strip(), spec.keyword_fields)
+    qs, _ = parse_prohibited(qs)  # never highlight a prohibited term or a
+    qs, _ = parse_boosts(qs)      # range filter (search handles matching)
     qtext, _ = parse_query(qs, spec.keyword_fields)
     qtext, _ = query_op(qtext, default=op)
     qtext, wild_tokens = split_wildcards(qtext)
@@ -2634,7 +2768,8 @@ def highlight_fields(
             f"highlight fields must be stored (Solr stored=\"true\"): "
             f"{missing} not in {sorted(stored)}"
         )
-    qs, _ = parse_prohibited(query.strip())
+    qs, _, _ = parse_ranges(query.strip(), spec.keyword_fields)
+    qs, _ = parse_prohibited(qs)
     qs, _ = parse_boosts(qs)
     qtext, _ = parse_query(qs, spec.keyword_fields)
     qtext, _ = query_op(qtext, default=op)
@@ -3645,7 +3780,7 @@ def batch_kernel(
     want = set()
     for p in norm_plans.values():
         terms, fterms = _plan_terms(p)
-        want |= set(terms) | fterms
+        want |= set(terms) | _flat_terms(fterms)
         if p[0] != "PHRASE":
             want |= p[3]
             for g, _ in p[5]:
@@ -3708,7 +3843,11 @@ def batch_kernel(
                 # result shape the single-query path serves via
                 # keyword_filter — first k by doc_id per shard, the global
                 # (score desc, doc_id asc) window then equals doc_id order
-                frows = [r for t in sorted(fterms) for r in by_term.get(t, [])]
+                frows = [
+                    r
+                    for t in sorted(_flat_terms(fterms))
+                    for r in by_term.get(t, [])
+                ]
                 allowed = allowed_ids(frows, fterms, block_size)
                 if allowed is None or not len(allowed):
                     continue
@@ -3726,7 +3865,11 @@ def batch_kernel(
             ):
                 continue  # zero-hit (or AND with a df=0 term) short-circuit
             qrows = [r for t in idf_q for r in by_term.get(t, [])]
-            qrows += [r for t in sorted(fterms) for r in by_term.get(t, [])]
+            qrows += [
+                r
+                for t in sorted(_flat_terms(fterms))
+                for r in by_term.get(t, [])
+            ]
             qrows += [
                 r
                 for g, _ in live_groups
@@ -3867,14 +4010,20 @@ def search_many(
                 pq[1],
             )
             continue
-        qs, neg = parse_prohibited(raw_q)
+        qs, ranges, neg_ranges = parse_ranges(
+            raw_q, index.spec.keyword_fields
+        )
+        qs, neg = parse_prohibited(qs)
         qs, raw_boosts = parse_boosts(qs)
         eterms = resolve_excluded(spark, index, neg)
+        for r in neg_ranges:
+            eterms |= expand_keyword_range(spark, index, r)
+        rgroups = {expand_keyword_range(spark, index, r) for r in ranges}
         qtext, parsed_fterms = parse_query(qs, index.spec.keyword_fields)
         qtext, op = query_op(qtext, default=req.get("op", "OR"))
         qtext, wild_tokens = split_wildcards(qtext)
         terms = expand_terms(qtext, req.get("synonyms"))
-        fterms = filter_terms_of(req.get("filters")) | parsed_fterms
+        fterms = filter_terms_of(req.get("filters")) | parsed_fterms | rgroups
         cgroups = [
             (
                 frozenset(expand_multiterm(spark, index, tok)),
@@ -3898,11 +4047,13 @@ def search_many(
         }
     )
     all_fterms = sorted(
-        {
-            t
-            for p in plans.values()
-            for t in (p[2] if p[0] == "PHRASE" else p[1])
-        }
+        _flat_terms(
+            {
+                t
+                for p in plans.values()
+                for t in (p[2] if p[0] == "PHRASE" else p[1])
+            }
+        )
     )
     all_eterms = sorted(
         {

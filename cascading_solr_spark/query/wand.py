@@ -154,39 +154,74 @@ def blockwise_filter_ids(
 
 def allowed_ids(
     pdf_rows: list,
-    filter_terms: set[str],
+    filter_terms: set,
     block_size: int,
     counters: dict | None = None,
 ) -> np.ndarray | None:
-    """Intersection of the filter terms' doc-id sets (None = no filters).
+    """Intersection of the filter clauses' doc-id sets (None = no filters).
 
-    The MOST selective term (fewest total postings in this shard) is decoded
-    fully; every subsequent term intersects at block granularity against the
-    running candidate set (blockwise_filter_ids), so broad filters never pay
-    a full decode.  Returns an empty array when any filter term is absent
-    from the shard — the zero-hit short-circuit for that shard."""
+    ``filter_terms`` members are single terms (strings) or GROUPS
+    (frozensets of terms — a keyword RANGE filter ``lang:[aa TO ez]``
+    expands to one group): semantics are AND across members, OR within a
+    group — exactly Solr's fq composition.
+
+    The MOST selective clause (fewest total postings in this shard) is
+    decoded fully; every subsequent clause intersects at block granularity
+    against the running candidate set (blockwise_filter_ids, unioned over
+    a group's terms), so broad filters never pay a full decode.  Returns
+    an empty array when any clause has no postings in the shard — the
+    zero-hit short-circuit for that shard."""
     if not filter_terms:
         return None
-    by_term: dict[str, list] = {t: [] for t in filter_terms}
+    groups: list[frozenset] = [
+        frozenset([g]) if isinstance(g, str) else frozenset(g)
+        for g in filter_terms
+    ]
+    want = {t for g in groups for t in g}
+    by_term: dict[str, list] = {t: [] for t in want}
     for r in pdf_rows:
         if r.term in by_term:
             by_term[r.term].append(r)
-    order = sorted(
-        filter_terms, key=lambda t: sum(int(r.n_docs) for r in by_term[t])
-    )
+
+    def _size(g: frozenset) -> int:
+        return sum(int(r.n_docs) for t in g for r in by_term[t])
+
+    order = sorted(groups, key=lambda g: (_size(g), sorted(g)))
     allowed: np.ndarray | None = None
-    for t in order:
-        rows = by_term[t]
+    for g in order:
+        rows = [r for t in sorted(g) for r in by_term[t]]
         if not rows:
             return np.empty(0, dtype=np.int64)
         if allowed is None:
             allowed = decode_filter_ids(rows, block_size)
+            if len(g) > 1:
+                # a doc may post several of the group's terms — the allowed
+                # set is a SET (keyword_filter returns it as rows directly)
+                allowed = np.unique(allowed)
             if counters is not None:
                 counters["filter_blocks_decoded"] = counters.get(
                     "filter_blocks_decoded", 0
                 ) + sum(int(r.n_blocks) for r in rows)
         else:
-            allowed = blockwise_filter_ids(rows, allowed, block_size, counters)
+            if len(g) == 1:
+                allowed = blockwise_filter_ids(
+                    rows, allowed, block_size, counters
+                )
+            else:
+                # OR within the group: union of per-term blockwise
+                # intersections against the running candidate set
+                parts = [
+                    blockwise_filter_ids(
+                        by_term[t], allowed, block_size, counters
+                    )
+                    for t in sorted(g)
+                    if by_term[t]
+                ]
+                allowed = (
+                    np.unique(np.concatenate(parts))
+                    if parts
+                    else np.empty(0, dtype=np.int64)
+                )
         if not len(allowed):
             return allowed
     return allowed

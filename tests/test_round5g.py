@@ -476,6 +476,75 @@ def test_fuzzy_constant_score_and_neg(spark, ix):
     assert _ids(match_ids(spark, ix, "parse -bufer~1")) == pdocs - fdocs
 
 
+# ---- keyword range filters (StrField range query: field:[a TO b]) ----
+
+
+def _lang_of(spark, ix):
+    docs = ix.docs(spark).select("doc_id", "lang").toPandas()
+    return {int(d): l for d, l in zip(docs.doc_id, docs.lang)}
+
+
+def test_range_inclusive_exclusive_open(spark, ix):
+    lang = _lang_of(spark, ix)
+    incl = {d for d, l in lang.items() if "java" <= l <= "python"}
+    assert _ids(match_ids(spark, ix, "lang:[java TO python]")) == incl
+    excl = {d for d, l in lang.items() if "java" < l < "python"}
+    assert _ids(match_ids(spark, ix, "lang:{java TO python}")) == excl
+    hi_open = {d for d, l in lang.items() if l >= "python"}
+    assert _ids(match_ids(spark, ix, "lang:[python TO *]")) == hi_open
+
+
+def test_range_composes_with_query_and_negation(spark, ix):
+    lang = _lang_of(spark, ix)
+    in_rng = {d for d, l in lang.items() if "java" <= l <= "python"}
+    base = _scored(search(spark, ix, "parse buffer", k=None, with_stored=False))
+    got = _scored(
+        search(
+            spark, ix, "parse buffer lang:[java TO python]",
+            k=None, with_stored=False,
+        )
+    )
+    assert got == {(d, s) for d, s in base if d in in_rng}
+    neg = _ids(match_ids(spark, ix, "parse buffer -lang:[java TO python]"))
+    assert neg == {d for d, _ in base} - in_rng
+
+
+def test_range_batch_parity_and_guards(spark, ix):
+    single = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(
+            spark, ix, "parse lang:[go TO python]", k=10, with_stored=False
+        ).collect()
+    }
+    batch = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in search_many(
+            spark, ix, {"q": "parse lang:[go TO python]"}, k=10
+        ).collect()
+    }
+    assert batch == single
+    assert match_ids(spark, ix, "parse lang:[zz TO zzz]").count() == 0
+    with pytest.raises(ValueError, match="non-keyword field"):
+        search(spark, ix, "parse price:[1 TO 2]", k=5)
+
+
+def test_range_dismax_and_matchall(spark, ix):
+    lang = _lang_of(spark, ix)
+    in_rng = {d for d, l in lang.items() if "go" <= l <= "java"}
+    assert _ids(match_ids(spark, ix, "*:* lang:[go TO java]")) == in_rng
+    qf = {"content": 1.0}
+    base = _scored(
+        search_dismax(spark, ix, "parse buffer", qf, k=None, with_stored=False)
+    )
+    got = _scored(
+        search_dismax(
+            spark, ix, "parse buffer lang:[go TO java]", qf,
+            k=None, with_stored=False,
+        )
+    )
+    assert got == {(d, s) for d, s in base if d in in_rng}
+
+
 def test_fuzzy_batch_parity_and_guards(spark, ix):
     single = {
         (r["doc_id"], round(r["score"], 9))
