@@ -327,6 +327,39 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
         ).collect(),
         repeat=3,
     )
+    # Lucene-parser clause surface (round 5g): MUST_NOT exclusion, boost,
+    # wildcard constant-score expansion, fuzzy ball, keyword range group
+    timings["query_negation"] = timed(
+        lambda: search(
+            spark, ix_docs, "spark join -merge", k=10, with_stored=False
+        ).collect(),
+        repeat=3,
+    )
+    timings["query_boosted"] = timed(
+        lambda: search(
+            spark, ix_docs, "spark join^2", k=10, with_stored=False
+        ).collect(),
+        repeat=3,
+    )
+    timings["query_wildcard"] = timed(
+        lambda: search(
+            spark, ix_docs, "join s*", k=10, with_stored=False
+        ).collect(),
+        repeat=3,
+    )
+    timings["query_fuzzy"] = timed(
+        lambda: search(
+            spark, ix_docs, "join xerge~1", k=10, with_stored=False
+        ).collect(),
+        repeat=3,
+    )
+    timings["query_range_fq"] = timed(
+        lambda: search(
+            spark, ix_docs, "spark join lang:[de TO es]", k=10,
+            with_stored=False,
+        ).collect(),
+        repeat=3,
+    )
 
     # ---- 3. query latency over the compressed code index ----
     from cascading_solr_spark.indexing.build import Index
