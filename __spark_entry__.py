@@ -861,9 +861,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             F.round("score", 4).alias("score"),
         )
+        # r5g: numeric stored-field filter (Solr frange / PostFilter
+        # analogue): ranked overfetch + pruned point-probe validation,
+        # BM25 stats unchanged (fq semantics)
+        dfq = search(
+            s, ix, Q_MAIN, k=10, with_stored=False,
+            doc_filter="textlen >= 300",
+        ).select(
+            F.lit("dfq").alias("kind"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
         return (
             filt.unionByName(neg).unionByName(boost)
             .unionByName(wild).unionByName(fuzzy).unionByName(rng)
+            .unionByName(dfq)
         )
 
     q["ix_query_string"] = _query_string
@@ -1625,6 +1637,12 @@ FROM (SELECT s.doc_id, s.score
       FROM scores s JOIN documents d USING (doc_id)
       WHERE d.lang >= 'de' AND d.lang <= 'es'
       ORDER BY s.score DESC, s.doc_id ASC LIMIT 10) rg
+UNION ALL
+SELECT 'dfq' AS kind, doc_id, score
+FROM (SELECT s.doc_id, s.score
+      FROM scores s JOIN documents d USING (doc_id)
+      WHERE length(d.text) >= 300
+      ORDER BY s.score DESC, s.doc_id ASC LIMIT 10) df
 """
     # exact phrase 'merge sort': positional adjacency + Lucene PhraseWeight
     # (Σidf over phrase slots × tf_norm(phrase_freq, dl)); positions are

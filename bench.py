@@ -360,6 +360,13 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
         ).collect(),
         repeat=3,
     )
+    timings["query_doc_filter"] = timed(
+        lambda: search(
+            spark, ix_docs, "spark join", k=10, with_stored=False,
+            doc_filter="textlen >= 300",
+        ).collect(),
+        repeat=3,
+    )
 
     # ---- 3. query latency over the compressed code index ----
     from cascading_solr_spark.indexing.build import Index

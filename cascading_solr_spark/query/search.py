@@ -262,6 +262,23 @@ def split_wildcards(qtext: str) -> tuple[str, list[str]]:
     return " ".join(rest), wild
 
 
+def _levenshtein(a: str, b: str) -> int:
+    """Classic (non-Damerau) Levenshtein — the same metric as Spark's and
+    DuckDB's ``levenshtein`` builtins, so the driver-cache fuzzy path and
+    the distributed path return identical expansions."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
 def expand_fuzzy(
     spark: SparkSession,
     index: Index,
@@ -300,6 +317,26 @@ def expand_fuzzy(
     d = index.term_dict(spark)
     if d is None:
         raise ValueError("fuzzy queries need the dict table (pre-dict index)")
+    cache = index.dict_cache(spark)
+    if cache is not None and len(cache) <= 50_000:
+        # small vocabulary: expand driver-side from the dict cache — zero
+        # Spark jobs (the ngram job costs a scan+shuffle round-trip that
+        # dominates fuzzy latency at bench scale); same classic-Levenshtein
+        # ball, length-difference prefilter keeps the sweep linear
+        terms = sorted(
+            t
+            for t in cache
+            if KW_SEP not in t
+            and t != DELETED_TERM
+            and abs(len(t) - len(q)) <= edits
+            and _levenshtein(t, q) <= edits
+        )[: max_expansions + 1]
+        if len(terms) > max_expansions:
+            raise ValueError(
+                f"fuzzy {token!r} expands to more than {max_expansions} "
+                "terms (maxBooleanClauses) — lower the edit distance"
+            )
+        return terms
     cand = ngram_candidates(spark, index, q, edits)
     base = cand if cand is not None else d.select("term")
     rows = (
@@ -850,6 +887,36 @@ def keyword_filter(
     return out if k is None else out.limit(k)
 
 
+def _doc_filter_ids(
+    spark: SparkSession, index: Index, doc_filter: str
+) -> DataFrame:
+    """doc_ids of stored docs satisfying a SQL predicate over stored
+    fields (the Solr frange / PostFilter analogue: ``textlen >= 150``).
+    The predicate pushes down to the docs parquet scan and the projection
+    prunes to doc_id + the referenced columns — never a wide read."""
+    return index.docs(spark).filter(doc_filter).select("doc_id")
+
+
+def _doc_filter_probe(
+    spark: SparkSession, index: Index, doc_filter: str, ids: list[int]
+) -> set[int]:
+    """Which of ≤ a-few-thousand CANDIDATE ids satisfy the predicate — a
+    partition-pruned point probe (shard = id % num_shards + doc_id
+    row-group pruning, the `_fetch_stored` bounded-path shape): at 100 TB
+    this reads |ids| rows, not the table."""
+    if not ids:
+        return set()
+    shards = sorted({i % index.spec.num_shards for i in ids})
+    rows = (
+        index.docs(spark)
+        .filter(F.col("shard").isin(shards) & F.col("doc_id").isin(ids))
+        .filter(doc_filter)
+        .select("doc_id")
+        .collect()
+    )
+    return {int(r["doc_id"]) for r in rows}
+
+
 def resolve_excluded(
     spark: SparkSession, index: Index, neg_tokens: list[str]
 ) -> set[str]:
@@ -906,6 +973,7 @@ def match_ids(
     filters: dict[str, str] | None = None,
     synonyms: dict[str, list[str]] | None = None,
     op: str = "OR",
+    doc_filter: str | None = None,
 ) -> DataFrame:
     """The match SET of a query — no scores (the Lucene "matching, not
     ranking" path; what facet counting, filter caches, and delete-by-query
@@ -920,7 +988,21 @@ def match_ids(
     Solr's MUST_NOT) strip matching docs in-kernel — shard-local, since
     sharding is by doc id.  A pure-negative query (``-foo``, ``*:* -foo``)
     follows Solr's top-level rewrite to ``*:* AND NOT foo``: the live-doc
-    set minus the excluded match set (one anti-join)."""
+    set minus the excluded match set (one anti-join).
+
+    ``doc_filter`` (SQL predicate over stored fields — the numeric-fq /
+    PostFilter analogue, see :func:`search`) composes as one distributed
+    semi-join against the predicate's pushed-down docs scan: the
+    match-only path is set-shaped, so no overfetch is ever needed."""
+    if doc_filter is not None:
+        base = match_ids(
+            spark, index, query, filters=filters, synonyms=synonyms, op=op
+        )
+        return base.join(
+            _doc_filter_ids(spark, index, doc_filter).hint("shuffle_hash"),
+            "doc_id",
+            "semi",
+        )
     qs = query.strip()
     pq = parse_quoted(qs)
     if pq is not None:
@@ -1065,9 +1147,21 @@ def search(
     start: int = 0,
     min_match: int | str | None = None,
     fl: list[str] | None = None,
+    doc_filter: str | None = None,
 ) -> DataFrame:
     """Top-k BM25 keyword search; returns (doc_id, score[, stored fields,
     sha256]).
+
+    * ``doc_filter`` is a SQL predicate over STORED fields (``"textlen >=
+      150"``) — the Solr frange / PostFilter analogue for numeric fq the
+      inverted index can't serve.  Ranking stats are unchanged (fq
+      semantics).  Execution: the ranked path overfetches candidates
+      geometrically (4·k, 16·k, …) and validates each batch with a
+      partition-pruned point probe of the docs table, exactly Lucene's
+      post-filter shape — page-1 cost stays O(k) when the filter is
+      permissive, and the loop terminates exactly when either k survivors
+      exist or the candidate stream is exhausted.  k=None composes as one
+      distributed semi-join instead (no collect).
 
     * ``fl`` is Solr's field list (the /browse default is ``fl=*,score``,
       solrconfig.xml:881): which stored fields to return.  None = every
@@ -1131,7 +1225,10 @@ def search(
         # ``*:* AND NOT ...`` (match_ids serves the exclusion).
         fetch_k = None if k is None else k + start
         top = (
-            match_ids(spark, index, query.strip(), filters=filters)
+            match_ids(
+                spark, index, query.strip(), filters=filters,
+                doc_filter=doc_filter,
+            )
             .select("doc_id", F.lit(1.0).alias("score"))
             .orderBy("doc_id")
         )
@@ -1186,9 +1283,26 @@ def search(
         # the result outright
         if fterms and not terms and not const_groups:
             # pure filter query: matching docs ranked by doc_id, score 0
-            top = keyword_filter(
-                spark, index, fterms, k=fetch_k, excluded=eterms
-            ).withColumn("score", F.lit(0.0))
+            if doc_filter is None:
+                top = keyword_filter(
+                    spark, index, fterms, k=fetch_k, excluded=eterms
+                ).withColumn("score", F.lit(0.0))
+            else:
+                # filter BEFORE the limit: exhaustive keyword match set
+                # semi-joined distributed (a filter bitset, Lucene-style)
+                top = (
+                    keyword_filter(spark, index, fterms, excluded=eterms)
+                    .join(
+                        _doc_filter_ids(spark, index, doc_filter)
+                        .hint("shuffle_hash"),
+                        "doc_id",
+                        "semi",
+                    )
+                    .orderBy("doc_id")
+                    .withColumn("score", F.lit(0.0))
+                )
+                if k is not None:
+                    top = top.limit(fetch_k)
             if start:
                 top = top.offset(start)
         else:
@@ -1206,27 +1320,27 @@ def search(
             if t in idf:
                 idf[t] *= w
         spec = index.spec
-        if conjunctive or mm is not None or live_groups:
-            kernel = _taat_kernel(
-                idf, index.avgdl, spec.k1, spec.b, fetch_k, spec.block_size,
-                fterms,
-                require_n_terms=(
-                    n_required if conjunctive else mm
-                ),
-                excluded_terms=eterms, const_groups=live_groups,
-            )
-        elif mode == "taat" or k is None:
-            # k=None returns every match — exhaustive TAAT (top-k pruning
-            # has nothing to prune against)
-            kernel = _taat_kernel(
-                idf, index.avgdl, spec.k1, spec.b, fetch_k, spec.block_size,
+
+        def _mk_kernel(kk: int | None):
+            if conjunctive or mm is not None or live_groups:
+                return _taat_kernel(
+                    idf, index.avgdl, spec.k1, spec.b, kk, spec.block_size,
+                    fterms,
+                    require_n_terms=(n_required if conjunctive else mm),
+                    excluded_terms=eterms, const_groups=live_groups,
+                )
+            if mode == "taat" or kk is None:
+                # kk=None returns every match — exhaustive TAAT (top-k
+                # pruning has nothing to prune against)
+                return _taat_kernel(
+                    idf, index.avgdl, spec.k1, spec.b, kk, spec.block_size,
+                    fterms, excluded_terms=eterms,
+                )
+            return maxscore_kernel(
+                idf, index.avgdl, spec.k1, spec.b, kk, spec.block_size,
                 fterms, excluded_terms=eterms,
             )
-        else:
-            kernel = maxscore_kernel(
-                idf, index.avgdl, spec.k1, spec.b, fetch_k, spec.block_size,
-                fterms, excluded_terms=eterms,
-            )
+
         expansion_terms = [t for g, _ in live_groups for t in g]
         matched = postings.filter(
             F.col("term").isin(
@@ -1237,10 +1351,46 @@ def search(
                 )
             )
         )
-        local_topk = matched.groupBy("shard").applyInPandas(kernel, _RESULT_SCHEMA)
-        top = local_topk.orderBy(F.desc("score"), F.asc("doc_id"))
-        if k is not None:  # k=None returns ALL matches (never a huge .limit)
-            top = top.limit(fetch_k)
+
+        def _ranked(kk: int | None) -> DataFrame:
+            local = matched.groupBy("shard").applyInPandas(
+                _mk_kernel(kk), _RESULT_SCHEMA
+            )
+            return local.orderBy(F.desc("score"), F.asc("doc_id"))
+
+        if doc_filter is None:
+            top = _ranked(fetch_k)
+            if k is not None:  # k=None returns ALL matches (no huge .limit)
+                top = top.limit(fetch_k)
+        elif k is None:
+            # exhaustive + doc filter: one distributed semi-join, no collect
+            top = _ranked(None).join(
+                _doc_filter_ids(spark, index, doc_filter)
+                .hint("shuffle_hash"),
+                "doc_id",
+                "semi",
+            ).orderBy(F.desc("score"), F.asc("doc_id"))
+        else:
+            # PostFilter overfetch loop: rank 4·need candidates, validate
+            # with a pruned point probe, escalate geometrically until k
+            # survivors or the candidate stream is exhausted — exact.
+            need = fetch_k
+            fetch = max(4 * need, 64)
+            survivors: list = []
+            while True:
+                cand = _ranked(fetch).limit(fetch).collect()
+                ok = _doc_filter_probe(
+                    spark, index, doc_filter,
+                    [int(r["doc_id"]) for r in cand],
+                )
+                survivors = [r for r in cand if int(r["doc_id"]) in ok][:need]
+                if len(survivors) >= need or len(cand) < fetch:
+                    break
+                fetch *= 4
+            top = spark.createDataFrame(
+                [(int(r["doc_id"]), float(r["score"])) for r in survivors],
+                _RESULT_SCHEMA,
+            ).orderBy(F.desc("score"), F.asc("doc_id"))
         if start:  # paging applies to k=None too (ordered exhaustive result)
             top = top.offset(start)
     if not with_stored:

@@ -424,6 +424,70 @@ def test_wildcard_highlight_wraps_expansion(spark, ix):
     assert any("<em>" in r["snippet"] for r in rows)
 
 
+# ---- stored-field doc filters (frange / PostFilter analogue) ----
+
+
+def test_doc_filter_exactness_all_paths(spark, ix):
+    """k=None (semi-join), top-k (overfetch loop incl. escalation against
+    a near-empty filter), match-only, match-all, and composition with
+    negation — all against a driver-side ground truth."""
+    docs = ix.docs(spark).select("doc_id", "content").toPandas()
+    ln = {int(r.doc_id): len(r.content) for r in docs.itertuples(index=False)}
+    med = sorted(ln.values())[len(ln) // 2]
+    hi = max(ln.values()) - 1
+    base = {
+        r["doc_id"]: r["score"]
+        for r in search(
+            spark, ix, "parse buffer", k=None, with_stored=False
+        ).collect()
+    }
+    for thr in (med, hi):
+        ok = {d for d, v in ln.items() if v >= thr}
+        pred = f"length(content) >= {thr}"
+        full = {
+            r["doc_id"]: r["score"]
+            for r in search(
+                spark, ix, "parse buffer", k=None, with_stored=False,
+                doc_filter=pred,
+            ).collect()
+        }
+        assert full == {d: s for d, s in base.items() if d in ok}, thr
+        want = sorted(
+            ((d, s) for d, s in base.items() if d in ok),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search(
+                spark, ix, "parse buffer", k=10, with_stored=False,
+                doc_filter=pred,
+            ).collect()
+        ]
+        assert got == want, thr
+    ok = {d for d, v in ln.items() if v >= med}
+    pred = f"length(content) >= {med}"
+    assert _ids(match_ids(spark, ix, "parse buffer", doc_filter=pred)) == (
+        set(base) & ok
+    )
+    assert _ids(match_ids(spark, ix, "*:*", doc_filter=pred)) == ok
+    neg = _ids(match_ids(spark, ix, "parse buffer -merge", doc_filter=pred))
+    nbase = _ids(match_ids(spark, ix, "parse buffer -merge"))
+    assert neg == nbase & ok
+
+
+def test_doc_filter_stats_unchanged(spark, ix):
+    """fq semantics: surviving docs keep their unfiltered BM25 scores."""
+    pred = "length(content) >= 0"  # matches everything
+    a = _scored(search(spark, ix, "parse buffer", k=10, with_stored=False))
+    b = _scored(
+        search(
+            spark, ix, "parse buffer", k=10, with_stored=False,
+            doc_filter=pred,
+        )
+    )
+    assert a == b
+
+
 # ---- fuzzy queries (FuzzyQuery analogue; classic Levenshtein) ----
 
 
@@ -543,6 +607,20 @@ def test_range_dismax_and_matchall(spark, ix):
         )
     )
     assert got == {(d, s) for d, s in base if d in in_rng}
+
+
+def test_fuzzy_spark_path_matches_cache_path(spark, ix):
+    """The distributed (ngram-candidates + JVM levenshtein) expansion and
+    the driver-cache expansion are the same Levenshtein ball — force the
+    Spark path by blanking the handle's cache."""
+    from cascading_solr_spark.indexing.build import Index
+    from cascading_solr_spark.query.search import expand_fuzzy
+
+    want = expand_fuzzy(spark, ix, "bufer~1")
+    ix2 = Index.load(ix.path)
+    object.__setattr__(ix2, "_dict_cache", None)
+    got = expand_fuzzy(spark, ix2, "bufer~1")
+    assert got == want and want
 
 
 def test_fuzzy_batch_parity_and_guards(spark, ix):
