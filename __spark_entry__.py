@@ -872,10 +872,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             F.round("score", 4).alias("score"),
         )
+        # r5g: nested boolean tree — structured precedence, shard-local
+        # set algebra over the candidate universe, Lucene BooleanWeight
+        # branch-sum scoring (an OR credits only its MATCHING children)
+        from cascading_solr_spark.query.boolean import search_boolean
+
+        bool_ = search_boolean(
+            s, ix, "(spark AND join) OR (merge AND sort)", k=10
+        ).select(
+            F.lit("bool").alias("kind"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
         return (
             filt.unionByName(neg).unionByName(boost)
             .unionByName(wild).unionByName(fuzzy).unionByName(rng)
-            .unionByName(dfq)
+            .unionByName(dfq).unionByName(bool_)
         )
 
     q["ix_query_string"] = _query_string
@@ -1643,6 +1655,44 @@ FROM (SELECT s.doc_id, s.score
       FROM scores s JOIN documents d USING (doc_id)
       WHERE length(d.text) >= 300
       ORDER BY s.score DESC, s.doc_id ASC LIMIT 10) df
+UNION ALL
+SELECT 'bool' AS kind, doc_id, score FROM (
+  WITH {_toks_cte()},
+  tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+         WHERE term IN ('spark','join','merge','sort') GROUP BY 1, 2),
+  dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+  st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                (SELECT sum(dl) FROM dl)
+                  / (SELECT count(*) FROM documents) AS avgdl),
+  dfr AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+  contrib AS (SELECT tf.doc_id, tf.term,
+                     ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                     * (tf.tf * (1.2 + 1.0))
+                     / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       AS c
+              FROM tf JOIN dfr d ON d.term = tf.term
+              JOIN dl USING (doc_id) CROSS JOIN st s),
+  piv AS (SELECT doc_id,
+                 sum(CASE WHEN term = 'spark' THEN c END) AS c_spark,
+                 sum(CASE WHEN term = 'join'  THEN c END) AS c_join,
+                 sum(CASE WHEN term = 'merge' THEN c END) AS c_merge,
+                 sum(CASE WHEN term = 'sort'  THEN c END) AS c_sort
+          FROM contrib GROUP BY 1),
+  -- Lucene branch sum: each satisfied AND branch contributes; an
+  -- unsatisfied branch's matched term contributes NOTHING
+  sat AS (SELECT doc_id,
+                 coalesce(CASE WHEN c_spark IS NOT NULL
+                                AND c_join IS NOT NULL
+                               THEN c_spark + c_join END, 0)
+               + coalesce(CASE WHEN c_merge IS NOT NULL
+                                AND c_sort IS NOT NULL
+                               THEN c_merge + c_sort END, 0) AS bscore
+          FROM piv
+          WHERE (c_spark IS NOT NULL AND c_join IS NOT NULL)
+             OR (c_merge IS NOT NULL AND c_sort IS NOT NULL))
+  SELECT doc_id, round(bscore, 4) AS score
+  FROM sat ORDER BY round(bscore, 4) DESC, doc_id ASC LIMIT 10
+) bq
 """
     # exact phrase 'merge sort': positional adjacency + Lucene PhraseWeight
     # (Σidf over phrase slots × tf_norm(phrase_freq, dl)); positions are

@@ -367,6 +367,14 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
         ).collect(),
         repeat=3,
     )
+    from cascading_solr_spark.query.boolean import search_boolean
+
+    timings["query_boolean_tree"] = timed(
+        lambda: search_boolean(
+            spark, ix_docs, "(spark AND join) OR (merge AND sort)", k=10
+        ).collect(),
+        repeat=3,
+    )
 
     # ---- 3. query latency over the compressed code index ----
     from cascading_solr_spark.indexing.build import Index

@@ -1,3 +1,4 @@
+from cascading_solr_spark.query.boolean import boolean_match_ids, search_boolean
 from cascading_solr_spark.query.naive import bm25_topk_df
 from cascading_solr_spark.query.search import (
     facet_counts,
@@ -12,4 +13,5 @@ from cascading_solr_spark.query.search import (
 __all__ = [
     "search", "search_many", "keyword_filter", "parse_query", "facet_counts",
     "suggest_terms", "more_like_this", "bm25_topk_df",
+    "search_boolean", "boolean_match_ids",
 ]
