@@ -178,10 +178,14 @@ def _bm25_sql(
     terms: tuple[str, ...],
     k: int | None,
     weights: dict[str, float] | None = None,
+    rounded: bool = True,
 ) -> str:
     """``weights``: per-term boost multipliers (the ``term^2`` query form —
     the engine premultiplies boosts into idf; ×1.0 is exact in IEEE, so the
-    weighted SQL is bit-identical to the old unweighted form)."""
+    weighted SQL is bit-identical to the old unweighted form).
+    ``rounded=False`` returns the RAW score — for legs that add a function
+    value BEFORE the final round (round(round(x,4)+f,4) can differ from
+    round(x+f,4) at the 4th decimal)."""
     w = weights or {}
     tl = ", ".join(f"('{t}', {float(w.get(t, 1.0))!r})" for t in terms)
     return f"""
@@ -201,8 +205,8 @@ scores AS (
   FROM tf JOIN dfreq d ON d.term = tf.term
   JOIN dl USING (doc_id) CROSS JOIN stats s
   GROUP BY 1)
-SELECT doc_id, round(score, 4) AS score
-FROM scores ORDER BY round(score, 4) DESC, doc_id ASC
+SELECT doc_id, {'round(score, 4)' if rounded else 'score'} AS score
+FROM scores ORDER BY {'round(score, 4)' if rounded else 'score'} DESC, doc_id ASC
 {f'LIMIT {k}' if k is not None else ''}
 """
 
@@ -611,12 +615,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # field-sorted retrieval (Solr sort=<field> asc — the reference config's
     # own warming queries use sort=price asc, solrconfig.xml:600-601; served
     # match-set-first per useFilterForSortedQuery, :545-559)
+    # kind-tagged union (r5h): field leg (sort=textlen asc) + func leg
+    # (sort by recip(textlen,1,1000,100) desc — the func QParser /
+    # sort-by-function surface, solrconfig.xml:1744-1750)
     def _sorted(s, d):
-        from cascading_solr_spark.query.search import search_sorted
+        from cascading_solr_spark.query.search import (
+            search_sorted,
+            sort_by_function,
+        )
 
-        return search_sorted(
-            s, _index_for(s, d), Q_MAIN, "textlen", ascending=True, k=10
-        ).select("doc_id", "textlen")
+        ix = _index_for(s, d)
+        fld = search_sorted(
+            s, ix, Q_MAIN, "textlen", ascending=True, k=10
+        ).select(
+            F.lit("field").alias("kind"),
+            "doc_id",
+            F.col("textlen").cast("double").alias("val"),
+        )
+        fn = sort_by_function(
+            s, ix, Q_MAIN, "recip(textlen,1,1000,100)", ascending=False, k=10
+        ).select(
+            F.lit("func").alias("kind"),
+            "doc_id",
+            F.round("value", 6).alias("val"),
+        )
+        return fld.unionByName(fn)
 
     q["ft_sorted_query"] = _sorted
 
@@ -884,10 +907,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             F.round("score", 4).alias("score"),
         )
+        # r5h: eDisMax additive boost FUNCTION (bf=div(textlen,100),
+        # solrconfig.xml:872 defType=edismax + the ValueSource library of
+        # :1744-1750) — full-match exact scoring + column-pruned docs join,
+        # arithmetic JVM-side
+        from cascading_solr_spark.query.search import search_boosted
+
+        bf = search_boosted(
+            s, ix, Q_MAIN, bf="div(textlen,100)", k=10
+        ).select(
+            F.lit("bf").alias("kind"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+        # r5h: eDisMax boost QUERY (bq=lang:es^2.5) — matching docs gain
+        # the clause weight (constant-score boost-query rule)
+        bqq = search_boosted(
+            s, ix, Q_MAIN, bq="lang:es^2.5", k=10
+        ).select(
+            F.lit("bq").alias("kind"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
         return (
             filt.unionByName(neg).unionByName(boost)
             .unionByName(wild).unionByName(fuzzy).unionByName(rng)
             .unionByName(dfq).unionByName(bool_)
+            .unionByName(bf).unionByName(bqq)
         )
 
     q["ix_query_string"] = _query_string
@@ -1524,9 +1570,22 @@ ORDER BY length(d.text) DESC, d.doc_id ASC LIMIT 5 OFFSET 5
     o["ft_sorted_query"] = f"""
 WITH {_toks_cte()},
 matched AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark', 'join'))
-SELECT d.doc_id, length(d.text)::BIGINT AS textlen
-FROM documents d JOIN matched USING (doc_id)
-ORDER BY length(d.text) ASC, d.doc_id ASC LIMIT 10
+SELECT 'field' AS kind, doc_id, val FROM (
+  SELECT d.doc_id, length(d.text)::DOUBLE AS val
+  FROM documents d JOIN matched USING (doc_id)
+  ORDER BY length(d.text) ASC, d.doc_id ASC LIMIT 10
+) fl
+UNION ALL
+SELECT 'func' AS kind, doc_id, val FROM (
+  -- recip(x,m,a,b) = a/(m*x+b): recip(textlen,1,1000,100) =
+  -- 1000 / (textlen + 100); unambiguous aliases (sdoc/sval) so ORDER BY
+  -- binds the computed value, not a joined column
+  SELECT d.doc_id AS sdoc,
+         round(1000.0 / (1.0 * length(d.text) + 100.0), 6) AS sval
+  FROM documents d JOIN matched USING (doc_id)
+  ORDER BY 1000.0 / (1.0 * length(d.text) + 100.0) DESC, d.doc_id ASC
+  LIMIT 10
+) fn(doc_id, val)
 """
     # offset paging and cursor paging both equal OFFSET on the full ranking
     o["ft_deep_paging"] = f"""
@@ -1693,6 +1752,27 @@ SELECT 'bool' AS kind, doc_id, score FROM (
   SELECT doc_id, round(bscore, 4) AS score
   FROM sat ORDER BY round(bscore, 4) DESC, doc_id ASC LIMIT 10
 ) bq
+UNION ALL
+-- r5h: bf additive boost function (score = raw_bm25 + textlen/100, rounded
+-- ONCE at the end — the engine's rounding point); unambiguous aliases
+SELECT 'bf' AS kind, doc_id, score FROM (
+  SELECT s.doc_id AS fdoc,
+         round(s.score + length(d.text) / 100.0, 4) AS fscore
+  FROM ({_bm25_sql(tuple(Q_MAIN.split()), None, rounded=False)}) s
+  JOIN documents d USING (doc_id)
+  ORDER BY s.score + length(d.text) / 100.0 DESC, s.doc_id ASC LIMIT 10
+) bfq(doc_id, score)
+UNION ALL
+-- r5h: bq boost query (constant +2.5 for lang=es docs in the match set)
+SELECT 'bq' AS kind, doc_id, score FROM (
+  SELECT s.doc_id AS qdoc,
+         round(s.score
+               + CASE WHEN d.lang = 'es' THEN 2.5 ELSE 0.0 END, 4) AS qscore
+  FROM ({_bm25_sql(tuple(Q_MAIN.split()), None, rounded=False)}) s
+  JOIN documents d USING (doc_id)
+  ORDER BY s.score + CASE WHEN d.lang = 'es' THEN 2.5 ELSE 0.0 END DESC,
+           s.doc_id ASC LIMIT 10
+) bqb(doc_id, score)
 """
     # exact phrase 'merge sort': positional adjacency + Lucene PhraseWeight
     # (Σidf over phrase slots × tf_norm(phrase_freq, dl)); positions are

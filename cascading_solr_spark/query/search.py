@@ -4249,3 +4249,175 @@ def search_many(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Function queries (Solr's func QParser / eDisMax bf / boost / bq — the
+# ValueSource library registered at solrconfig.xml:1744-1750 and the boost
+# params of the edismax handler the reference configures, solrconfig.xml:872)
+# ---------------------------------------------------------------------------
+
+
+def sort_by_function(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    func: str,
+    ascending: bool = False,
+    k: int = 10,
+    start: int = 0,
+    filters: dict[str, str] | None = None,
+    op: str = "OR",
+) -> DataFrame:
+    """Sort-by-function / ``{!func}`` main queries: rank docs by a function
+    expression over stored numeric fields (Solr's ``sort=div(a,b) desc``
+    and ``q={!func}recip(...)``, both served by the ValueSource library the
+    reference's solrconfig registers at :1744-1750).
+
+    Shape follows :func:`search_sorted` (useFilterForSortedQuery,
+    solrconfig.xml:545-559): the match set comes from the scoring-free
+    :func:`match_ids` path (``query="*:*"`` = the {!func} main-query form
+    over all live docs), the docs scan is PROJECTED to ``(doc_id,
+    func_fields)`` — the text column never leaves the Parquet reader — and
+    the global order is a bounded TakeOrderedAndProject (start+k rows),
+    never a full sort.  Returns ``(doc_id, value)`` with deterministic ties
+    (value, doc_id asc).
+    """
+    from cascading_solr_spark.query.functions import (
+        func_column,
+        func_fields,
+        parse_function,
+    )
+
+    node = parse_function(func, set(index.spec.stored_fields))
+    matched = match_ids(spark, index, query, filters=filters, op=op)
+    cols = sorted(func_fields(node))
+    docs = index.docs(spark).select("doc_id", *cols)
+    out = (
+        docs.join(matched.hint("shuffle_hash"), "doc_id")
+        .select("doc_id", func_column(node).alias("value"))
+        .orderBy(
+            F.asc("value") if ascending else F.desc("value"),
+            F.asc("doc_id"),
+        )
+    )
+    if start:
+        return out.offset(start).limit(k)
+    return out.limit(k)
+
+
+def _bq_weights(query: str) -> list[tuple[str, float]]:
+    """Split a Solr ``bq`` param into (clause, weight) pairs —
+    ``"lang:es^2 inStock:true"`` → [("lang:es", 2.0), ("inStock:true",
+    1.0)].  Each clause is matched with full query-string semantics
+    (:func:`match_ids`) and contributes its weight as a CONSTANT score —
+    the Lucene constant-score rewrite of a filter-cache-backed boost query
+    (a documented deviation from Solr's tf·idf-scored bq: keyword postings
+    store no tf, and the reference's bq usage is category boosts where the
+    constant form is rank-identical)."""
+    out: list[tuple[str, float]] = []
+    for tok in query.split():
+        # parse_boosts strips only the ^w suffix and keeps the clause in
+        # the remaining string, so a boosted token yields (clause, w) and
+        # an unboosted one (clause, 1.0) — never both
+        rest, boosts = parse_boosts(tok)
+        if boosts:
+            out.extend((clause, float(w)) for clause, w in boosts.items())
+        elif rest:
+            out.append((rest, 1.0))
+    return out
+
+
+def search_boosted(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    bf: str | list[str] | None = None,
+    boost: str | list[str] | None = None,
+    bq: str | list[str] | None = None,
+    k: int | None = 10,
+    start: int = 0,
+    filters: dict[str, str] | None = None,
+    synonyms: dict[str, list[str]] | None = None,
+    op: str = "OR",
+) -> DataFrame:
+    """eDisMax boost params over the ranked query (solrconfig.xml:872
+    ``defType=edismax``; the standard edismax boost surface):
+
+    * ``bf`` — ADDITIVE boost function(s): ``score += f(doc)`` per entry
+      (dismax/edismax bf semantics);
+    * ``boost`` — MULTIPLICATIVE boost function(s): ``score *= f(doc)``
+      (edismax's BoostedQuery wrapper);
+    * ``bq`` — additive boost QUERY: docs matching each clause gain that
+      clause's weight (see :func:`_bq_weights` for the constant-score
+      rule).
+
+    Execution: a doc-dependent value source makes MaxScore's θ bound
+    unsound (a low-BM25 doc can win on boost), so the kernel scores the
+    FULL match set exactly — Lucene 4.1's own execution shape (block-max
+    pruning postdates it) — then joins the function fields from a
+    column-pruned docs scan (only ``func_fields`` are read; a bf over
+    ``textlen`` never touches content/text), applies the arithmetic
+    JVM-side (whole-stage codegen, no Python), and takes the global top-k
+    with a bounded TakeOrderedAndProject.  fq/filters keep Solr semantics:
+    they restrict candidates, BM25 stats stay global, and bq/bf/boost never
+    change the MATCH set — only the order.
+
+    Returns ``(doc_id, score)``.
+    """
+    from cascading_solr_spark.query.functions import (
+        func_column,
+        func_fields,
+        parse_function,
+    )
+
+    def _listify(x) -> list[str]:
+        if x is None:
+            return []
+        return [x] if isinstance(x, str) else list(x)
+
+    stored = set(index.spec.stored_fields)
+    bf_nodes = [parse_function(e, stored) for e in _listify(bf)]
+    boost_nodes = [parse_function(e, stored) for e in _listify(boost)]
+    base = search(
+        spark, index, query, k=None, with_stored=False,
+        filters=filters, synonyms=synonyms, op=op,
+    )
+
+    cols: set[str] = set()
+    for n in bf_nodes + boost_nodes:
+        cols |= func_fields(n)
+    if cols:
+        docs = index.docs(spark).select("doc_id", *sorted(cols))
+        base = docs.join(base.hint("shuffle_hash"), "doc_id")
+
+    score = F.col("score")
+    for n in bf_nodes:
+        score = score + func_column(n)
+    bq_pairs: list[tuple[str, float]] = []
+    for q in _listify(bq):
+        bq_pairs.extend(_bq_weights(q))
+    if bq_pairs:
+        legs = [
+            match_ids(spark, index, clause).select(
+                "doc_id", F.lit(w).alias("_bqw")
+            )
+            for clause, w in bq_pairs
+        ]
+        bq_df = legs[0]
+        for leg in legs[1:]:
+            bq_df = bq_df.unionByName(leg)
+        bq_df = bq_df.groupBy("doc_id").agg(F.sum("_bqw").alias("_bqw"))
+        base = base.join(bq_df.hint("shuffle_hash"), "doc_id", "left")
+        score = score + F.coalesce(F.col("_bqw"), F.lit(0.0))
+    for n in boost_nodes:
+        score = score * func_column(n)
+
+    out = base.select("doc_id", score.alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    if k is None:
+        return out
+    if start:
+        return out.offset(start).limit(k)
+    return out.limit(k)
