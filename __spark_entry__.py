@@ -929,11 +929,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             F.round("score", 4).alias("score"),
         )
+        # r5h: {!join from=source to=source}"merge sort" as fq — docs
+        # sharing a source with a phrase-matching doc; one distributed
+        # value-join (JoinQParserPlugin analogue), fq semantics (global
+        # BM25 stats, join contributes no score)
+        from cascading_solr_spark.query.search import search_joined
+
+        jn = search_joined(
+            s, ix, Q_MAIN, '"merge sort"', "source", "source", k=10
+        ).select(
+            F.lit("join").alias("kind"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
         return (
             filt.unionByName(neg).unionByName(boost)
             .unionByName(wild).unionByName(fuzzy).unionByName(rng)
             .unionByName(dfq).unionByName(bool_)
-            .unionByName(bf).unionByName(bqq)
+            .unionByName(bf).unionByName(bqq).unionByName(jn)
         )
 
     q["ix_query_string"] = _query_string
@@ -1773,6 +1786,25 @@ SELECT 'bq' AS kind, doc_id, score FROM (
   ORDER BY s.score + CASE WHEN d.lang = 'es' THEN 2.5 ELSE 0.0 END DESC,
            s.doc_id ASC LIMIT 10
 ) bqb(doc_id, score)
+UNION ALL
+-- r5h: {{!join from=source to=source}}"merge sort" fq — survivors keep
+-- their global BM25 scores
+SELECT 'join' AS kind, doc_id, score FROM (
+  WITH jptoks AS (
+    SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS p
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '{SIMPLE}') AS l
+          FROM documents)),
+  jinner AS (SELECT DISTINCT a.doc_id
+             FROM jptoks a JOIN jptoks b
+               ON b.doc_id = a.doc_id AND b.p = a.p + 1
+             WHERE a.term = 'merge' AND b.term = 'sort'),
+  jallow AS (SELECT doc_id FROM documents WHERE source IN
+             (SELECT DISTINCT d2.source FROM documents d2
+              JOIN jinner USING (doc_id)))
+  SELECT s.doc_id AS jdoc, s.score AS jscore
+  FROM scores s JOIN jallow USING (doc_id)
+  ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+) jn(doc_id, score)
 """
     # exact phrase 'merge sort': positional adjacency + Lucene PhraseWeight
     # (Σidf over phrase slots × tf_norm(phrase_freq, dl)); positions are

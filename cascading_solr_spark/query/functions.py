@@ -18,11 +18,19 @@ Supported functions (the Solr 4.x core set over numeric fields):
 ``field(f)`` / bare field name, numeric literals, ``sum sub product div
 pow abs sqrt min max`` (min/max are Solr's 2-arg scalar forms →
 least/greatest), ``log`` (base 10, Lucene's ``LogFloatFunction``),
-``recip(x,m,a,b)`` = a/(m·x+b), ``linear(x,m,c)`` = m·x+c, and
-``map(x,min,max,target[,default])``.  Index-order sources (``ord``/
-``rord``) and ``query()`` embedding are not implemented — ord depends on
-segment-local sort order, which has no stable analogue across a sharded
-Parquet doc store (documented deviation).
+``recip(x,m,a,b)`` = a/(m·x+b), ``linear(x,m,c)`` = m·x+c,
+``map(x,min,max,target[,default])``, and ``geodist(lat,lon,lat0,lon0)`` —
+the spatial ValueSource (schema.xml:684 LatLonType; haversine over the
+WGS84 mean radius, km, exactly Solr's geodist).  geodist takes the two
+numeric stored fields holding the coordinate (our LatLonType analogue:
+a ``store`` location splits into ``<f>_lat``/``<f>_lon`` columns) plus the
+query point; sort-by-distance = :func:`sort_by_function` over it, and
+geofilt (``{{!geofilt d=...}}``) is ``doc_filter=f"{{func_sql(node)}} <=
+d"`` — the rendered SQL is valid in BOTH DuckDB and Spark SQL, so the
+filter rides the existing stored-field machinery.  Index-order sources
+(``ord``/``rord``) and ``query()`` embedding are not implemented — ord
+depends on segment-local sort order, which has no stable analogue across
+a sharded Parquet doc store (documented deviation).
 
 Scale note: a function expression touches only the stored NUMERIC fields it
 names.  Callers project the docs scan to ``(doc_id, *func_fields(node))``
@@ -61,7 +69,12 @@ _FUNCS: dict[str, int | None] = {
     "linear": 3,
     "map": None,  # 4 or 5 args, checked explicitly
     "field": 1,
+    "geodist": 4,
 }
+
+# Solr's geodist uses the WGS84 earth mean radius (Lucene GeoUtils /
+# DistanceUtils.EARTH_MEAN_RADIUS_KM)
+_EARTH_RADIUS_KM = 6371.0087714
 
 _NUM_RE = re.compile(r"-?\d+(?:\.\d+)?")
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
@@ -249,6 +262,13 @@ def func_column(node: FuncNode) -> Column:
         x, lo, hi, target = cols[:4]
         default = cols[4] if len(cols) == 5 else x
         return F.when((x >= lo) & (x <= hi), target).otherwise(default)
+    if n == "geodist":
+        lat1, lon1, lat2, lon2 = (F.radians(c) for c in cols)
+        h = (
+            F.pow(F.sin((lat2 - lat1) / 2), 2)
+            + F.cos(lat1) * F.cos(lat2) * F.pow(F.sin((lon2 - lon1) / 2), 2)
+        )
+        return F.lit(2.0 * _EARTH_RADIUS_KM) * F.asin(F.sqrt(h))
     raise AssertionError(f"unreachable: {n}")
 
 
@@ -294,4 +314,11 @@ def func_sql(node: FuncNode, qualifier: str = "") -> str:
             f"(CASE WHEN {x} >= {lo} AND {x} <= {hi} "
             f"THEN {target} ELSE {default} END)"
         )
+    if n == "geodist":
+        la1, lo1, la2, lo2 = (f"radians({s})" for s in sqls)
+        h = (
+            f"(power(sin(({la2} - {la1}) / 2), 2) + cos({la1}) * cos({la2})"
+            f" * power(sin(({lo2} - {lo1}) / 2), 2))"
+        )
+        return f"(2.0 * {_EARTH_RADIUS_KM!r} * asin(sqrt({h})))"
     raise AssertionError(f"unreachable: {n}")

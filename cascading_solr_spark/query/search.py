@@ -4421,3 +4421,117 @@ def search_boosted(
     if start:
         return out.offset(start).limit(k)
     return out.limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Join query parser (Solr's {!join from=A to=B}inner — JoinQParserPlugin,
+# part of the embedded Solr the reference targets; standard on every
+# SearchHandler as q or fq)
+# ---------------------------------------------------------------------------
+
+
+def join_match_ids(
+    spark: SparkSession,
+    index: Index,
+    inner_query: str,
+    from_field: str,
+    to_field: str,
+    filters: dict[str, str] | None = None,
+    op: str = "OR",
+) -> DataFrame:
+    """``{!join from=A to=B}inner`` — docs whose ``B`` value equals some
+    ``A`` value of a doc matching ``inner`` (Solr's JoinQParserPlugin;
+    Lucene JoinUtil).  ``filters``/``op`` apply to the INNER query (Solr's
+    local-param query string carries them).
+
+    Execution is one distributed value-join, never a driver collect:
+
+    1. inner match set from the scoring-free :func:`match_ids` path;
+    2. from-values = docs scan PROJECTED to ``(doc_id, A)`` semi-joined to
+       the inner ids, distinct, nulls dropped (Solr ignores missing
+       from-values);
+    3. outer ids = docs scan projected to ``(doc_id, B)`` joined on value
+       equality, distinct.
+
+    The distinct from-value set is usually far smaller than the doc count
+    (it is bounded by the inner hit count AND the field cardinality), so
+    AQE picks a broadcast join at runtime; at adversarial cardinalities it
+    degrades to a shuffle join rather than an OOM — exactly the behavior a
+    100 TB corpus needs.  Delete tombstones are stripped on both sides
+    (inner via match_ids, outer here).  Returns distinct ``doc_id`` rows.
+    """
+    stored = set(index.spec.stored_fields)
+    for f in (from_field, to_field):
+        if f not in stored:
+            raise ValueError(
+                f"join field {f!r} is not stored {sorted(stored)!r}"
+            )
+    inner = match_ids(spark, index, inner_query, filters=filters, op=op)
+    docs = index.docs(spark)
+    vals = (
+        docs.select("doc_id", from_field)
+        .join(inner.hint("shuffle_hash"), "doc_id", "semi")
+        .select(F.col(from_field).alias("_jv"))
+        .filter(F.col("_jv").isNotNull())
+        .distinct()
+    )
+    out = (
+        docs.select("doc_id", to_field)
+        .join(vals, docs[to_field] == vals["_jv"], "semi")
+        .select("doc_id")
+        .distinct()
+    )
+    if index.has_deletes:
+        out = out.join(
+            F.broadcast(index.deleted_ids(spark)), "doc_id", "left_anti"
+        )
+    return out
+
+
+def search_joined(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    inner_query: str,
+    from_field: str,
+    to_field: str,
+    k: int | None = 10,
+    start: int = 0,
+    filters: dict[str, str] | None = None,
+    op: str = "OR",
+    inner_op: str = "OR",
+) -> DataFrame:
+    """Ranked query with a ``{!join}`` FILTER — Solr's
+    ``q=<query>&fq={!join from=A to=B}<inner>`` composition.  The join set
+    restricts candidates; BM25 statistics stay global (fq semantics), and
+    the join itself contributes no score (Solr's join scores are constant —
+    ``score=none``).  ``query="*:*"`` is the main-query form: every joined
+    doc at the match-all constant score 1.0, doc_id order.
+
+    Shape: the ranked base scores its full match set exactly (the join set
+    is a DataFrame, not an index predicate, so kernel-side θ pruning can't
+    see it — same soundness rule as :func:`search_boosted`), then ONE
+    distributed semi-join against the join ids and a bounded global top-k.
+
+    Returns ``(doc_id, score)``.
+    """
+    allowed = join_match_ids(
+        spark, index, inner_query, from_field, to_field, op=inner_op
+    )
+    if query.strip() == "*:*":
+        base = match_ids(
+            spark, index, query, filters=filters, op=op
+        ).withColumn("score", F.lit(1.0))
+    else:
+        base = search(
+            spark, index, query, k=None, with_stored=False,
+            filters=filters, op=op,
+        )
+    out = base.join(allowed.hint("shuffle_hash"), "doc_id", "semi").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    if k is None:
+        return out
+    if start:
+        return out.offset(start).limit(k)
+    return out.limit(k)

@@ -37,15 +37,26 @@ FN_SPEC = IndexSpec(
     salt_buckets=2,
     block_size=16,
     keyword_fields=("lang",),
-    stored_fields=("repo", "lang", "textlen"),
+    stored_fields=("repo", "lang", "textlen", "lat", "lon"),
 )
 
 
 @pytest.fixture(scope="module")
 def ix(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("fnix") / "ix")
-    corpus = synth_corpus(spark, 300, partitions=4).withColumn(
-        "textlen", F.length("content")
+    # deterministic synthetic coordinates (the LatLonType analogue: a
+    # location field stored as two numeric columns)
+    corpus = (
+        synth_corpus(spark, 300, partitions=4)
+        .withColumn("textlen", F.length("content"))
+        .withColumn(
+            "lat", (F.crc32(F.col("path")) % 18000) / 100.0 - 90.0
+        )
+        .withColumn(
+            "lon",
+            (F.crc32(F.concat(F.col("repo"), F.col("path"))) % 36000) / 100.0
+            - 180.0,
+        )
     )
     return build_index(spark, corpus, FN_SPEC, out)
 
@@ -98,6 +109,9 @@ EXPRS = [
     "linear(textlen,2,-3)",
     "map(textlen,0,100,1,0)",
     "map(textlen,0,100,1)",
+    # doclen/textlen stand in for coordinates — parity is about the
+    # renderers agreeing, not geography
+    "geodist(div(textlen,10),doclen,48.85,2.35)",
 ]
 
 
@@ -303,3 +317,82 @@ def test_function_docs_scan_is_column_pruned(spark, ix):
         schema = m.group(1)
         if "textlen" in schema:
             assert "content" not in schema and "repo" not in schema
+
+
+# --- spatial: geodist / geofilt (schema.xml:684 LatLonType) -----------------
+
+
+def _haversine(lat1, lon1, lat2, lon2):
+    import math
+
+    r = 6371.0087714
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp, dl = math.radians(lat2 - lat1), math.radians(lon2 - lon1)
+    h = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * r * math.asin(math.sqrt(h))
+
+
+def test_geodist_known_values(spark):
+    """Quarter meridian: (0,0) -> (90,0) = pi/2 * R; equator quarter:
+    (0,0) -> (0,90) the same."""
+    import math
+
+    sdf = spark.createDataFrame(
+        [(0.0, 0.0, 90.0, 0.0), (0.0, 0.0, 0.0, 90.0)],
+        "a double, b double, c double, d double",
+    )
+    node = parse_function("geodist(a,b,c,d)", {"a", "b", "c", "d"})
+    got = [r["v"] for r in sdf.select(func_column(node).alias("v")).collect()]
+    want = math.pi / 2 * 6371.0087714
+    assert got == pytest.approx([want, want])
+    assert got[0] == pytest.approx(_haversine(0, 0, 90, 0))
+
+
+def test_sort_by_distance_matches_naive(spark, ix):
+    """Solr's sort=geodist() asc — nearest docs to the query point."""
+    q = "parse"
+    got = [
+        (r["doc_id"], r["value"])
+        for r in sort_by_function(
+            spark, ix, q, "geodist(lat,lon,48.85,2.35)", ascending=True, k=10
+        ).collect()
+    ]
+    ids = {r["doc_id"] for r in match_ids(spark, ix, q).collect()}
+    pts = {
+        r["doc_id"]: (r["lat"], r["lon"])
+        for r in ix.docs(spark)
+        .select("doc_id", "lat", "lon")
+        .filter(F.col("doc_id").isin(list(ids)))
+        .collect()
+    }
+    want = sorted(
+        ((d, _haversine(la, lo, 48.85, 2.35)) for d, (la, lo) in pts.items()),
+        key=lambda x: (x[1], x[0]),
+    )[:10]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert [v for _, v in got] == pytest.approx([v for _, v in want])
+
+
+def test_geofilt_via_doc_filter(spark, ix):
+    """{!geofilt d=5000} analogue: func_sql renders SQL that Spark's own
+    parser accepts, so the distance predicate rides doc_filter unchanged."""
+    node = parse_function("geodist(lat,lon,48.85,2.35)", {"lat", "lon"})
+    pred = f"{func_sql(node)} <= 5000"
+    got = {
+        r["doc_id"]
+        for r in match_ids(spark, ix, "parse", doc_filter=pred).collect()
+    }
+    ids = {r["doc_id"] for r in match_ids(spark, ix, "parse").collect()}
+    pts = {
+        r["doc_id"]: (r["lat"], r["lon"])
+        for r in ix.docs(spark)
+        .select("doc_id", "lat", "lon")
+        .filter(F.col("doc_id").isin(list(ids)))
+        .collect()
+    }
+    want = {
+        d for d, (la, lo) in pts.items()
+        if _haversine(la, lo, 48.85, 2.35) <= 5000
+    }
+    assert got == want
+    assert 0 < len(got) < len(ids)  # non-vacuous both ways
