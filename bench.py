@@ -375,6 +375,34 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
         ).collect(),
         repeat=3,
     )
+    # function-query surface (round 5h): edismax bf boost, sort-by-function,
+    # {!join} fq
+    from cascading_solr_spark.query.search import (
+        search_boosted,
+        search_joined,
+        sort_by_function,
+    )
+
+    timings["query_bf_boost"] = timed(
+        lambda: search_boosted(
+            spark, ix_docs, "spark join", bf="div(textlen,100)", k=10
+        ).collect(),
+        repeat=3,
+    )
+    timings["sort_by_function"] = timed(
+        lambda: sort_by_function(
+            spark, ix_docs, "spark join", "recip(textlen,1,1000,100)",
+            ascending=False, k=10,
+        ).collect(),
+        repeat=3,
+    )
+    timings["query_join_fq"] = timed(
+        lambda: search_joined(
+            spark, ix_docs, "spark join", '"merge sort"', "source", "source",
+            k=10,
+        ).collect(),
+        repeat=3,
+    )
 
     # ---- 3. query latency over the compressed code index ----
     from cascading_solr_spark.indexing.build import Index

@@ -1,5 +1,6 @@
 from cascading_solr_spark.sources.loaders import (
     read_documents_csv,
+    read_documents_extract,
     read_documents_json,
 )
 from cascading_solr_spark.sources.tables import load_table, read_corpus
@@ -8,5 +9,6 @@ __all__ = [
     "load_table",
     "read_corpus",
     "read_documents_csv",
+    "read_documents_extract",
     "read_documents_json",
 ]

@@ -64,3 +64,69 @@ def read_documents_csv(
     if spec is not None:
         validate_schema(df.schema, spec)
     return df
+
+
+def read_documents_extract(
+    spark: SparkSession,
+    path: str,
+    extractor=None,
+    literals: dict[str, str] | None = None,
+    glob: str | None = None,
+    spec: IndexSpec | None = None,
+) -> DataFrame:
+    """The /update/extract handler analogue (solrconfig.xml:997
+    ExtractingRequestHandler — solr-cell/Tika): ingest raw files, extract
+    text content plus file metadata, and add Solr's ``literal.<field>``
+    constant columns.
+
+    The scan is Spark's distributed ``binaryFile`` source (one task per
+    file group, columnar metadata, predicate pushdown on path via
+    ``glob``); extraction runs as an Arrow-batched ``mapInPandas`` —
+    the Spark-side plumbing (schema, batching, literals, spec validation)
+    is real and tested.  ``extractor`` is the Tika seam: a callable
+    ``(payload: bytes, path: str) -> str``.  The default extractor handles
+    text-like payloads (clean UTF-8 decode — Tika's text/plain path) and
+    raises ``NotImplementedError`` for true binary formats, because Tika
+    itself is not available in this environment (declared stub; plug a
+    real parser in production).
+
+    Returns ``(path, length, content, *literals)``.
+    """
+    import pandas as pd
+
+    def _default_extractor(payload: bytes, fpath: str) -> str:
+        try:
+            return payload.decode("utf-8")
+        except UnicodeDecodeError:
+            raise NotImplementedError(
+                f"binary format extraction for {fpath!r} needs a Tika-like "
+                f"parser; pass extractor= (this environment has none)"
+            )
+
+    ext = extractor or _default_extractor
+    lits = dict(literals or {})
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path).select("path", "length", "content")
+
+    lit_schema = "".join(f", {k} string" for k in lits)
+    out_schema = f"path string, length long, content string{lit_schema}"
+
+    def extract(batches):
+        for pdf in batches:
+            texts = [
+                ext(bytes(payload), p)
+                for payload, p in zip(pdf["content"], pdf["path"])
+            ]
+            out = pd.DataFrame(
+                {"path": pdf["path"], "length": pdf["length"], "content": texts}
+            )
+            for k, v in lits.items():
+                out[k] = v
+            yield out
+
+    df = raw.mapInPandas(extract, out_schema)
+    if spec is not None:
+        validate_schema(df.schema, spec)
+    return df

@@ -157,3 +157,47 @@ def test_read_documents_csv_with_schema_and_validation(spark, tmp_path):
             schema="doc_id long, content string, lang string",
             spec=IndexSpec(content_field="body"),
         )
+
+
+def test_read_documents_extract_text_files(spark, tmp_path):
+    """/update/extract analogue: binaryFile scan + Arrow-batched text
+    extraction + literal.<field> constant columns."""
+    from cascading_solr_spark.sources import read_documents_extract
+
+    d = tmp_path / "files"
+    d.mkdir()
+    (d / "a.txt").write_text("def parse_buffer(): return 1\n")
+    (d / "b.txt").write_text("class StreamWriter: pass\n")
+    df = read_documents_extract(
+        spark, str(d), literals={"lang": "python", "source": "upload"},
+        glob="*.txt",
+    )
+    rows = sorted(df.collect(), key=lambda r: r["path"])
+    assert [r["path"].rsplit("/", 1)[-1] for r in rows] == ["a.txt", "b.txt"]
+    assert rows[0]["content"].startswith("def parse_buffer")
+    assert rows[0]["length"] == len("def parse_buffer(): return 1\n")
+    assert {r["lang"] for r in rows} == {"python"}
+    assert {r["source"] for r in rows} == {"upload"}
+    assert df.columns == ["path", "length", "content", "lang", "source"]
+
+
+def test_read_documents_extract_binary_needs_parser(spark, tmp_path):
+    """True binary payloads hit the declared Tika stub unless a custom
+    extractor is plugged in."""
+    from py4j.protocol import Py4JJavaError
+
+    from cascading_solr_spark.sources import read_documents_extract
+
+    d = tmp_path / "bin"
+    d.mkdir()
+    (d / "img.bin").write_bytes(bytes([0xFF, 0xFE, 0x00, 0x9C, 0x80]))
+    with pytest.raises(Exception) as ei:
+        read_documents_extract(spark, str(d)).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+    # a custom extractor (the Tika seam) makes the same file readable
+    df = read_documents_extract(
+        spark, str(d), extractor=lambda payload, p: payload.hex()
+    )
+    assert df.collect()[0]["content"] == "fffe009c80"
