@@ -727,7 +727,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lk = luke_top_terms(s, ix, "lang", k=10).select(
             F.lit("luke").alias("kind"), "term", "df"
         )
-        return t.unionByName(lk)
+        # r5h: terms.regex — full anchored match (Matcher.matches rule)
+        rx = terms_component(s, ix, regex="s.*t", k=10).select(
+            F.lit("regex").alias("kind"), "term", "df"
+        )
+        return t.unionByName(lk).unionByName(rx)
 
     q["ft_terms"] = _terms
 
@@ -748,15 +752,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _stats(s, d):
         from cascading_solr_spark.query.search import stats_field
 
-        return stats_field(s, _index_for(s, d), Q_MAIN, "textlen").select(
-            F.col("n").cast("long").alias("n"),
-            F.col("missing").cast("long").alias("missing"),
-            F.col("min").cast("long").alias("min"),
-            F.col("max").cast("long").alias("max"),
-            F.col("sum").cast("long").alias("sum"),
-            F.round("mean", 4).alias("mean"),
-            F.round("stddev", 4).alias("stddev"),
+        ix = _index_for(s, d)
+
+        def _sel(df):
+            return df.select(
+                "facet",
+                F.col("n").cast("long").alias("n"),
+                F.col("missing").cast("long").alias("missing"),
+                F.col("min").cast("long").alias("min"),
+                F.col("max").cast("long").alias("max"),
+                F.col("sum").cast("long").alias("sum"),
+                F.round("mean", 4).alias("mean"),
+                F.round("stddev", 4).alias("stddev"),
+            )
+
+        flat = stats_field(s, ix, Q_MAIN, "textlen").withColumn(
+            "facet", F.lit("*")
         )
+        # r5h: stats.facet=lang — the same stats per facet value
+        fac = stats_field(s, ix, Q_MAIN, "textlen", facet="lang")
+        return _sel(flat).unionByName(_sel(fac))
 
     q["ft_stats"] = _stats
 
@@ -976,19 +991,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ft_phrase"] = _phrase
 
-    # --- result grouping / field collapse (group.field=lang, r5c) ---
+    # --- result grouping / field collapse (group.field=lang, r5c) plus
+    # the group.query form (r5h) in one kind-tagged union ---
     def _grouped(s, d):
-        from cascading_solr_spark.query.search import search_grouped
+        from cascading_solr_spark.query.search import (
+            search_grouped,
+            search_grouped_queries,
+        )
 
-        return search_grouped(
-            s, _index_for(s, d), Q_MAIN, "lang", group_limit=2, k_groups=5
+        ix = _index_for(s, d)
+        fld = search_grouped(
+            s, ix, Q_MAIN, "lang", group_limit=2, k_groups=5
         ).select(
+            F.lit("field").alias("kind"),
             "group",
             "group_hits",
             F.col("group_rank").cast("long").alias("group_rank"),
             "doc_id",
             F.round("score", 4).alias("score"),
         )
+        gq = search_grouped_queries(
+            s, ix, Q_MAIN, {"es": "lang:es", "mergeful": "merge"},
+            group_limit=3,
+        ).select(
+            F.lit("gq").alias("kind"),
+            "group",
+            "group_hits",
+            F.col("group_rank").cast("long").alias("group_rank"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+        return fld.unionByName(gq)
 
     q["ft_grouped"] = _grouped
 
@@ -1526,7 +1559,8 @@ FROM nout LEFT JOIN counts USING (value_outer)
     o["ft_stats"] = f"""
 WITH {_toks_cte()},
 matched AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark', 'join'))
-SELECT count(length(d.text))::BIGINT AS n,
+SELECT '*' AS facet,
+       count(length(d.text))::BIGINT AS n,
        sum(CASE WHEN d.text IS NULL THEN 1 ELSE 0 END)::BIGINT AS missing,
        min(length(d.text))::BIGINT AS min,
        max(length(d.text))::BIGINT AS max,
@@ -1534,6 +1568,17 @@ SELECT count(length(d.text))::BIGINT AS n,
        round(avg(length(d.text)), 4) AS mean,
        round(stddev_samp(length(d.text)), 4) AS stddev
 FROM documents d JOIN matched USING (doc_id)
+UNION ALL
+SELECT d.lang AS facet,
+       count(length(d.text))::BIGINT AS n,
+       sum(CASE WHEN d.text IS NULL THEN 1 ELSE 0 END)::BIGINT AS missing,
+       min(length(d.text))::BIGINT AS min,
+       max(length(d.text))::BIGINT AS max,
+       sum(length(d.text))::BIGINT AS sum,
+       round(avg(length(d.text)), 4) AS mean,
+       round(stddev_samp(length(d.text)), 4) AS stddev
+FROM documents d JOIN matched USING (doc_id)
+GROUP BY d.lang
 """
     o["ft_collate"] = f"""
 WITH {_toks_cte()},
@@ -1676,6 +1721,11 @@ UNION ALL
 SELECT 'luke' AS kind, term, df FROM (
   SELECT lang AS term, count(*)::BIGINT AS df FROM documents
   GROUP BY 1 ORDER BY df DESC, term ASC LIMIT 10)
+UNION ALL
+SELECT 'regex' AS kind, term, df FROM (
+  SELECT term, df FROM vocab
+  WHERE regexp_matches(term, '^(?:s.*t)$')
+  ORDER BY df DESC, term ASC LIMIT 10)
 """
     o["ft_synonym"] = _bm25_sql(("join", "merge"), 10)
     # both conjunctive paths (naive scan / index-side postings intersection)
@@ -1861,11 +1911,29 @@ r AS (SELECT lang, doc_id, score,
       FROM j),
 heads AS (SELECT lang, score AS hs, doc_id AS hd FROM r WHERE group_rank = 1),
 g AS (SELECT lang, dense_rank() OVER (ORDER BY hs DESC, hd ASC) AS grk
-      FROM heads)
-SELECT r.lang AS "group", r.group_hits::BIGINT AS group_hits,
+      FROM heads),
+{_toks_cte()},
+gmember AS (
+  SELECT 'es' AS gname, doc_id FROM documents WHERE lang = 'es'
+  UNION ALL
+  SELECT 'mergeful' AS gname, doc_id FROM
+    (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')),
+gr AS (SELECT m.gname, s.doc_id, s.score,
+              row_number() OVER (PARTITION BY m.gname
+                                 ORDER BY s.score DESC, s.doc_id ASC)
+                AS group_rank,
+              count(*) OVER (PARTITION BY m.gname) AS group_hits
+       FROM scores s JOIN gmember m USING (doc_id))
+SELECT 'field' AS kind, r.lang AS "group",
+       r.group_hits::BIGINT AS group_hits,
        r.group_rank::BIGINT AS group_rank, r.doc_id, r.score
 FROM r JOIN g USING (lang)
 WHERE g.grk <= 5 AND r.group_rank <= 2
+UNION ALL
+SELECT 'gq' AS kind, gname AS "group",
+       group_hits::BIGINT AS group_hits,
+       group_rank::BIGINT AS group_rank, doc_id, score
+FROM gr WHERE group_rank <= 3
 """
     # minimum-should-match: >= 3 of the 4 OR terms (eDisMax mm)
     mm_terms = ", ".join(f"'{t}'" for t in Q_MULTI.split())

@@ -2718,23 +2718,32 @@ def stats_field(
     field: str,
     filters: dict[str, str] | None = None,
     op: str = "OR",
+    facet: str | None = None,
 ) -> DataFrame:
     """Numeric field statistics over the match set — the solr.StatsComponent
     analogue (registered in the reference config, solrconfig.xml:1168):
     count / missing / min / max / sum / mean / stddev of a stored numeric
     field, Solr's stats.field response shape.
 
+    ``facet`` is Solr's ``stats.facet=F``: the same statistics PER VALUE of
+    a second stored field (one extra column ``facet`` leads the row,
+    buckets ordered by value).  Same single distributed agg — the group key
+    just joins the docs projection, so the plan gains one column and zero
+    exchanges over the ungrouped form.
+
     One distributed agg over the match set joined to the docs table pruned
-    to (doc_id, field); stddev is the sample standard deviation (Solr's
-    definition)."""
-    if field not in index.spec.stored_fields:
-        raise ValueError(
-            f"stats field {field!r} is not stored {index.spec.stored_fields!r}"
-        )
+    to (doc_id, field[, facet]); stddev is the sample standard deviation
+    (Solr's definition)."""
+    stored = index.spec.stored_fields
+    if field not in stored:
+        raise ValueError(f"stats field {field!r} is not stored {stored!r}")
+    if facet is not None and facet not in stored:
+        raise ValueError(f"stats.facet field {facet!r} is not stored {stored!r}")
     matched = match_ids(spark, index, query, filters=filters, op=op)
-    docs = index.docs(spark).select("doc_id", field)
+    cols = ["doc_id", field] + ([facet] if facet and facet != field else [])
+    docs = index.docs(spark).select(*cols)
     joined = docs.join(matched, "doc_id")
-    return joined.agg(
+    aggs = [
         F.count(field).alias("n"),
         F.sum(F.col(field).isNull().cast("long")).alias("missing"),
         F.min(field).alias("min"),
@@ -2742,6 +2751,13 @@ def stats_field(
         F.sum(field).alias("sum"),
         F.avg(field).alias("mean"),
         F.stddev_samp(field).alias("stddev"),
+    ]
+    if facet is None:
+        return joined.agg(*aggs)
+    return (
+        joined.groupBy(F.col(facet).cast("string").alias("facet"))
+        .agg(*aggs)
+        .orderBy("facet")
     )
 
 
@@ -3175,7 +3191,23 @@ def search_grouped(
         spark, index, query, k=None, with_stored=False, filters=filters,
         op=op,
     )
-    docs = index.docs(spark).select("doc_id", group_field)
+    if "(" in group_field:
+        # Solr's group.func: group by a function-query VALUE (the same
+        # ValueSource language as Q49).  The docs projection carries only
+        # the function's fields; the group key is the computed column.
+        from cascading_solr_spark.query.functions import (
+            func_column,
+            func_fields,
+            parse_function,
+        )
+
+        node = parse_function(group_field, set(index.spec.stored_fields))
+        docs = index.docs(spark).select(
+            "doc_id", *sorted(func_fields(node))
+        ).select("doc_id", func_column(node).alias("_groupkey"))
+        group_field = "_groupkey"
+    else:
+        docs = index.docs(spark).select("doc_id", group_field)
     joined = scored.join(docs.hint("shuffle_hash"), "doc_id")
     gw = Window.partitionBy(group_field)
     ow = gw.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -3211,12 +3243,70 @@ def search_grouped(
     ).drop("_hs", "_hd")
 
 
+def search_grouped_queries(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    group_queries: dict[str, str],
+    group_limit: int = 1,
+    filters: dict[str, str] | None = None,
+    op: str = "OR",
+) -> DataFrame:
+    """Solr's ``group.query`` form of result grouping: each named sub-query
+    is its own group — its docs are the base matches ALSO matching the
+    sub-query, ranked by the main sort, with the group's total hit count
+    (numFound).  Groups come back in request order (Solr's rule), docs
+    capped at ``group_limit`` per group.
+
+    Execution mirrors facet.query's one-plan shape: each sub-query's
+    match-only id set semi-joins the scored base ONCE, the tagged legs
+    union, and a single group-partitioned window computes rank + hits in
+    one shuffle — group count is request-bounded, so the union width is a
+    constant, not a data quantity.
+
+    Returns (group, group_hits, group_rank, doc_id, score)."""
+    base = search(
+        spark, index, query, k=None, with_stored=False, filters=filters,
+        op=op,
+    )
+    legs = []
+    for ordinal, (name, gq) in enumerate(group_queries.items()):
+        ids = match_ids(spark, index, gq)
+        legs.append(
+            base.join(ids.hint("shuffle_hash"), "doc_id", "semi").select(
+                F.lit(name).alias("group"),
+                F.lit(ordinal).alias("_ord"),
+                "doc_id",
+                "score",
+            )
+        )
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    gw = Window.partitionBy("group")
+    ow = gw.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        u.select(
+            "group",
+            "_ord",
+            "doc_id",
+            "score",
+            F.row_number().over(ow).alias("group_rank"),
+            F.count("*").over(gw).alias("group_hits"),
+        )
+        .filter(F.col("group_rank") <= int(group_limit))
+        .orderBy(F.asc("_ord"), F.asc("group_rank"))
+        .select("group", "group_hits", "group_rank", "doc_id", "score")
+    )
+
+
 def terms_component(
     spark: SparkSession,
     index: Index,
     prefix: str = "",
     k: int = 10,
     min_df: int = 1,
+    regex: str | None = None,
 ) -> DataFrame:
     """Vocabulary browse — the solr.TermsComponent analogue (registered in
     the reference config with its /terms handler, solrconfig.xml:1458-1466):
@@ -3225,13 +3315,20 @@ def terms_component(
 
     Served from the term-sorted dict table: the prefix is a StartsWith
     pushdown (row-group pruning), keyword-field terms are excluded, and
-    only ``k`` rows reach the driver."""
+    only ``k`` rows reach the driver.  ``regex`` is Solr's ``terms.regex``
+    (full anchored match, Java's Matcher.matches rule) — like Solr's own
+    TermsEnum walk it cannot prune the dict scan, so combine it with
+    ``prefix`` when the pattern has a literal head."""
     d = index.term_dict(spark)
     if d is None:
         return spark.createDataFrame([], "term string, df long")
     out = d.filter(~F.col("term").contains(KW_SEP))
     if prefix:
         out = out.filter(F.col("term").startswith(prefix))
+    if regex is not None:
+        # rlike is unanchored (Java find()); terms.regex matches the WHOLE
+        # term, so anchor both ends
+        out = out.filter(F.col("term").rlike(f"^(?:{regex})$"))
     if min_df > 1:
         out = out.filter(F.col("df") >= min_df)
     return (

@@ -1,0 +1,139 @@
+"""Round-5h component completions: stats.facet, terms.regex, group.func,
+group.query — the remaining per-component params of the embedded Solr the
+reference targets (StatsComponent solrconfig.xml:1168, TermsComponent
+:1463, the grouping component's query/func group sources).
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from cascading_solr_spark.corpus import synth_corpus
+from cascading_solr_spark.indexing.build import build_index
+from cascading_solr_spark.query.search import (
+    match_ids,
+    search,
+    search_grouped,
+    search_grouped_queries,
+    stats_field,
+    terms_component,
+)
+from cascading_solr_spark.spec import IndexSpec
+
+R5H_SPEC = IndexSpec(
+    num_shards=2,
+    salt_buckets=2,
+    block_size=16,
+    keyword_fields=("lang",),
+    stored_fields=("repo", "lang", "textlen"),
+)
+
+
+@pytest.fixture(scope="module")
+def ix(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("r5hix") / "ix")
+    corpus = synth_corpus(spark, 300, partitions=4).withColumn(
+        "textlen", F.length("content")
+    )
+    return build_index(spark, corpus, R5H_SPEC, out)
+
+
+def _docs_map(spark, ix, ids, *fields):
+    rows = (
+        ix.docs(spark)
+        .select("doc_id", *fields)
+        .filter(F.col("doc_id").isin(list(ids)))
+        .collect()
+    )
+    return {r["doc_id"]: tuple(r[f] for f in fields) for r in rows}
+
+
+def test_stats_facet_per_bucket(spark, ix):
+    """stats.facet=lang: per-lang stats equal a pandas recompute, buckets
+    value-ordered, and sum over buckets equals the ungrouped stats row."""
+    import statistics
+
+    got = stats_field(spark, ix, "parse buffer", "textlen", facet="lang").collect()
+    ids = {r["doc_id"] for r in match_ids(spark, ix, "parse buffer").collect()}
+    vals = _docs_map(spark, ix, ids, "lang", "textlen")
+    by_lang = {}
+    for _, (lang, tl) in vals.items():
+        by_lang.setdefault(lang, []).append(tl)
+    assert [r["facet"] for r in got] == sorted(by_lang)
+    for r in got:
+        xs = by_lang[r["facet"]]
+        assert r["n"] == len(xs)
+        assert r["missing"] == 0
+        assert (r["min"], r["max"], r["sum"]) == (min(xs), max(xs), sum(xs))
+        assert r["mean"] == pytest.approx(sum(xs) / len(xs))
+        assert r["stddev"] == pytest.approx(statistics.stdev(xs))
+    flat = stats_field(spark, ix, "parse buffer", "textlen").collect()[0]
+    assert flat["n"] == sum(r["n"] for r in got)
+    assert flat["sum"] == sum(r["sum"] for r in got)
+
+
+def test_stats_facet_rejects_unstored(spark, ix):
+    with pytest.raises(ValueError, match="stats.facet"):
+        stats_field(spark, ix, "parse", "textlen", facet="content")
+
+
+def test_terms_regex_anchored(spark, ix):
+    """terms.regex matches the WHOLE term (Matcher.matches rule): 'pars.'
+    hits 'parse' but never 'parser42'."""
+    got = [r["term"] for r in terms_component(spark, ix, regex="pars.", k=50).collect()]
+    d = {
+        r["term"]: r["df"]
+        for r in terms_component(spark, ix, prefix="pars", k=10_000).collect()
+    }
+    want = [t for t in d if re.fullmatch("pars.", t)]
+    assert sorted(got) == sorted(want)
+    assert "parse" in got
+    assert all(len(t) == 5 for t in got)
+    # composes with prefix (the pruned-scan fast path)
+    both = [
+        r["term"]
+        for r in terms_component(spark, ix, prefix="pars", regex="pars.", k=50).collect()
+    ]
+    assert sorted(both) == sorted(got)
+
+
+def test_group_func_matches_field_twin(spark, ix):
+    """group.func over a monotone bijection of a field groups exactly like
+    the field itself (same membership, same ranks, keys transformed)."""
+    by_field = search_grouped(
+        spark, ix, "parse buffer", "textlen", group_limit=2, k_groups=5
+    ).collect()
+    by_func = search_grouped(
+        spark, ix, "parse buffer", "sum(textlen,1000)", group_limit=2, k_groups=5
+    ).collect()
+    assert [(r["doc_id"], r["group_rank"], r["group_hits"]) for r in by_field] == [
+        (r["doc_id"], r["group_rank"], r["group_hits"]) for r in by_func
+    ]
+    for f, g in zip(by_field, by_func):
+        assert float(g["group"]) == float(f["group"]) + 1000.0
+
+
+def test_group_queries_naive(spark, ix):
+    """group.query legs: membership = base ∧ sub-query, scores global,
+    hits exact, request order preserved."""
+    q = "parse buffer"
+    base = {
+        r["doc_id"]: r["score"]
+        for r in search(spark, ix, q, k=None, with_stored=False).collect()
+    }
+    gqs = {"go docs": "lang:go", "mergeful": "merge"}
+    got = search_grouped_queries(
+        spark, ix, q, gqs, group_limit=3
+    ).collect()
+    assert [r["group"] for r in got[:3]] == ["go docs"] * 3
+    for name, gq in gqs.items():
+        member = {
+            r["doc_id"] for r in match_ids(spark, ix, gq).collect()
+        } & set(base)
+        rows = [r for r in got if r["group"] == name]
+        assert all(r["group_hits"] == len(member) for r in rows)
+        want = sorted(member, key=lambda d: (-base[d], d))[:3]
+        assert [r["doc_id"] for r in rows] == want
+        for r in rows:
+            assert r["score"] == pytest.approx(base[r["doc_id"]])
