@@ -2,6 +2,7 @@ from cascading_solr_spark.sources.loaders import (
     read_documents_csv,
     read_documents_extract,
     read_documents_json,
+    read_documents_xml,
 )
 from cascading_solr_spark.sources.tables import load_table, read_corpus
 
@@ -11,4 +12,5 @@ __all__ = [
     "read_documents_csv",
     "read_documents_extract",
     "read_documents_json",
+    "read_documents_xml",
 ]

@@ -130,3 +130,75 @@ def read_documents_extract(
     if spec is not None:
         validate_schema(df.schema, spec)
     return df
+
+
+def read_documents_xml(
+    spark: SparkSession,
+    path: str,
+    spec: IndexSpec | None = None,
+    glob: str | None = None,
+) -> DataFrame:
+    """The /update XML handler analogue (solrconfig.xml:968
+    UpdateRequestHandler; Solr's native ``<add><doc><field name="f">v
+    </field>...</doc></add>`` payload).
+
+    Unlike /update/extract there is no parser stub here — the format is
+    XML with a fixed schema, parsed distributedly with the stdlib
+    ElementTree inside an Arrow-batched ``mapInPandas`` over a
+    ``binaryFile`` scan (one task per file group; a 100 TB ingest is many
+    files, not one).  Multi-valued fields (repeated ``<field name="x">``)
+    join on a comma — callers needing arrays should split downstream
+    (documented; the engine's keyword fields accept scalars).  Field NAMES
+    are discovered from the first file on the driver (one tiny read), then
+    fixed for the distributed pass — Solr's own contract is that docs in
+    one add batch share the schema.
+
+    Returns one column per discovered field name (all strings).
+    """
+    import glob as globmod
+    import os
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+
+    def docs_of(payload: bytes):
+        root = ET.fromstring(payload)
+        for doc in root.iter("doc"):
+            row: dict[str, str] = {}
+            for f in doc.iter("field"):
+                name = f.attrib["name"]
+                val = f.text or ""
+                row[name] = f"{row[name]},{val}" if name in row else val
+            yield row
+
+    # schema discovery: the first file, driver-side
+    pattern = os.path.join(path, glob or "*")
+    first = sorted(globmod.glob(pattern))
+    if not first:
+        raise FileNotFoundError(f"no files match {pattern}")
+    with open(first[0], "rb") as fh:
+        head_rows = list(docs_of(fh.read()))
+    if not head_rows:
+        raise ValueError(f"{first[0]} holds no <doc> elements")
+    fields = sorted({k for r in head_rows for k in r})
+
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path).select("content")
+
+    out_schema = ", ".join(f"{f} string" for f in fields)
+
+    def parse(batches):
+        for pdf in batches:
+            rows = [
+                {f: r.get(f) for f in fields}
+                for payload in pdf["content"]
+                for r in docs_of(bytes(payload))
+            ]
+            yield pd.DataFrame(rows, columns=fields)
+
+    df = raw.mapInPandas(parse, out_schema)
+    if spec is not None:
+        validate_schema(df.schema, spec)
+    return df
