@@ -32,18 +32,21 @@ per-epoch standalone indexes, appends here produce ONE coherent index:
 Replay safety: foreachBatch is at-least-once, so a replayed micro-batch
 would double df/tf.  Callers pass ``batch_id`` (the streaming layer passes
 ``epoch-<id>``): a batch whose id is already in meta.applied_batches is
-skipped.  The remaining window — a crash MIDWAY through an append leaves
-partial docs/postings rows that a replay would duplicate — is documented
-rather than hidden: recover by rebuilding (build_index wipes the dir) or by
-restoring the pre-append generation; meta.json is only advanced after every
-batch write has committed, so a completed-then-replayed batch (the common
-foreachBatch case) is always detected.
+skipped.  Crash atomicity (round 5h): every job writes into a private
+``_staging_*`` dir and the files are renamed into the live dirs only after
+ALL jobs succeed — a failure anywhere mid-append leaves the index
+byte-identical (asserted by tests/test_append_atomicity.py with an
+injected kernel fault).  The residual window is the driver-side rename
+pass itself (milliseconds of per-file os.rename); meta.json — the
+visibility watermark for N/avgdl and applied_batches — still goes last,
+so a completed-then-replayed batch is always detected.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import threading
 from concurrent.futures import ThreadPoolExecutor
 
@@ -76,6 +79,24 @@ MAX_APPLIED_BATCHES = 256
 #: serializes appends in-process: enforces the single-writer contract and
 #: makes the AQE conf toggle/restore pair race-free (see append_documents).
 _AQE_LOCK = threading.RLock()
+
+
+def _publish_staged(staged: str, dest: str) -> None:
+    """Move every data file of a staged parquet write into ``dest``,
+    preserving partition subdirs (shard=N).  File names carry Spark's task
+    UUIDs so renames never collide; os.rename within one filesystem is
+    atomic per file, so the multi-job exposure window shrinks from the
+    whole append to this driver-side pass (milliseconds)."""
+    if not os.path.exists(staged):
+        return
+    for root, _dirs, files in os.walk(staged):
+        rel = os.path.relpath(root, staged)
+        tgt = dest if rel == "." else os.path.join(dest, rel)
+        for fn in files:
+            if fn.startswith(("_", ".")):
+                continue  # _SUCCESS markers, committer temp files
+            os.makedirs(tgt, exist_ok=True)
+            os.rename(os.path.join(root, fn), os.path.join(tgt, fn))
 
 #: batches at or below this row count get their dense ids from a single-task
 #: window (ONE Spark job: the count/duplicate-check agg; the window itself
@@ -147,6 +168,22 @@ def append_documents(
     # repeat across appends and merge distinct segments under one tag)
     seg_tag = f"append@{int(meta['n_docs'])}"
     bootstrap_ngrams = int(meta["n_docs"]) == 0
+    # ---- staged segment writes: every job writes into a private staging
+    # dir and the files are RENAMED into the live dirs only after all jobs
+    # succeed — a mid-append failure leaves the index byte-identical (no
+    # orphan docs/postings/dict/lineage rows; previously a failed postings
+    # job could leave committed docs rows that match-all would count).
+    # Stale staging dirs from a crashed process are swept below, INSIDE the
+    # append lock (sweeping pre-lock could remove a concurrent append's live
+    # staging).  meta.json is still written last, after the publish. ----
+    import uuid as _uuid
+
+    stg = os.path.join(index_dir, f"_staging_{_uuid.uuid4().hex[:12]}")
+    stg_docs = os.path.join(stg, "docs")
+    stg_postings = os.path.join(stg, "postings")
+    stg_dict = os.path.join(stg, "dict")
+    stg_ngrams = os.path.join(stg, "ngrams")
+    stg_lineage = os.path.join(stg, "lineage")
 
     # ---- scope: AQE's runtime re-planning adds a per-stage scheduling
     # round-trip that is pure overhead on these fixed-shape micro-batch jobs
@@ -177,6 +214,13 @@ def append_documents(
         # the lock and restores the conf — no permanent AQE-off leak
         aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # stale staging sweep (locked: any other dir here is from a dead
+        # process — the lock serializes in-process appends, and the
+        # single-writer contract covers cross-process)
+        for leftover in os.listdir(index_dir):
+            full = os.path.join(index_dir, leftover)
+            if leftover.startswith("_staging_") and full != stg:
+                shutil.rmtree(full, ignore_errors=True)
         pool = ThreadPoolExecutor(max_workers=3)
         if spec.doc_id_field:
             based = batch.withColumn(
@@ -264,7 +308,7 @@ def append_documents(
                 .sortWithinPartitions("shard", "doc_id")
                 .write.mode("append")
                 .partitionBy("shard")
-                .parquet(index.docs_path)
+                .parquet(stg_docs)
             )
 
         docs_future = pool.submit(write_docs)
@@ -326,7 +370,7 @@ def append_documents(
             observed.sortWithinPartitions("shard", "term", "salt")
             .write.mode("append")
             .partitionBy("shard")
-            .parquet(index.postings_path)
+            .parquet(stg_postings)
         )
         batch_tokens = int(obs.get["content_tokens"] or 0)
         prof.mark("a_postings")
@@ -346,9 +390,7 @@ def append_documents(
                 # instead of reading any single row as per-shard truth.
                 F.lit(seg_tag).alias("segment"),
             )
-            lineage.write.mode("append").parquet(
-                os.path.join(index_dir, "lineage")
-            )
+            lineage.write.mode("append").parquet(stg_lineage)
 
         # The dict table is segmented: one (term, df) rowset per build/
         # append; Index.term_dict serves the folded sum-per-term view and
@@ -372,7 +414,7 @@ def append_documents(
             (
                 seg.sortWithinPartitions("term")
                 .write.mode("append")
-                .parquet(index.dict_path)  # meta-pointed generation dir
+                .parquet(stg_dict)  # published into the generation dir
             )
             # bootstrap_ngrams: a 0-doc index has no ngram dir yet but no
             # prior vocabulary either, so creating it here is complete; a
@@ -387,7 +429,7 @@ def append_documents(
                 (
                     term_ngram_rows(seg.select("term"))
                     .write.mode("append")
-                    .parquet(index.ngrams_path)
+                    .parquet(stg_ngrams)
                 )
             seg.unpersist()
 
@@ -396,6 +438,14 @@ def append_documents(
         dict_future.result()
         lineage_future.result()
         docs_future.result()
+        # every job committed into staging -> publish (rename) into the live
+        # dirs; meta (the visibility watermark for stats) still goes last
+        _publish_staged(stg_docs, index.docs_path)
+        _publish_staged(stg_postings, index.postings_path)
+        _publish_staged(stg_dict, index.dict_path)
+        _publish_staged(stg_ngrams, index.ngrams_path)
+        _publish_staged(stg_lineage, os.path.join(index_dir, "lineage"))
+        shutil.rmtree(stg, ignore_errors=True)
         prof.mark("a_dict+stats")
 
         meta["n_docs"] = int(meta["n_docs"]) + int(n_new)
@@ -424,6 +474,7 @@ def append_documents(
         if aqe_before is not None:
             spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         _AQE_LOCK.release()
+        shutil.rmtree(stg, ignore_errors=True)
         for h in (postings, ids_handle, batch_handle):
             if h is not None:
                 h.unpersist()
