@@ -598,6 +598,23 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
     # headline = the driver-query config (2 tables, hamming-2 multiprobe)
     timings["ann_query"] = ann_curve["t2_p3"]["sec"]
     ann_recall = ann_curve["t2_p3"]["recall_at_10"]
+    # IVF variant (k-means coarse quantizer): the data-adaptive scale path
+    ivf_dir = os.path.join(work, "ivf")
+    timings["ann_ivf_build"] = timed(
+        lambda: similarity.build_ivf_index(emb_d, ivf_dir, n_lists=16)
+    )
+    ivf_rows: list = []
+
+    def ivf_probe() -> None:
+        ivf_rows.clear()
+        ivf_rows.extend(
+            similarity.ann_ivf_topk(spark, ivf_dir, qv, k=10, nprobe=4).collect()
+        )
+
+    timings["ann_ivf_query"] = timed(ivf_probe, repeat=3)
+    ivf_recall = len(
+        exact_ids & {r["vec_id"] for r in ivf_rows}
+    ) / max(1, len(exact_ids))
 
     # ---- 5. incremental append throughput (segment refresh path) ----
     from cascading_solr_spark.indexing.append import append_documents
@@ -684,6 +701,7 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
             ),
         },
         "ann_recall_at_10": round(ann_recall, 3),
+        "ann_ivf_recall_at_10": round(ivf_recall, 3),
         "ann_curve": ann_curve,
         # cursorMark property: page ~50 by cursor costs ~page 1, while
         # offset start=500 pays the growing per-shard fetch

@@ -123,3 +123,39 @@ def test_ann_indexed_matches_recompute_path(spark, tmp_path):
     assert [
         (r["vec_id"], r["cos_sim"]) for r in got.collect()
     ] == [(r["vec_id"], r["cos_sim"]) for r in want.collect()]
+
+
+def test_ivf_index_full_probe_equals_brute(spark, tmp_path):
+    """IVF with nprobe=n_lists scans every list — must equal the exact
+    brute-force ranking; small nprobe returns k rows from probed lists
+    only (partition-pruned scan)."""
+    from cascading_solr_spark.operators.similarity import (
+        ann_ivf_topk,
+        build_ivf_index,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = str(tmp_path / "ivf")
+    cents = build_ivf_index(emb, out, n_lists=8, max_iter=5)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    qv = [r["embedding"] for r in emb.filter("vec_id = 7").collect()][0]
+    qv = [float(x) for x in qv]
+    brute = [
+        (r["vec_id"], r["cos_sim"])
+        for r in cosine_topk(emb, qv, k=10).collect()
+    ]
+    full = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ann_ivf_topk(spark, out, qv, k=10, nprobe=8).collect()
+    ]
+    assert full == brute
+    # small probe: k rows, subset-scored identically, self found (it lives
+    # in the probed nearest list by construction)
+    near = ann_ivf_topk(spark, out, qv, k=10, nprobe=2)
+    rows = near.collect()
+    assert len(rows) == 10
+    assert rows[0]["vec_id"] == 7 and rows[0]["cos_sim"] == 1.0
+    # partition pruning reaches the scan
+    plan = near._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list" in plan
