@@ -24,6 +24,8 @@ never corpus-sized.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -291,5 +293,183 @@ def browse(
         out["spellcheck"] = spellcheck_collations(
             spark, index, q_eff, max_collations=max_collations,
             max_tries=max_collation_tries, filters=filters, op=op_eff,
+        )
+    return out
+
+
+def _parse_qf(qf: str) -> dict[str, float]:
+    """``"text^0.5 title^1.2"`` -> {"text": 0.5, "title": 1.2} (boost
+    defaults to 1.0, Solr's qf rule)."""
+    out: dict[str, float] = {}
+    for tok in qf.split():
+        if "^" in tok:
+            f, w = tok.rsplit("^", 1)
+            out[f] = float(w)
+        else:
+            out[tok] = 1.0
+    return out
+
+
+_FQ_RANGE = re.compile(
+    r"^(\w+):\[(\*|-?\d+(?:\.\d+)?) TO (\*|-?\d+(?:\.\d+)?)\]$"
+)
+
+
+def select(
+    spark: SparkSession,
+    index: Index,
+    params: dict,
+) -> dict[str, DataFrame]:
+    """The /select request handler on RAW Solr params (solrconfig.xml:766)
+    — the switch-over surface: a reference user's request dict runs as-is.
+
+    Supported params (each routed to the already-tested component
+    function; this facade only parses and wires):
+
+    * ``q`` (default ``*:*``), ``q.op``, ``mm``, ``rows``, ``start``,
+      ``fl`` (comma list), ``synonyms`` (engine extension: dict);
+    * ``fq`` — string or list: ``field:value`` keyword filters compose
+      index-side; ``field:[a TO b]`` over a stored NUMERIC field becomes
+      the doc-filter (frange/PostFilter) path, ``*`` ends open; multiple
+      fq AND together (Solr's rule);
+    * ``defType=edismax`` with ``qf`` (``"text^0.5 title^1.2"``), ``tie``;
+      boost params ``bf`` / ``boost`` / ``bq`` (function-query surface);
+    * ``sort`` — ``score desc`` (default), ``<field> asc|desc``, or a
+      function expression ``recip(textlen,1,1000,100) desc``;
+    * ``facet=true`` + ``facet.field`` (str or list);
+    * ``hl=true`` + ``hl.fl`` (comma list), ``hl.simple.pre/post``;
+    * ``group=true`` + ``group.field``/``group.limit``.
+
+    Returns ``{"results": ..., "facet_fields"?: ..., "highlighting"?: ...,
+    "grouped"?: ...}`` of lazy DataFrames, like reading the named sections
+    of a Solr response.  Unknown parameters raise (a silent typo in ``qf``
+    must not degrade to default-field search)."""
+    from cascading_solr_spark.query.search import (
+        facet_fields_counts,
+        highlight_fields,
+        search,
+        search_boosted,
+        search_dismax,
+        search_grouped,
+        search_sorted,
+        sort_by_function,
+    )
+
+    known = {
+        "q", "q.op", "mm", "rows", "start", "fl", "fq", "defType", "qf",
+        "tie", "bf", "boost", "bq", "sort", "facet", "facet.field", "hl",
+        "hl.fl", "hl.simple.pre", "hl.simple.post", "group", "group.field",
+        "group.limit", "synonyms",
+    }
+    unknown = sorted(set(params) - known)
+    if unknown:
+        raise ValueError(f"unsupported /select params: {unknown!r}")
+
+    def _flag(name: str) -> bool:
+        return str(params.get(name, "")).lower() in ("true", "on", "1")
+
+    q = str(params.get("q", "*:*")).strip() or "*:*"
+    rows = int(params.get("rows", 10))
+    start = int(params.get("start", 0))
+    op = str(params.get("q.op", "OR")).upper()
+    mm = params.get("mm")
+    synonyms = params.get("synonyms")
+    fl = (
+        [c.strip() for c in str(params["fl"]).split(",") if c.strip()]
+        if "fl" in params
+        else None
+    )
+
+    # ---- fq: keyword filters + numeric doc filters, ANDed ----
+    filters: dict[str, str] = {}
+    doc_preds: list[str] = []
+    fqs = params.get("fq", [])
+    for fq in [fqs] if isinstance(fqs, str) else list(fqs):
+        fq = fq.strip()
+        m = _FQ_RANGE.match(fq)
+        stored = set(index.spec.stored_fields)
+        if m and m.group(1) in stored and m.group(1) not in index.spec.keyword_fields:
+            f, lo, hi = m.groups()
+            if lo != "*":
+                doc_preds.append(f"{f} >= {lo}")
+            if hi != "*":
+                doc_preds.append(f"{f} <= {hi}")
+        elif ":" in fq:
+            f, v = fq.split(":", 1)
+            if f not in index.spec.keyword_fields:
+                raise ValueError(
+                    f"fq field {f!r} is neither a keyword field nor a "
+                    f"stored-numeric range"
+                )
+            filters[f] = v
+        else:
+            raise ValueError(f"unparseable fq {fq!r}")
+    doc_filter = " AND ".join(doc_preds) if doc_preds else None
+
+    # ---- main query routing ----
+    sort = str(params.get("sort", "score desc")).strip()
+    out: dict[str, DataFrame] = {}
+    if sort not in ("score desc", "score asc", ""):
+        field_expr, _, direction = sort.rpartition(" ")
+        asc = direction.lower() == "asc"
+        if "(" in field_expr:
+            results = sort_by_function(
+                spark, index, q, field_expr, ascending=asc, k=rows,
+                start=start, filters=filters or None, op=op,
+                doc_filter=doc_filter,
+            )
+        else:
+            results = search_sorted(
+                spark, index, q, field_expr, ascending=asc, k=rows,
+                start=start, filters=filters or None, op=op,
+                doc_filter=doc_filter,
+            )
+    elif any(k in params for k in ("bf", "boost", "bq")):
+        results = search_boosted(
+            spark, index, q,
+            bf=params.get("bf"), boost=params.get("boost"),
+            bq=params.get("bq"), k=rows, start=start,
+            filters=filters or None, synonyms=synonyms, op=op,
+            doc_filter=doc_filter,
+        )
+    elif str(params.get("defType", "")).lower() == "edismax" and "qf" in params:
+        if doc_filter is not None:
+            # no silent drop: the dismax kernel has no doc-filter hook yet
+            raise ValueError(
+                "numeric-range fq is not supported with defType=edismax "
+                f"(drop the range fq or the qf param): {doc_filter!r}"
+            )
+        results = search_dismax(
+            spark, index, q, qf=_parse_qf(str(params["qf"])),
+            tie=float(params.get("tie", 0.0)), min_match=mm, k=rows,
+            start=start, filters=filters or None, synonyms=synonyms,
+        )
+    else:
+        results = search(
+            spark, index, q, k=rows, start=start, filters=filters or None,
+            synonyms=synonyms, op=op, min_match=mm, fl=fl,
+            doc_filter=doc_filter,
+        )
+    out["results"] = results
+
+    if _flag("facet") and params.get("facet.field"):
+        ff = params["facet.field"]
+        fields = [ff] if isinstance(ff, str) else list(ff)
+        out["facet_fields"] = facet_fields_counts(
+            spark, index, q, fields, filters=filters or None, op=op
+        )
+    if _flag("hl") and params.get("hl.fl"):
+        out["highlighting"] = highlight_fields(
+            spark, index, q,
+            [c.strip() for c in str(params["hl.fl"]).split(",")],
+            k=rows, filters=filters or None, synonyms=synonyms, op=op,
+            pre=str(params.get("hl.simple.pre", "<em>")),
+            post=str(params.get("hl.simple.post", "</em>")),
+        )
+    if _flag("group") and params.get("group.field"):
+        out["grouped"] = search_grouped(
+            spark, index, q, str(params["group.field"]),
+            group_limit=int(params.get("group.limit", 1)),
+            filters=filters or None, op=op,
         )
     return out

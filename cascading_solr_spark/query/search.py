@@ -3123,6 +3123,7 @@ def search_sorted(
     start: int = 0,
     filters: dict[str, str] | None = None,
     op: str = "OR",
+    doc_filter: str | None = None,
 ) -> DataFrame:
     """Field-sorted retrieval — Solr's ``sort=<field> asc|desc`` (exercised
     by the reference config's own warming queries, solrconfig.xml:600-601
@@ -3144,7 +3145,9 @@ def search_sorted(
             f"sort field {sort_field!r} is not stored "
             f"{index.spec.stored_fields!r}"
         )
-    matched = match_ids(spark, index, query, filters=filters, op=op)
+    matched = match_ids(
+        spark, index, query, filters=filters, op=op, doc_filter=doc_filter
+    )
     docs = index.docs(spark).drop("shard")
     order = [
         F.asc(sort_field) if ascending else F.desc(sort_field),
@@ -4365,6 +4368,7 @@ def sort_by_function(
     start: int = 0,
     filters: dict[str, str] | None = None,
     op: str = "OR",
+    doc_filter: str | None = None,
 ) -> DataFrame:
     """Sort-by-function / ``{!func}`` main queries: rank docs by a function
     expression over stored numeric fields (Solr's ``sort=div(a,b) desc``
@@ -4387,7 +4391,9 @@ def sort_by_function(
     )
 
     node = parse_function(func, set(index.spec.stored_fields))
-    matched = match_ids(spark, index, query, filters=filters, op=op)
+    matched = match_ids(
+        spark, index, query, filters=filters, op=op, doc_filter=doc_filter
+    )
     cols = sorted(func_fields(node))
     docs = index.docs(spark).select("doc_id", *cols)
     out = (
@@ -4437,6 +4443,7 @@ def search_boosted(
     filters: dict[str, str] | None = None,
     synonyms: dict[str, list[str]] | None = None,
     op: str = "OR",
+    doc_filter: str | None = None,
 ) -> DataFrame:
     """eDisMax boost params over the ranked query (solrconfig.xml:872
     ``defType=edismax``; the standard edismax boost surface):
@@ -4478,7 +4485,7 @@ def search_boosted(
     boost_nodes = [parse_function(e, stored) for e in _listify(boost)]
     base = search(
         spark, index, query, k=None, with_stored=False,
-        filters=filters, synonyms=synonyms, op=op,
+        filters=filters, synonyms=synonyms, op=op, doc_filter=doc_filter,
     )
 
     cols: set[str] = set()

@@ -26,7 +26,7 @@ R5H_SPEC = IndexSpec(
     salt_buckets=2,
     block_size=16,
     keyword_fields=("lang",),
-    stored_fields=("repo", "lang", "textlen"),
+    stored_fields=("repo", "lang", "textlen", "content"),
 )
 
 
@@ -75,7 +75,7 @@ def test_stats_facet_per_bucket(spark, ix):
 
 def test_stats_facet_rejects_unstored(spark, ix):
     with pytest.raises(ValueError, match="stats.facet"):
-        stats_field(spark, ix, "parse", "textlen", facet="content")
+        stats_field(spark, ix, "parse", "textlen", facet="path")
 
 
 def test_terms_regex_anchored(spark, ix):
@@ -137,3 +137,105 @@ def test_group_queries_naive(spark, ix):
         assert [r["doc_id"] for r in rows] == want
         for r in rows:
             assert r["score"] == pytest.approx(base[r["doc_id"]])
+
+
+# --- /select raw-params facade ---------------------------------------------
+
+
+def test_select_params_parity(spark, ix):
+    """The raw-params /select facade routes each request shape to the same
+    result as the direct component call."""
+    from cascading_solr_spark.handlers import select
+    from cascading_solr_spark.query.search import (
+        search as _search,
+        search_boosted,
+        search_sorted,
+    )
+
+    def ids(df):
+        return [r["doc_id"] for r in df.collect()]
+
+    # plain ranked + keyword fq
+    got = select(spark, ix, {"q": "parse buffer", "fq": "lang:go", "rows": 5})
+    want = _search(spark, ix, "parse buffer", filters={"lang": "go"}, k=5)
+    assert ids(got["results"]) == ids(want)
+    # numeric-range fq -> doc-filter path, half-open
+    got = select(
+        spark, ix, {"q": "parse buffer", "fq": "textlen:[900 TO *]", "rows": 5}
+    )
+    want = _search(spark, ix, "parse buffer", doc_filter="textlen >= 900", k=5)
+    assert ids(got["results"]) == ids(want)
+    # bf boost routing
+    got = select(spark, ix, {"q": "parse buffer", "bf": "div(textlen,100)"})
+    want = search_boosted(spark, ix, "parse buffer", bf="div(textlen,100)", k=10)
+    assert ids(got["results"]) == ids(want)
+    # field sort + paging
+    got = select(
+        spark, ix, {"q": "parse", "sort": "textlen asc", "rows": 5, "start": 5}
+    )
+    want = search_sorted(spark, ix, "parse", "textlen", ascending=True, k=5, start=5)
+    assert ids(got["results"]) == ids(want)
+    # function sort
+    got = select(
+        spark, ix, {"q": "parse", "sort": "recip(textlen,1,1000,100) desc"}
+    )
+    from cascading_solr_spark.query.search import sort_by_function
+
+    want = sort_by_function(
+        spark, ix, "parse", "recip(textlen,1,1000,100)", ascending=False, k=10
+    )
+    assert ids(got["results"]) == ids(want)
+
+
+def test_select_sections_and_guards(spark, ix):
+    from cascading_solr_spark.handlers import select
+
+    out = select(
+        spark, ix,
+        {
+            "q": "parse buffer",
+            "facet": "true", "facet.field": "lang",
+            "hl": "true", "hl.fl": "content",
+            "group": "true", "group.field": "lang", "group.limit": "2",
+        },
+    )
+    assert set(out) == {"results", "facet_fields", "highlighting", "grouped"}
+    assert out["facet_fields"].count() > 0
+    assert out["grouped"].count() > 0
+    with pytest.raises(ValueError, match="unsupported /select params"):
+        select(spark, ix, {"q": "x", "qff": "typo"})
+    with pytest.raises(ValueError, match="neither a keyword"):
+        select(spark, ix, {"q": "x", "fq": "nosuch:val"})
+
+
+def test_select_doc_filter_composes_not_drops(spark, ix):
+    """A numeric-range fq must never be silently dropped: it composes with
+    sort/bf routes and raises loudly on the dismax route."""
+    from cascading_solr_spark.handlers import select
+    from cascading_solr_spark.query.search import match_ids
+
+    allowed = {
+        r["doc_id"]
+        for r in match_ids(spark, ix, "parse", doc_filter="textlen >= 900").collect()
+    }
+    assert allowed  # non-vacuous
+    got = select(
+        spark, ix,
+        {"q": "parse", "fq": "textlen:[900 TO *]", "sort": "textlen asc",
+         "rows": 50},
+    )
+    ids = [r["doc_id"] for r in got["results"].collect()]
+    assert ids and set(ids) <= allowed
+    got = select(
+        spark, ix,
+        {"q": "parse", "fq": "textlen:[900 TO *]", "bf": "div(textlen,100)",
+         "rows": 50},
+    )
+    ids = [r["doc_id"] for r in got["results"].collect()]
+    assert ids and set(ids) <= allowed
+    with pytest.raises(ValueError, match="not supported with defType=edismax"):
+        select(
+            spark, ix,
+            {"q": "parse", "fq": "textlen:[900 TO *]",
+             "defType": "edismax", "qf": "content"},
+        )
