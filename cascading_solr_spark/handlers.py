@@ -433,16 +433,11 @@ def select(
             doc_filter=doc_filter,
         )
     elif str(params.get("defType", "")).lower() == "edismax" and "qf" in params:
-        if doc_filter is not None:
-            # no silent drop: the dismax kernel has no doc-filter hook yet
-            raise ValueError(
-                "numeric-range fq is not supported with defType=edismax "
-                f"(drop the range fq or the qf param): {doc_filter!r}"
-            )
         results = search_dismax(
             spark, index, q, qf=_parse_qf(str(params["qf"])),
             tie=float(params.get("tie", 0.0)), min_match=mm, k=rows,
             start=start, filters=filters or None, synonyms=synonyms,
+            doc_filter=doc_filter,
         )
     else:
         results = search(

@@ -1516,6 +1516,7 @@ def search_dismax(
     op: str = "OR",
     min_match: int | str | None = None,
     start: int = 0,
+    doc_filter: str | None = None,
 ) -> DataFrame:
     """Multi-field ranked retrieval — the (e)DisMax handler the reference's
     /browse endpoint queries with per-field boosts (solrconfig.xml:872-877
@@ -1542,6 +1543,25 @@ def search_dismax(
     over only the query's posting rows, local top-k, global order-merge —
     the multi-field scan stays term-pruned because every (field, token)
     candidate is an explicit IN-list entry."""
+    if doc_filter is not None:
+        # a stored-field post-filter makes the kernel's local top-k unsound
+        # (same rule as search_boosted): score the FULL dismax match set,
+        # ONE semi-join against the predicate's pushed-down docs scan,
+        # bounded global top-k, then the usual stored fetch
+        base = search_dismax(
+            spark, index, query, qf, tie=tie, k=None, with_stored=False,
+            filters=filters, synonyms=synonyms, op=op, min_match=min_match,
+        )
+        out = base.join(
+            _doc_filter_ids(spark, index, doc_filter).hint("shuffle_hash"),
+            "doc_id",
+            "semi",
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+        if k is not None:
+            out = out.offset(start).limit(k) if start else out.limit(k)
+        if with_stored:
+            return _fetch_stored(spark, index, out, bounded=k is not None)
+        return out
     spec = index.spec
     text_set = set(spec.text_fields)
     for f in qf:

@@ -233,9 +233,24 @@ def test_select_doc_filter_composes_not_drops(spark, ix):
     )
     ids = [r["doc_id"] for r in got["results"].collect()]
     assert ids and set(ids) <= allowed
-    with pytest.raises(ValueError, match="not supported with defType=edismax"):
-        select(
-            spark, ix,
-            {"q": "parse", "fq": "textlen:[900 TO *]",
-             "defType": "edismax", "qf": "content"},
-        )
+    # dismax route: composes exactly (full-match dismax + semi-join)
+    from cascading_solr_spark.query.search import search_dismax
+
+    got = select(
+        spark, ix,
+        {"q": "parse", "fq": "textlen:[900 TO *]",
+         "defType": "edismax", "qf": "content", "rows": 50},
+    )
+    ids = [r["doc_id"] for r in got["results"].collect()]
+    assert ids and set(ids) <= allowed
+    base = {
+        r["doc_id"]: r["score"]
+        for r in search_dismax(
+            spark, ix, "parse", {"content": 1.0}, k=None, with_stored=False
+        ).collect()
+    }
+    want = sorted(
+        ((d, s) for d, s in base.items() if d in allowed),
+        key=lambda x: (-x[1], x[0]),
+    )[:50]
+    assert ids == [d for d, _ in want]
