@@ -1128,9 +1128,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dd_minhash_sigs"] = lambda s, d: dedup.minhash_signatures(
         _docs(s, d), "text"
     ).select("doc_id", F.col("h").cast("long").alias("h"), "minhash")
-    q["dd_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
-        _docs_with_dups(s, d), "text", threshold=0.5
-    ).select("doc_a", "doc_b", "jaccard")
+    # LSH pairs + connected-components clustering (r5i) in one kind-tagged
+    # union: 'pair' rows are the verified near-dup pairs, 'comp' rows assign
+    # every paired doc its canonical representative (min reachable doc_id)
+    # with v = cluster size — the pairs→clusters→keep-one step a dedup
+    # pipeline actually ships.  Oracle: recursive-CTE transitive closure.
+    def _dd_lsh(s, d):
+        pairs = dedup.minhash_lsh_pairs(
+            _docs_with_dups(s, d), "text", threshold=0.5
+        ).persist()
+        comp = dedup.connected_components(pairs)
+        csize = comp.groupBy("component").agg(F.count("*").alias("sz"))
+        return (
+            pairs.select(
+                F.lit("pair").alias("kind"),
+                F.col("doc_a").alias("a"),
+                F.col("doc_b").alias("b"),
+                F.col("jaccard").alias("v"),
+            )
+            .unionByName(
+                comp.join(csize, "component").select(
+                    F.lit("comp").alias("kind"),
+                    F.col("doc_id").alias("a"),
+                    F.col("component").alias("b"),
+                    F.col("sz").cast("double").alias("v"),
+                )
+            )
+        )
+
+    q["dd_minhash_lsh"] = _dd_lsh
     # signatures + banded equi-join near pairs (lossless pigeonhole) in one
     # kind-tagged union vs the quadratic oracle (merged r5c: was dd_simhash
     # + dd_simhash_pairs); sig rows use b=-1
@@ -2011,7 +2037,7 @@ mh AS (SELECT doc_id, h, min(hv)::BIGINT AS minhash FROM hv GROUP BY 1, 2)
     o["dd_minhash_sigs"] = f"WITH {_mh} SELECT doc_id, h::BIGINT AS h, minhash FROM mh"
     _sh_dup = _sh.replace("FROM documents", "FROM all_docs")
     o["dd_minhash_lsh"] = f"""
-WITH all_docs AS (
+WITH RECURSIVE all_docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
@@ -2034,13 +2060,26 @@ sizes AS (SELECT doc_id, count(*)::BIGINT AS ns FROM sh GROUP BY 1),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
-SELECT c.doc_a, c.doc_b,
-       round(cm.common / (sa.ns + sb.ns - cm.common), 4) AS jaccard
-FROM cand c JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
-            JOIN sizes sa ON sa.doc_id = c.doc_a
-            JOIN sizes sb ON sb.doc_id = c.doc_b
-WHERE round(cm.common / (sa.ns + sb.ns - cm.common), 4) >= 0.5
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         round(cm.common / (sa.ns + sb.ns - cm.common), 4) AS jaccard
+  FROM cand c JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+              JOIN sizes sa ON sa.doc_id = c.doc_a
+              JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE round(cm.common / (sa.ns + sb.ns - cm.common), 4) >= 0.5),
+sym AS (SELECT doc_a AS u, doc_b AS w FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT u, u AS w FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT r.u, e.w FROM reach r JOIN sym e ON r.w = e.u),
+comp AS (SELECT u AS doc_id, MIN(w) AS component FROM reach GROUP BY u),
+csize AS (SELECT component, COUNT(*)::DOUBLE AS sz FROM comp GROUP BY 1)
+SELECT 'pair' AS kind, doc_a AS a, doc_b AS b, jaccard AS v FROM pairs
+UNION ALL
+SELECT 'comp' AS kind, c.doc_id AS a, c.component AS b, s.sz AS v
+FROM comp c JOIN csize s USING (component)
 """
     o["dd_simhash"] = f"""
 WITH dtoks AS (SELECT DISTINCT doc_id,

@@ -516,6 +516,19 @@ def run_bench(spark: SparkSession, sf_dir: str, n_code_files: int) -> dict:
         ).count(),
         repeat=3,
     )
+    def _components_end_to_end():
+        pairs = dedup.minhash_lsh_pairs(
+            docs, "text", threshold=0.5, id_mode="hash"
+        ).persist()
+        try:
+            n = dedup.connected_components(pairs).count()
+        finally:
+            pairs.unpersist()
+        return n
+
+    # pairs → clusters → canonical ids (hash-mode pairs + hash-min CC);
+    # the full keep-one-per-cluster dedup path a pipeline actually runs
+    timings["dedup_components_e2e"] = timed(_components_end_to_end, repeat=3)
     timings["dedup_simhash_pairs"] = timed(
         lambda: dedup.simhash_near_pairs(
             docs.select("doc_id", "text"), "text", max_hamming=1

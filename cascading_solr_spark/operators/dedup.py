@@ -376,3 +376,91 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list: the step between
+    "pairs found" and "duplicates dropped" in a dedup pipeline (a doc similar
+    to A and to B must land in ONE cluster with both, or the keep-one-per-
+    cluster pass keeps two of the three).
+
+    Returns (doc_id, component) for every doc appearing in ``pairs``, where
+    ``component`` is the MINIMUM doc_id reachable from it — a deterministic
+    canonical representative.
+
+    Algorithm: hash-min label propagation.  Each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds.  Near-duplicate graphs are dense low-diameter
+    clusters (everything in a cluster is pairwise-similar or one hop from
+    it), so the round count is small and data-independent in practice —
+    the alternating large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) is the
+    O(log n)-round fallback if a pathological chain graph ever matters.
+
+    Scale shape per round: one shuffle to join labels onto edges (key: node)
+    and one shuffle for the min-aggregate — both on node ids, never on
+    content.  Lineage is truncated with ``localCheckpoint`` every round
+    (iterative plans otherwise grow linearly and re-execute the whole
+    history); on a real cluster with unreliable local disk, swap in
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``.
+    Convergence is detected with a count of changed labels (one cheap job
+    per round on the already-checkpointed frames).
+    """
+    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = (
+        edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select("u")
+        .distinct()
+        .withColumn("component", F.col("u"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.withColumnRenamed("u", "v"), "v"
+        ).select("u", "component")
+        new = (
+            labels.union(nbr)
+            .groupBy("u")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("u").alias("doc_id"), "component")
+
+
+def drop_near_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Keep one document per near-duplicate cluster (the component's minimum
+    doc_id) plus every document in no pair — the end-to-end "dedup the
+    corpus" operation.  One anti-join against the (small relative to the
+    corpus) loser set; AQE broadcasts it when it fits."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    losers = comp.filter(F.col("component") != F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -159,3 +159,52 @@ def test_ivf_index_full_probe_equals_brute(spark, tmp_path):
     # partition pruning reaches the scan
     plan = near._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "list" in plan
+
+
+def test_connected_components_brute_force_parity(spark):
+    # a chain (1-2-3), a triangle (10-11-12 pairwise), an isolated pair, and
+    # a 2-hop star — labels must equal the min id reachable, computed here
+    # by brute-force closure on the driver
+    edges = [
+        (2, 1), (2, 3),
+        (10, 11), (11, 12), (10, 12),
+        (40, 41),
+        (50, 51), (50, 52), (50, 53),
+    ]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        (r.doc_id, r.component)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    # brute force: union-find
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {(x, min(y for y in parent if find(y) == find(x))) for x in parent}
+    assert got == want
+    # every node assigned exactly once
+    assert len({d for d, _ in got}) == len(got)
+
+
+def test_drop_near_duplicates_keeps_one_per_cluster(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(docs, "text", threshold=0.5)
+    kept = dedup.drop_near_duplicates(docs, pairs)
+    comp = dedup.connected_components(pairs)
+    n_docs = docs.count()
+    n_paired = comp.count()
+    n_clusters = comp.select("component").distinct().count()
+    # unpaired docs all survive; each cluster contributes exactly one
+    assert kept.count() == n_docs - n_paired + n_clusters
+    # the survivor of each cluster is its canonical min doc_id
+    survivors = {r.doc_id for r in kept.join(
+        comp, "doc_id").select("doc_id").collect()}
+    canon = {r.component for r in comp.select("component").distinct().collect()}
+    assert survivors == canon
