@@ -639,7 +639,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             F.round("value", 6).alias("val"),
         )
-        return fld.unionByName(fn)
+        # cursor leg (r5i): page 2 fetched BY CURSOR from page 1's last
+        # (textlen, doc_id) — Solr's cursorMark under a field sort; must
+        # equal OFFSET 10 on the full order (the oracle's formulation)
+        p1 = search_sorted(
+            s, ix, Q_MAIN, "textlen", ascending=True, k=10
+        ).select("doc_id", "textlen").collect()
+        crs = search_sorted(
+            s, ix, Q_MAIN, "textlen", ascending=True, k=10,
+            cursor=(p1[-1]["textlen"], p1[-1]["doc_id"]),
+        ).select(
+            F.lit("cursor").alias("kind"),
+            "doc_id",
+            F.col("textlen").cast("double").alias("val"),
+        )
+        return fld.unionByName(fn).unionByName(crs)
 
     q["ft_sorted_query"] = _sorted
 
@@ -1670,6 +1684,12 @@ SELECT 'func' AS kind, doc_id, val FROM (
   ORDER BY 1000.0 / (1.0 * length(d.text) + 100.0) DESC, d.doc_id ASC
   LIMIT 10
 ) fn(doc_id, val)
+UNION ALL
+SELECT 'cursor' AS kind, doc_id, val FROM (
+  SELECT d.doc_id, length(d.text)::DOUBLE AS val
+  FROM documents d JOIN matched USING (doc_id)
+  ORDER BY length(d.text) ASC, d.doc_id ASC LIMIT 10 OFFSET 10
+) cr
 """
     # offset paging and cursor paging both equal OFFSET on the full ranking
     o["ft_deep_paging"] = f"""

@@ -310,6 +310,38 @@ def _parse_qf(qf: str) -> dict[str, float]:
     return out
 
 
+def encode_cursor_mark(cursor: tuple) -> str:
+    """Opaque cursorMark string from a (sort value, doc_id) cursor — Solr's
+    cursorMark is an opaque base64 totem of the sort values; ours is
+    base64(json) of the two-element cursor."""
+    import base64
+    import json
+
+    return base64.urlsafe_b64encode(
+        json.dumps(list(cursor)).encode()
+    ).decode()
+
+
+def decode_cursor_mark(mark: str) -> tuple:
+    import base64
+    import json
+
+    v, d = json.loads(base64.urlsafe_b64decode(mark.encode()).decode())
+    return (v, int(d))
+
+
+def next_cursor_mark(rows: list, sort_field: str | None = None) -> str | None:
+    """The response's ``nextCursorMark``, computed from a COLLECTED page
+    (exactly what Solr does with the page it returns).  ``None`` when the
+    page is empty — iteration is done.  ``sort_field=None`` means the
+    default score sort."""
+    if not rows:
+        return None
+    last = rows[-1]
+    key = float(last["score"]) if sort_field is None else last[sort_field]
+    return encode_cursor_mark((key, int(last["doc_id"])))
+
+
 _FQ_RANGE = re.compile(
     r"^(\w+):\[(\*|-?\d+(?:\.\d+)?) TO (\*|-?\d+(?:\.\d+)?)\]$"
 )
@@ -359,7 +391,7 @@ def select(
         "q", "q.op", "mm", "rows", "start", "fl", "fq", "defType", "qf",
         "tie", "bf", "boost", "bq", "sort", "facet", "facet.field", "hl",
         "hl.fl", "hl.simple.pre", "hl.simple.post", "group", "group.field",
-        "group.limit", "synonyms",
+        "group.limit", "synonyms", "cursorMark",
     }
     unknown = sorted(set(params) - known)
     if unknown:
@@ -406,6 +438,19 @@ def select(
             raise ValueError(f"unparseable fq {fq!r}")
     doc_filter = " AND ".join(doc_preds) if doc_preds else None
 
+    # ---- cursorMark (Solr deep-paging protocol: opaque mark, "*" = first
+    # page, start must be 0; the caller derives nextCursorMark from the
+    # collected page via next_cursor_mark) ----
+    mark = params.get("cursorMark")
+    cursor = None
+    if mark is not None:
+        if start:
+            raise ValueError(
+                "start must be 0 when cursorMark is used (Solr rule)"
+            )
+        if str(mark) != "*":
+            cursor = decode_cursor_mark(str(mark))
+
     # ---- main query routing ----
     sort = str(params.get("sort", "score desc")).strip()
     out: dict[str, DataFrame] = {}
@@ -413,6 +458,10 @@ def select(
         field_expr, _, direction = sort.rpartition(" ")
         asc = direction.lower() == "asc"
         if "(" in field_expr:
+            if mark is not None:
+                raise ValueError(
+                    "cursorMark with a function sort is not supported"
+                )
             results = sort_by_function(
                 spark, index, q, field_expr, ascending=asc, k=rows,
                 start=start, filters=filters or None, op=op,
@@ -422,8 +471,28 @@ def select(
             results = search_sorted(
                 spark, index, q, field_expr, ascending=asc, k=rows,
                 start=start, filters=filters or None, op=op,
-                doc_filter=doc_filter,
+                doc_filter=doc_filter, cursor=cursor,
             )
+    elif mark is not None:
+        # score-sorted cursor page.  search_after's kernel supports
+        # filters/synonyms/op but not mm/bf/edismax/doc_filter — refuse
+        # loudly rather than silently drop a constraint (Solr likewise
+        # restricts cursorMark to sorts with the uniqueKey tiebreak).
+        unsupported = [
+            p for p in ("mm", "bf", "boost", "bq", "qf") if p in params
+        ]
+        if unsupported or doc_filter:
+            raise ValueError(
+                "cursorMark on the score sort does not compose with "
+                f"{unsupported or ['numeric-range fq']!r}"
+            )
+        from cascading_solr_spark.query.search import search_after
+
+        results = search_after(
+            spark, index, q, cursor=cursor, k=rows,
+            filters=filters or None, synonyms=synonyms, op=op,
+            with_stored=True,
+        )
     elif any(k in params for k in ("bf", "boost", "bq")):
         results = search_boosted(
             spark, index, q,

@@ -3144,6 +3144,7 @@ def search_sorted(
     filters: dict[str, str] | None = None,
     op: str = "OR",
     doc_filter: str | None = None,
+    cursor: tuple | None = None,
 ) -> DataFrame:
     """Field-sorted retrieval — Solr's ``sort=<field> asc|desc`` (exercised
     by the reference config's own warming queries, solrconfig.xml:600-601
@@ -3159,12 +3160,25 @@ def search_sorted(
     TakeOrderedAndProject (k + start rows) — never a full sort of the
     table.  ``start`` pages like Solr's start param (deep paging wants a
     cursor, same caveat as Solr's cursorMark; start+k stays driver-bounded).
+
+    ``cursor`` = (sort_field value, doc_id) of the LAST row of the previous
+    page — Solr's cursorMark under an arbitrary sort (Solr requires the
+    uniqueKey tiebreak in the sort for exactly this reason).  Only rows
+    STRICTLY AFTER that point in the (field asc|desc, doc_id asc) total
+    order survive, so page N costs page-1 work: the cursor predicate is on
+    docs columns and Catalyst pushes it through the join to the docs scan.
+    Sort fields must be non-null for cursor paging (ours are by
+    construction; Solr's sortMissingLast would need null-aware bounds).
+    Mutually exclusive with ``start``, exactly like Solr.
     """
     if sort_field not in index.spec.stored_fields:
         raise ValueError(
             f"sort field {sort_field!r} is not stored "
             f"{index.spec.stored_fields!r}"
         )
+    if cursor is not None and start:
+        raise ValueError("cursor and start are mutually exclusive (Solr: "
+                         "start must be 0 when cursorMark is used)")
     matched = match_ids(
         spark, index, query, filters=filters, op=op, doc_filter=doc_filter
     )
@@ -3173,7 +3187,15 @@ def search_sorted(
         F.asc(sort_field) if ascending else F.desc(sort_field),
         F.asc("doc_id"),
     ]
-    out = docs.join(matched.hint("shuffle_hash"), "doc_id").orderBy(*order)
+    out = docs.join(matched.hint("shuffle_hash"), "doc_id")
+    if cursor is not None:
+        cv, cd = cursor
+        fcol = F.col(sort_field)
+        ahead = fcol > F.lit(cv) if ascending else fcol < F.lit(cv)
+        out = out.filter(
+            ahead | ((fcol == F.lit(cv)) & (F.col("doc_id") > F.lit(cd)))
+        )
+    out = out.orderBy(*order)
     if start:
         return out.offset(start).limit(k)
     return out.limit(k)

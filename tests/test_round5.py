@@ -513,3 +513,51 @@ def test_search_elevated_without_config_is_plain_search(spark, r5_index):
         (r["doc_id"], r["score"]) for r in plain
     ]
     assert all(not r["elevated"] for r in rows)
+
+
+# ------------------------------------------------- sorted cursor paging (r5i)
+
+
+def test_sorted_cursor_paging_equals_offset(spark, r5_index):
+    # Solr cursorMark under an arbitrary sort: walking pages by
+    # (sort value, doc_id) cursor reproduces the full field-sorted ranking
+    from cascading_solr_spark.query.search import search_sorted
+
+    full = search_sorted(
+        spark, r5_index, "parse buffer", "contentlen", ascending=True, k=40
+    ).select("doc_id", "contentlen").collect()
+    walked = []
+    cursor = None
+    while True:
+        page = search_sorted(
+            spark, r5_index, "parse buffer", "contentlen",
+            ascending=True, k=10, cursor=cursor,
+        ).select("doc_id", "contentlen").collect()
+        if not page:
+            break
+        walked.extend(page)
+        cursor = (page[-1]["contentlen"], page[-1]["doc_id"])
+        if len(walked) >= len(full):
+            break
+    assert [r["doc_id"] for r in walked[: len(full)]] == [
+        r["doc_id"] for r in full
+    ]
+
+
+def test_sorted_cursor_descending_and_start_conflict(spark, r5_index):
+    from cascading_solr_spark.query.search import search_sorted
+
+    full = search_sorted(
+        spark, r5_index, "parse buffer", "contentlen", ascending=False, k=20
+    ).collect()
+    p1 = full[:10]
+    p2 = search_sorted(
+        spark, r5_index, "parse buffer", "contentlen", ascending=False,
+        k=10, cursor=(p1[-1]["contentlen"], p1[-1]["doc_id"]),
+    ).collect()
+    assert [r["doc_id"] for r in p2] == [r["doc_id"] for r in full[10:20]]
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        search_sorted(
+            spark, r5_index, "parse buffer", "contentlen", k=10, start=10,
+            cursor=(0, 0),
+        )

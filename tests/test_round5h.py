@@ -254,3 +254,46 @@ def test_select_doc_filter_composes_not_drops(spark, ix):
         key=lambda x: (-x[1], x[0]),
     )[:50]
     assert ids == [d for d, _ in want]
+
+
+def test_select_cursor_mark_protocol(spark, ix):
+    """/select cursorMark: '*' first page, next_cursor_mark from the
+    collected page, pages tile the ranking exactly like offset paging —
+    on BOTH the score sort and a field sort; start>0 with cursorMark
+    raises (Solr rule)."""
+    from cascading_solr_spark.handlers import next_cursor_mark, select
+    from cascading_solr_spark.query.search import search as _search
+
+    q = "parse buffer"
+    full = [
+        r["doc_id"]
+        for r in _search(spark, ix, q, k=20, with_stored=False).collect()
+    ]
+    p1 = select(spark, ix, {"q": q, "cursorMark": "*", "rows": 10})[
+        "results"
+    ].collect()
+    mark = next_cursor_mark(p1)
+    p2 = select(spark, ix, {"q": q, "cursorMark": mark, "rows": 10})[
+        "results"
+    ].collect()
+    assert [r["doc_id"] for r in p1] + [r["doc_id"] for r in p2] == full
+
+    # field sort: cursor pages equal offset pages
+    sful = select(
+        spark, ix, {"q": q, "sort": "textlen asc", "rows": 20}
+    )["results"].collect()
+    s1 = select(
+        spark, ix, {"q": q, "sort": "textlen asc", "cursorMark": "*",
+                    "rows": 10}
+    )["results"].collect()
+    smark = next_cursor_mark(s1, "textlen")
+    s2 = select(
+        spark, ix, {"q": q, "sort": "textlen asc", "cursorMark": smark,
+                    "rows": 10}
+    )["results"].collect()
+    assert [r["doc_id"] for r in s1 + s2] == [r["doc_id"] for r in sful]
+
+    with pytest.raises(ValueError, match="start must be 0"):
+        select(spark, ix, {"q": q, "cursorMark": "*", "start": 5})
+    with pytest.raises(ValueError, match="does not compose"):
+        select(spark, ix, {"q": q, "cursorMark": "*", "mm": "2"})
