@@ -368,16 +368,35 @@ def select(
       boost params ``bf`` / ``boost`` / ``bq`` (function-query surface);
     * ``sort`` — ``score desc`` (default), ``<field> asc|desc``, or a
       function expression ``recip(textlen,1,1000,100) desc``;
-    * ``facet=true`` + ``facet.field`` (str or list);
+    * ``facet=true`` + ``facet.field`` (str or list; honors
+      ``facet.limit``/``facet.mincount``/``facet.sort``), ``facet.query``
+      (response key = the query string, Solr's default), ``facet.range``
+      with ``facet.range.start/end/gap/other`` and per-field
+      ``f.<field>.facet.range.*`` overrides (string start = DATE path,
+      gap as Solr date math ``+N(YEAR|MONTH)S``), ``facet.pivot`` (two
+      fields);
     * ``hl=true`` + ``hl.fl`` (comma list), ``hl.simple.pre/post``;
-    * ``group=true`` + ``group.field``/``group.limit``.
+    * ``group=true`` + ``group.field``/``group.limit``;
+    * ``spellcheck=true`` (+ ``spellcheck.maxCollations``/
+      ``maxCollationTries``; collations always verified, Solr's
+      collate-on behavior);
+    * ``stats=true`` + ``stats.field`` (+ ``stats.facet``);
+    * ``terms=true`` + ``terms.prefix/limit/regex/mincount``
+      (``terms.fl`` must be the analyzed content field);
+    * ``cursorMark`` ("*" or a mark from :func:`next_cursor_mark`).
 
-    Returns ``{"results": ..., "facet_fields"?: ..., "highlighting"?: ...,
-    "grouped"?: ...}`` of lazy DataFrames, like reading the named sections
-    of a Solr response.  Unknown parameters raise (a silent typo in ``qf``
-    must not degrade to default-field search)."""
+    Returns ``{"results": ..., "facet_fields"?: ..., "facet_queries"?:
+    ..., "range_<field>"?: ..., "facet_pivot"?: ..., "highlighting"?: ...,
+    "grouped"?: ..., "spellcheck"?: ..., "stats"?: ..., "terms"?: ...}``
+    of lazy DataFrames, like reading the named sections of a Solr
+    response.  Unknown parameters raise (a silent typo in ``qf`` must not
+    degrade to default-field search)."""
     from cascading_solr_spark.query.search import (
         facet_fields_counts,
+        facet_pivot_counts,
+        facet_query_counts,
+        facet_range_counts,
+        facet_range_counts_date,
         highlight_fields,
         search,
         search_boosted,
@@ -385,6 +404,9 @@ def select(
         search_grouped,
         search_sorted,
         sort_by_function,
+        spellcheck_collations,
+        stats_field,
+        terms_component,
     )
 
     known = {
@@ -392,8 +414,20 @@ def select(
         "tie", "bf", "boost", "bq", "sort", "facet", "facet.field", "hl",
         "hl.fl", "hl.simple.pre", "hl.simple.post", "group", "group.field",
         "group.limit", "synonyms", "cursorMark",
+        "facet.query", "facet.pivot", "facet.range", "facet.range.start",
+        "facet.range.end", "facet.range.gap", "facet.range.other",
+        "facet.limit", "facet.mincount", "facet.sort",
+        "spellcheck", "spellcheck.collate", "spellcheck.maxCollations",
+        "spellcheck.maxCollationTries",
+        "stats", "stats.field", "stats.facet",
+        "terms", "terms.fl", "terms.prefix", "terms.limit", "terms.regex",
+        "terms.mincount",
     }
-    unknown = sorted(set(params) - known)
+    # per-field facet.range overrides, Solr's f.<field>.facet.range.<p> form
+    _perfield = re.compile(r"^f\.[A-Za-z_][\w]*\.facet\.range\.(start|end|gap|other)$")
+    unknown = sorted(
+        p for p in set(params) - known if not _perfield.match(p)
+    )
     if unknown:
         raise ValueError(f"unsupported /select params: {unknown!r}")
 
@@ -519,8 +553,93 @@ def select(
     if _flag("facet") and params.get("facet.field"):
         ff = params["facet.field"]
         fields = [ff] if isinstance(ff, str) else list(ff)
+        limit = params.get("facet.limit")
         out["facet_fields"] = facet_fields_counts(
-            spark, index, q, fields, filters=filters or None, op=op
+            spark, index, q, fields, filters=filters or None, op=op,
+            limit=None if limit is None or int(limit) < 0 else int(limit),
+            mincount=int(params.get("facet.mincount", 0)),
+            sort=str(params.get("facet.sort", "count")),
+        )
+    if _flag("facet") and params.get("facet.query"):
+        fqq = params["facet.query"]
+        fqq = [fqq] if isinstance(fqq, str) else list(fqq)
+        # Solr's default response key for a facet.query IS the query string
+        out["facet_queries"] = facet_query_counts(
+            spark, index, q, {s: s for s in fqq},
+            filters=filters or None, op=op,
+        )
+    if _flag("facet") and params.get("facet.range"):
+        fr = params["facet.range"]
+        for fld in [fr] if isinstance(fr, str) else list(fr):
+            def _rp(name, default=None, fld=fld):
+                return params.get(
+                    f"f.{fld}.facet.range.{name}",
+                    params.get(f"facet.range.{name}", default),
+                )
+            rstart, rend, rgap = _rp("start"), _rp("end"), _rp("gap")
+            if rstart is None or rend is None or rgap is None:
+                raise ValueError(
+                    f"facet.range={fld!r} requires start/end/gap"
+                )
+            rother = str(_rp("other", "none")).lower() not in ("none", "")
+            if not str(rstart).lstrip("-").isdigit():
+                # DATE range: gap is Solr date math, +N(YEAR|MONTH)S
+                m = re.match(
+                    r"^\+(\d+)(YEAR|MONTH)S?$", str(rgap).upper()
+                )
+                if not m:
+                    raise ValueError(
+                        f"unsupported facet.range.gap {rgap!r} (date "
+                        "ranges take +N(YEAR|MONTH)S)"
+                    )
+                months = int(m.group(1)) * (
+                    12 if m.group(2) == "YEAR" else 1
+                )
+                out[f"range_{fld}"] = facet_range_counts_date(
+                    spark, index, q, fld, str(rstart), str(rend), months,
+                    filters=filters or None, op=op, other=rother,
+                )
+            else:
+                out[f"range_{fld}"] = facet_range_counts(
+                    spark, index, q, fld, int(rstart), int(rend),
+                    int(rgap), filters=filters or None, op=op,
+                    other=rother,
+                )
+    if _flag("facet") and params.get("facet.pivot"):
+        pf = [c.strip() for c in str(params["facet.pivot"]).split(",")]
+        if len(pf) != 2:
+            raise ValueError(
+                f"facet.pivot supports exactly two fields, got {pf!r}"
+            )
+        out["facet_pivot"] = facet_pivot_counts(
+            spark, index, q, (pf[0], pf[1]), filters=filters or None, op=op
+        )
+    if _flag("spellcheck"):
+        out["spellcheck"] = spellcheck_collations(
+            spark, index, q,
+            max_collations=int(params.get("spellcheck.maxCollations", 3)),
+            max_tries=int(params.get("spellcheck.maxCollationTries", 5)),
+            filters=filters or None, op=op,
+        )
+    if _flag("stats") and params.get("stats.field"):
+        out["stats"] = stats_field(
+            spark, index, q, str(params["stats.field"]),
+            filters=filters or None, op=op,
+            facet=params.get("stats.facet"),
+        )
+    if _flag("terms"):
+        tfl = str(params.get("terms.fl", "content"))
+        if tfl != "content":
+            raise ValueError(
+                f"terms.fl={tfl!r}: only the analyzed content dictionary "
+                "is term-indexed"
+            )
+        out["terms"] = terms_component(
+            spark, index,
+            prefix=str(params.get("terms.prefix", "")),
+            k=int(params.get("terms.limit", 10)),
+            min_df=int(params.get("terms.mincount", 1)),
+            regex=params.get("terms.regex"),
         )
     if _flag("hl") and params.get("hl.fl"):
         out["highlighting"] = highlight_fields(

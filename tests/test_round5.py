@@ -561,3 +561,27 @@ def test_sorted_cursor_descending_and_start_conflict(spark, r5_index):
             spark, r5_index, "parse buffer", "contentlen", k=10, start=10,
             cursor=(0, 0),
         )
+
+
+def test_select_routes_date_range_facet(spark, r5_index):
+    """/select facet.range with a string start routes to the DATE path,
+    parsing Solr date-math gaps (+3MONTHS); bad gaps raise."""
+    from cascading_solr_spark.handlers import select
+    from cascading_solr_spark.query.search import facet_range_counts_date
+
+    out = select(spark, r5_index, {
+        "q": "parse buffer", "facet": "true", "facet.range": "cdate",
+        "facet.range.start": "2020-03-01", "facet.range.end": "2022-03-01",
+        "facet.range.gap": "+3MONTHS", "facet.range.other": "all",
+    })
+    assert out["range_cdate"].collect() == facet_range_counts_date(
+        spark, r5_index, "parse buffer", "cdate",
+        "2020-03-01", "2022-03-01", 3, other=True,
+    ).collect()
+    import pytest as _pt
+    with _pt.raises(ValueError, match="date ranges take"):
+        select(spark, r5_index, {
+            "q": "parse buffer", "facet": "true", "facet.range": "cdate",
+            "facet.range.start": "2020-03-01",
+            "facet.range.end": "2022-03-01", "facet.range.gap": "+7DAYS",
+        })

@@ -297,3 +297,63 @@ def test_select_cursor_mark_protocol(spark, ix):
         select(spark, ix, {"q": q, "cursorMark": "*", "start": 5})
     with pytest.raises(ValueError, match="does not compose"):
         select(spark, ix, {"q": q, "cursorMark": "*", "mm": "2"})
+
+
+def test_select_full_component_stack(spark, ix):
+    """/select raw params route every component section to the same rows
+    as the direct component call: facet.query, numeric facet.range with a
+    per-field override, facet.pivot, spellcheck, stats(+facet), terms."""
+    from cascading_solr_spark.handlers import select
+    from cascading_solr_spark.query.search import (
+        facet_query_counts,
+        facet_range_counts,
+        spellcheck_collations,
+        stats_field,
+        terms_component,
+    )
+
+    q = "parse buffer"
+    out = select(spark, ix, {
+        "q": q, "rows": 5,
+        "facet": "true",
+        "facet.query": ["lang:go", "merge"],
+        "facet.range": "textlen",
+        "facet.range.start": 0, "facet.range.end": 4000,
+        "f.textlen.facet.range.gap": 1000,
+        "facet.range.other": "all",
+        "spellcheck": "true", "spellcheck.maxCollations": 2,
+        "stats": "true", "stats.field": "textlen", "stats.facet": "lang",
+        "terms": "true", "terms.prefix": "s", "terms.limit": 5,
+    })
+    assert set(out) == {
+        "results", "facet_queries", "range_textlen",
+        "spellcheck", "stats", "terms",
+    }
+    assert out["facet_queries"].collect() == facet_query_counts(
+        spark, ix, q, {"lang:go": "lang:go", "merge": "merge"}
+    ).collect()
+    assert out["range_textlen"].collect() == facet_range_counts(
+        spark, ix, q, "textlen", 0, 4000, 1000, other=True
+    ).collect()
+    # pivot needs two KEYWORD fields (this fixture has one) — assert the
+    # routing parses and the arity guard fires; full pivot parity is the
+    # oracle-checked ft_facet_pivot entry
+    with pytest.raises(ValueError, match="exactly two fields"):
+        select(spark, ix, {"q": q, "facet": "true",
+                           "facet.pivot": "lang,repo,path"})
+    assert out["spellcheck"].collect() == spellcheck_collations(
+        spark, ix, q, max_collations=2
+    ).collect()
+    assert out["stats"].collect() == stats_field(
+        spark, ix, q, "textlen", facet="lang"
+    ).collect()
+    assert out["terms"].collect() == terms_component(
+        spark, ix, prefix="s", k=5
+    ).collect()
+    # date-range gap parsing + guards
+    with pytest.raises(ValueError, match="requires start/end/gap"):
+        select(spark, ix, {"q": q, "facet": "true", "facet.range": "textlen"})
+    with pytest.raises(ValueError, match="unsupported /select params"):
+        select(spark, ix, {"q": q, "facet.rnage": "textlen"})
+    with pytest.raises(ValueError, match="terms.fl"):
+        select(spark, ix, {"q": q, "terms": "true", "terms.fl": "lang"})
