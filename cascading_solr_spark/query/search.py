@@ -104,6 +104,22 @@ def _scan_terms(index: Index, terms) -> list[str]:
     return out
 
 
+_EMPTY_IDS_CACHE: dict[int, tuple] = {}
+
+
+def _empty_ids(spark: SparkSession) -> DataFrame:
+    """Session-cached empty (doc_id long) frame.  createDataFrame costs a
+    ~35 ms py4j round trip, and the hot query paths built one eagerly per
+    call even when unused; the cache value pins the owning session (identity
+    compare, strong ref — no id-reuse hazard)."""
+    ent = _EMPTY_IDS_CACHE.get(id(spark))
+    if ent is not None and ent[0] is spark:
+        return ent[1]
+    df = spark.createDataFrame([], "doc_id long")
+    _EMPTY_IDS_CACHE[id(spark)] = (spark, df)
+    return df
+
+
 _QUOTED_RE = re.compile(r'^"([^"]*)"(?:~(\d+))?$')
 
 
@@ -1045,7 +1061,7 @@ def match_ids(
         frozenset(expand_multiterm(spark, index, tok)) for tok in wild_tokens
     ]
     live_groups = [g for g in groups if g]
-    empty = spark.createDataFrame([], "doc_id long")
+    empty = _empty_ids(spark)
     if not terms and not groups:
         return (
             keyword_filter(spark, index, fterms, excluded=eterms)
@@ -2051,7 +2067,7 @@ def phrase_match_ids(
         )
     terms = _phrase_terms(phrase)
     fterms = filter_terms_of(filters)
-    empty = spark.createDataFrame([], "doc_id long")
+    empty = _empty_ids(spark)
     if not terms:
         return keyword_filter(spark, index, fterms) if fterms else empty
     dfs = term_dfs(spark, index, list(dict.fromkeys(terms)))
@@ -3662,8 +3678,11 @@ def ngram_candidates(
     threshold = (len(q) + 1) - 2 * max_distance - ((len(q) + 1) - len(grams))
     if threshold < 1:
         return None
+    ngrams = index._cached_df(
+        spark, "ngrams", lambda: spark.read.parquet(index.ngrams_path)
+    )
     return (
-        spark.read.parquet(index.ngrams_path)
+        ngrams
         .filter(F.col("gram").isin(grams))
         .groupBy("term")
         .agg(F.count_distinct("gram").alias("_shared"))

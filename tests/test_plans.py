@@ -212,3 +212,24 @@ def test_facet_range_date_single_aggregate(spark, tmp_path):
     # exactly one aggregation pair (partial+final) over the bucket ids on
     # the docs side feeds the spine join
     assert plan.count("HashAggregate") <= 4
+
+
+def test_sorted_cursor_predicate_pushed_to_docs_scan(spark, index):
+    # sorted cursorMark: the strict-after predicate must reach the docs
+    # parquet scan (page-N cost = page-1 cost claim in search_sorted)
+    from cascading_solr_spark.query.search import search_sorted
+
+    plan = (
+        search_sorted(
+            spark, index, "parse buffer", "path", ascending=True, k=5,
+            cursor=("src/m", 10),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan
+    # the OR-of-(gt, eq&gt) cursor bound pushes at least the path >= floor
+    assert "GreaterThan(path" in plan or "Or(GreaterThan(path" in plan or (
+        "GreaterThanOrEqual(path" in plan
+    )
