@@ -510,13 +510,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # MoreLikeThis (solr.MoreLikeThisComponent, solrconfig.xml:1166, run on
     # /browse with mlt.count, :883-888): interesting terms of doc 0 by
     # tf·idf, OR-ranked similar docs, source excluded
+    # ... PLUS the per-result batched form (r5i): more_like_this_docs over
+    # docs {0, 1} in ONE search_many kernel pass (the /browse MLT section,
+    # mlt.count=3 per result) — kind-tagged 'stream' vs 'docs'
     def _mlt(s, d):
-        from cascading_solr_spark.query.search import more_like_this
+        from cascading_solr_spark.query.search import (
+            more_like_this,
+            more_like_this_docs,
+        )
 
+        ix = _index_for(s, d)
         src = _docs(s, d).filter(F.col("doc_id") == 0).collect()[0]["text"]
-        return more_like_this(
-            s, _index_for(s, d), src, k=10, max_terms=10, exclude_doc_id=0
-        ).select("doc_id", F.round("score", 4).alias("score"))
+        stream = more_like_this(
+            s, ix, src, k=10, max_terms=10, exclude_doc_id=0
+        ).select(
+            F.lit("stream").alias("kind"),
+            F.lit(-1).cast("long").alias("src"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+        docsleg = more_like_this_docs(s, ix, [0, 1], count=3).select(
+            F.lit("docs").alias("kind"),
+            "src",
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+        return stream.unionByName(docsleg)
 
     q["ft_mlt"] = _mlt
 
@@ -1414,10 +1433,36 @@ scores AS (
               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
   FROM tf JOIN mlt USING (term) JOIN dfreq d USING (term)
        JOIN dl USING (doc_id) CROSS JOIN stats s
-  GROUP BY 1)
-SELECT doc_id, round(score, 4) AS score
-FROM scores WHERE doc_id != 0
-ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+  GROUP BY 1),
+mltd AS (
+  SELECT src, term FROM (
+    SELECT t.doc_id AS src, t.term,
+           row_number() OVER (PARTITION BY t.doc_id
+             ORDER BY t.tf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) DESC,
+                      t.term ASC) AS rnk
+    FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
+    WHERE t.doc_id IN (0, 1)
+  ) WHERE rnk <= 10),
+dscores AS (
+  SELECT m.src, tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN mltd m USING (term) JOIN dfreq d USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY 1, 2),
+dtop AS (
+  SELECT src, doc_id, score,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM dscores WHERE doc_id != src)
+SELECT 'stream' AS kind, CAST(-1 AS BIGINT) AS src, doc_id,
+       round(score, 4) AS score
+FROM (SELECT doc_id, score FROM scores WHERE doc_id != 0
+      ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10) st
+UNION ALL
+SELECT 'docs' AS kind, src, doc_id, round(score, 4) AS score
+FROM dtop WHERE rnk <= 3
 """
     # positions via case-insensitive regexp over the ORIGINAL text (length
     # of the lazy prefix group + 1) — matching the engine's regexp_instr

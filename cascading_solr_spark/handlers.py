@@ -188,6 +188,8 @@ def browse(
     spellcheck: bool = True,
     max_collations: int = 3,
     max_collation_tries: int = 5,
+    mlt: bool = False,
+    mlt_count: int = 3,
 ) -> dict[str, DataFrame]:
     """The /browse request handler composed — ONE call serving the
     reference's actual default request (solrconfig.xml:862-945): eDisMax
@@ -293,6 +295,19 @@ def browse(
         out["spellcheck"] = spellcheck_collations(
             spark, index, q_eff, max_collations=max_collations,
             max_tries=max_collation_tries, filters=filters, op=op_eff,
+        )
+    if mlt:
+        # the /browse MLT section (mlt.count=3 per result doc,
+        # solrconfig.xml:883-888).  Needs the page's doc ids, so this one
+        # section collects the results page (bounded by ``rows``) — the
+        # similar-doc queries themselves run as ONE batched kernel pass
+        from cascading_solr_spark.query.search import more_like_this_docs
+
+        page_ids = [
+            r["doc_id"] for r in results.select("doc_id").collect()
+        ]
+        out["mlt"] = more_like_this_docs(
+            spark, index, page_ids, count=mlt_count
         )
     return out
 

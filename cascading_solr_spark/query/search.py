@@ -2322,8 +2322,11 @@ def realtime_get(
 
     The docs table is append-on-write (indexing/append.py writes the batch
     docs rows before meta publishes), so freshly appended documents are
-    visible here immediately — the engine's natural equivalent of Solr's
-    updateLog-backed realtime get.  The fetch is partition-pruned to the
+    visible here immediately through the handle ``append_documents``
+    returns — the engine's natural equivalent of Solr's updateLog-backed
+    realtime get.  (Handles are snapshots: a handle created BEFORE the
+    append keeps serving its own file listing — reload or use the returned
+    handle to see the delta.)  The fetch is partition-pruned to the
     ids' shards + doc_id row groups (a |ids|-row read at any index size),
     ordered by doc_id."""
     ids = sorted({int(i) for i in ids})
@@ -4032,6 +4035,81 @@ def more_like_this(
             .limit(k)
         )
     return top
+
+
+def more_like_this_docs(
+    spark: SparkSession,
+    index: Index,
+    doc_ids: list[int],
+    count: int = 3,
+    max_terms: int = 10,
+) -> DataFrame:
+    """Per-result MoreLikeThis — the MLT section the reference's /browse
+    handler attaches to EVERY response (``mlt.count=3`` over the request's
+    result docs, solrconfig.xml:883-888; the component itself registered at
+    :1166).  For each source doc id, the top ``count`` similar docs.
+
+    BATCHED, not per-doc: ONE partition-pruned stored fetch
+    (:func:`realtime_get`) brings the sources' text to the driver (bounded:
+    |doc_ids| = the page size), interesting terms are selected per source
+    against the driver dict cache with the SAME tf·idf rule as
+    :func:`more_like_this`, and all sources then run as ONE
+    :func:`search_many` batch (one postings scan filtered to the union of
+    every source's terms, per-query MaxScore in the shard kernel) — |page|
+    similar-doc queries for one distributed pass instead of |page|
+    sequential ranked jobs.  Self-matches are dropped rank-side (overfetch
+    ``count``+1, per-source window re-rank).
+
+    Requires the content field stored (Solr's MLT likewise needs stored
+    fields or term vectors).  Returns (src, doc_id, score, rank) ordered
+    (src asc, rank asc); sources with no interesting terms (empty text)
+    contribute no rows, like Solr's empty MLT list."""
+    import math
+    from collections import Counter
+
+    from cascading_solr_spark.analyzer import tokenize
+
+    content = index.spec.content_field
+    if content not in index.spec.stored_fields:
+        raise ValueError(
+            f"MoreLikeThis needs the content field {content!r} stored "
+            f"(stored_fields={index.spec.stored_fields!r})"
+        )
+    srcs = realtime_get(spark, index, doc_ids).select(
+        "doc_id", content
+    ).collect()
+    per_src = {int(r["doc_id"]): Counter(tokenize(r[content] or "")) for r in srcs}
+    vocab = sorted({t for c in per_src.values() for t in c})
+    dfs = term_dfs(spark, index, vocab) if vocab else {}
+    n = index.n_docs
+    queries: dict[str, str] = {}
+    for src, counts in per_src.items():
+        ranked = sorted(
+            (
+                (-counts[t] * math.log(1.0 + (n - df + 0.5) / (df + 0.5)), t)
+                for t, df in ((t, dfs.get(t, 0)) for t in counts)
+                if df > 0
+            ),
+        )
+        terms = [t for _, t in ranked[:max_terms]]
+        if terms:
+            queries[str(src)] = " ".join(terms)
+    if not queries:
+        return spark.createDataFrame(
+            [], "src long, doc_id long, score double, rank int"
+        )
+    res = search_many(spark, index, queries, k=count + 1)
+    src_col = F.col("query_id").cast("long").alias("src")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        res.filter(F.col("doc_id") != F.col("query_id").cast("long"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= count)
+        .select(src_col, "doc_id", "score", "rank")
+        .orderBy("src", "rank")
+    )
 
 
 def batch_kernel(

@@ -357,3 +357,45 @@ def test_select_full_component_stack(spark, ix):
         select(spark, ix, {"q": q, "facet.rnage": "textlen"})
     with pytest.raises(ValueError, match="terms.fl"):
         select(spark, ix, {"q": q, "terms": "true", "terms.fl": "lang"})
+
+
+def test_mlt_docs_batch_matches_per_doc(spark, ix):
+    """more_like_this_docs (ONE batched kernel pass for the whole page) is
+    rank-identical per source to the per-doc content-stream MLT with
+    self-exclusion; browse(mlt=True) attaches the same section."""
+    from cascading_solr_spark.handlers import browse
+    from cascading_solr_spark.query.search import (
+        more_like_this,
+        more_like_this_docs,
+        search,
+    )
+
+    page = search(spark, ix, "parse buffer", k=4).collect()
+    ids = [r["doc_id"] for r in page]
+    texts = {r["doc_id"]: r["content"] for r in page}
+    batched = more_like_this_docs(spark, ix, ids, count=3).collect()
+    for src in ids:
+        want = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in more_like_this(
+                spark, ix, texts[src], k=3, exclude_doc_id=src
+            ).collect()
+        ]
+        got = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in batched
+            if r["src"] == src
+        ]
+        assert got == want, f"src {src}"
+    via_browse = browse(
+        spark, ix, "parse buffer", rows=4, mlt=True, spellcheck=False
+    )["mlt"].collect()
+    assert [tuple(r) for r in via_browse] == [tuple(r) for r in batched]
+    # content must be stored
+    import pytest as _pt
+    from cascading_solr_spark.indexing.build import Index as _Ix
+    import dataclasses
+    bad = dataclasses.replace(ix, spec=dataclasses.replace(
+        ix.spec, stored_fields=("repo", "lang")))
+    with _pt.raises(ValueError, match="stored"):
+        more_like_this_docs(spark, bad, ids)
