@@ -491,9 +491,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce(F.col("value"), F.lit("__missing__")).alias("facet"),
             "n",
         )
+        # r5i: facet.offset — page 2 of the lang buckets (offset=2 limit=2
+        # into the count-desc/value-asc order; Solr's facet paging params)
+        off = facet_fields_counts(
+            s, ix, Q_MAIN, ["lang"], limit=2, offset=2
+        ).select(
+            F.lit("offset2").alias("kind"),
+            F.col("value").alias("facet"),
+            "n",
+        )
         return (
             field.unionByName(fq).unionByName(browse).unionByName(multi)
-            .unionByName(pm)
+            .unionByName(pm).unionByName(off)
         )
 
     q["ft_facet_counts"] = _facets
@@ -1402,6 +1411,12 @@ SELECT 'prefix_e' AS kind, '__missing__' AS facet,
        (SELECT count(*) FROM matched m
         LEFT JOIN documents dd USING (doc_id)
         WHERE dd.lang IS NULL)::BIGINT AS n
+UNION ALL
+SELECT 'offset2' AS kind, facet, n FROM (
+  SELECT d.lang AS facet, count(*)::BIGINT AS n,
+         row_number() OVER (ORDER BY count(*) DESC, d.lang ASC) AS rk
+  FROM documents d JOIN matched USING (doc_id) GROUP BY d.lang
+) WHERE rk > 2 AND rk <= 4
 """
     o["ft_spellcheck"] = f"""
 WITH {_toks_cte()},

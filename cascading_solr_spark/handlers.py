@@ -431,7 +431,7 @@ def select(
         "group.limit", "synonyms", "cursorMark",
         "facet.query", "facet.pivot", "facet.range", "facet.range.start",
         "facet.range.end", "facet.range.gap", "facet.range.other",
-        "facet.limit", "facet.mincount", "facet.sort",
+        "facet.limit", "facet.mincount", "facet.sort", "facet.offset",
         "spellcheck", "spellcheck.collate", "spellcheck.maxCollations",
         "spellcheck.maxCollationTries",
         "stats", "stats.field", "stats.facet",
@@ -574,6 +574,7 @@ def select(
             limit=None if limit is None or int(limit) < 0 else int(limit),
             mincount=int(params.get("facet.mincount", 0)),
             sort=str(params.get("facet.sort", "count")),
+            offset=int(params.get("facet.offset", 0)),
         )
     if _flag("facet") and params.get("facet.query"):
         fqq = params["facet.query"]

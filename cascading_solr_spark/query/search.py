@@ -2613,6 +2613,7 @@ def facet_fields_counts(
     limit: int | None = None,
     mincount: int = 0,
     sort: str = "count",
+    offset: int = 0,
 ) -> DataFrame:
     """All of a request's ``facet.field``s in one pass — the /browse
     defaults declare FOUR (``cat``, ``manu_exact``, ``content_type``,
@@ -2627,7 +2628,9 @@ def facet_fields_counts(
     Returns (field, value, n) long rows.  ``limit``/``mincount``/``sort``
     apply PER FIELD (Solr's f.<field>.facet.* scoping with one shared
     default): limit via a per-field rank window over the already-aggregated
-    buckets (bounded by bucket cardinality, not doc count); ordering field
+    buckets (bounded by bucket cardinality, not doc count); ``offset``
+    (Solr facet.offset) pages INTO each field's bucket list — the same
+    rank window, kept rows offset < rank <= offset+limit; ordering field
     asc, then count desc / value asc ("count") or value asc ("index")."""
     fields = list(facet_fields)
     bad = [f for f in fields if f not in index.spec.keyword_fields]
@@ -2685,11 +2688,16 @@ def facet_fields_counts(
         order = [F.asc("value")]
     else:
         order = [F.desc("n"), F.asc("value")]
-    if limit is not None:
+    if limit is not None or offset:
         w = Window.partitionBy("field").orderBy(*order)
+        hi = (int(offset) + int(limit)) if limit is not None else None
+        rk = F.col("_rk")
+        keep = rk > int(offset)
+        if hi is not None:
+            keep = keep & (rk <= hi)
         out = (
             out.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= int(limit))
+            .filter(keep)
             .drop("_rk")
         )
     return out.orderBy(F.asc("field"), *order)

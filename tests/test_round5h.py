@@ -399,3 +399,26 @@ def test_mlt_docs_batch_matches_per_doc(spark, ix):
         ix.spec, stored_fields=("repo", "lang")))
     with _pt.raises(ValueError, match="stored"):
         more_like_this_docs(spark, bad, ids)
+
+
+def test_facet_offset_pages_buckets(spark, ix):
+    """facet.offset pages into each field's bucket order: offset+limit
+    windows tile the unpaged bucket list; /select routes the param."""
+    from cascading_solr_spark.handlers import select
+    from cascading_solr_spark.query.search import facet_fields_counts
+
+    q = "parse buffer"
+    full = facet_fields_counts(spark, ix, q, ["lang"]).collect()
+    p1 = facet_fields_counts(spark, ix, q, ["lang"], limit=2).collect()
+    p2 = facet_fields_counts(
+        spark, ix, q, ["lang"], limit=2, offset=2
+    ).collect()
+    assert [tuple(r) for r in p1 + p2] == [tuple(r) for r in full[:4]]
+    # offset without limit: drop the first N buckets, keep the tail
+    tail = facet_fields_counts(spark, ix, q, ["lang"], offset=2).collect()
+    assert [tuple(r) for r in tail] == [tuple(r) for r in full[2:]]
+    via = select(spark, ix, {
+        "q": q, "facet": "true", "facet.field": "lang",
+        "facet.limit": 2, "facet.offset": 2,
+    })["facet_fields"].collect()
+    assert [tuple(r) for r in via] == [tuple(r) for r in p2]
