@@ -773,7 +773,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rx = terms_component(s, ix, regex="s.*t", k=10).select(
             F.lit("regex").alias("kind"), "term", "df"
         )
-        return t.unionByName(lk).unionByName(rx)
+        # r5i: terms.lower/terms.upper range bounds (lower incl, upper
+        # excl — the Solr defaults)
+        rng = terms_component(s, ix, lower="so", upper="sz", k=10).select(
+            F.lit("range").alias("kind"), "term", "df"
+        )
+        return t.unionByName(lk).unionByName(rx).unionByName(rng)
 
     q["ft_terms"] = _terms
 
@@ -1063,7 +1068,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             F.round("score", 4).alias("score"),
         )
-        return fld.unionByName(gq)
+        # r5i: group.ngroups=true — the TOTAL distinct matching groups
+        # (response-header figure), one count-distinct broadcast onto rows
+        ng = search_grouped(
+            s, ix, Q_MAIN, "lang", group_limit=1, k_groups=1,
+            with_ngroups=True,
+        ).select(
+            F.lit("ngroups").alias("kind"),
+            F.lit("*").alias("group"),
+            F.col("ngroups").alias("group_hits"),
+            F.lit(0).cast("long").alias("group_rank"),
+            F.lit(-1).cast("long").alias("doc_id"),
+            F.lit(0.0).alias("score"),
+        ).limit(1)
+        return fld.unionByName(gq).unionByName(ng)
 
     q["ft_grouped"] = _grouped
 
@@ -1832,6 +1850,11 @@ SELECT 'regex' AS kind, term, df FROM (
   SELECT term, df FROM vocab
   WHERE regexp_matches(term, '^(?:s.*t)$')
   ORDER BY df DESC, term ASC LIMIT 10)
+UNION ALL
+SELECT 'range' AS kind, term, df FROM (
+  SELECT term, df FROM vocab
+  WHERE term >= 'so' AND term < 'sz'
+  ORDER BY df DESC, term ASC LIMIT 10)
 """
     o["ft_synonym"] = _bm25_sql(("join", "merge"), 10)
     # both conjunctive paths (naive scan / index-side postings intersection)
@@ -2040,6 +2063,11 @@ SELECT 'gq' AS kind, gname AS "group",
        group_hits::BIGINT AS group_hits,
        group_rank::BIGINT AS group_rank, doc_id, score
 FROM gr WHERE group_rank <= 3
+UNION ALL
+SELECT 'ngroups' AS kind, '*' AS "group",
+       (SELECT count(DISTINCT lang) FROM j)::BIGINT AS group_hits,
+       CAST(0 AS BIGINT) AS group_rank, CAST(-1 AS BIGINT) AS doc_id,
+       0.0 AS score
 """
     # minimum-should-match: >= 3 of the 4 OR terms (eDisMax mm)
     mm_terms = ", ".join(f"'{t}'" for t in Q_MULTI.split())

@@ -3237,6 +3237,7 @@ def search_grouped(
     k_groups: int | None = 10,
     filters: dict[str, str] | None = None,
     op: str = "OR",
+    with_ngroups: bool = False,
 ) -> DataFrame:
     """Result grouping / field collapse — Solr's
     ``group=true&group.field=F&group.limit=N`` (the grouping component the
@@ -3258,7 +3259,11 @@ def search_grouped(
     (doc_id, score, group) triples, never text.
 
     Returns (group value, group_hits, group_rank, doc_id, score), ordered
-    (head score desc, head doc asc, group_rank asc)."""
+    (head score desc, head doc asc, group_rank asc).  ``with_ngroups``
+    (Solr's ``group.ngroups=true`` response figure) adds a constant
+    ``ngroups`` column — the TOTAL distinct matching groups before the
+    ``k_groups`` cut, computed as one count-distinct agg broadcast onto the
+    rows (no extra action; the same joined subtree feeds both sides)."""
     scored = search(
         spark, index, query, k=None, with_stored=False, filters=filters,
         op=op,
@@ -3310,9 +3315,15 @@ def search_grouped(
         ranked = ranked.withColumn("_g", grank).filter(
             F.col("_g") <= int(k_groups)
         ).drop("_g")
-    return ranked.orderBy(
+    out = ranked.orderBy(
         F.desc("_hs"), F.asc("_hd"), F.asc("group_rank")
     ).drop("_hs", "_hd")
+    if with_ngroups:
+        ng = joined.agg(
+            F.count_distinct(group_field).cast("long").alias("ngroups")
+        )
+        out = out.crossJoin(F.broadcast(ng))
+    return out
 
 
 def search_grouped_queries(
@@ -3379,6 +3390,10 @@ def terms_component(
     k: int = 10,
     min_df: int = 1,
     regex: str | None = None,
+    lower: str | None = None,
+    upper: str | None = None,
+    lower_incl: bool = True,
+    upper_incl: bool = False,
 ) -> DataFrame:
     """Vocabulary browse — the solr.TermsComponent analogue (registered in
     the reference config with its /terms handler, solrconfig.xml:1458-1466):
@@ -3390,7 +3405,11 @@ def terms_component(
     only ``k`` rows reach the driver.  ``regex`` is Solr's ``terms.regex``
     (full anchored match, Java's Matcher.matches rule) — like Solr's own
     TermsEnum walk it cannot prune the dict scan, so combine it with
-    ``prefix`` when the pattern has a literal head."""
+    ``prefix`` when the pattern has a literal head.  ``lower``/``upper``
+    are Solr's ``terms.lower``/``terms.upper`` range bounds
+    (``terms.lower.incl`` defaults true, ``terms.upper.incl`` false) —
+    range predicates on the term-sorted files prune at the scan like the
+    prefix does."""
     d = index.term_dict(spark)
     if d is None:
         return spark.createDataFrame([], "term string, df long")
@@ -3401,6 +3420,12 @@ def terms_component(
         # rlike is unanchored (Java find()); terms.regex matches the WHOLE
         # term, so anchor both ends
         out = out.filter(F.col("term").rlike(f"^(?:{regex})$"))
+    if lower is not None:
+        c = F.col("term") >= lower if lower_incl else F.col("term") > lower
+        out = out.filter(c)
+    if upper is not None:
+        c = F.col("term") <= upper if upper_incl else F.col("term") < upper
+        out = out.filter(c)
     if min_df > 1:
         out = out.filter(F.col("df") >= min_df)
     return (

@@ -84,7 +84,7 @@ def test_terms_regex_anchored(spark, ix):
     got = [r["term"] for r in terms_component(spark, ix, regex="pars.", k=50).collect()]
     d = {
         r["term"]: r["df"]
-        for r in terms_component(spark, ix, prefix="pars", k=10_000).collect()
+        for r in terms_component(spark, ix, prefix="pars", k=1_000_000).collect()
     }
     want = [t for t in d if re.fullmatch("pars.", t)]
     assert sorted(got) == sorted(want)
@@ -422,3 +422,34 @@ def test_facet_offset_pages_buckets(spark, ix):
         "facet.limit": 2, "facet.offset": 2,
     })["facet_fields"].collect()
     assert [tuple(r) for r in via] == [tuple(r) for r in p2]
+
+
+def test_terms_bounds_and_group_ngroups(spark, ix):
+    """terms.lower/upper bound the vocabulary walk (lower incl, upper
+    excl — Solr defaults); group.ngroups reports the total distinct
+    matching groups regardless of the k_groups cut."""
+    from cascading_solr_spark.query.search import (
+        search_grouped,
+        terms_component,
+    )
+
+    allt = {r["term"] for r in terms_component(spark, ix, k=1_000_000).collect()}
+    rng = {r["term"] for r in terms_component(
+        spark, ix, lower="m", upper="q", k=1_000_000).collect()}
+    assert rng == {t for t in allt if "m" <= t < "q"} and rng
+    inc = {r["term"] for r in terms_component(
+        spark, ix, lower="m", upper="q", lower_incl=False, upper_incl=True,
+        k=1_000_000).collect()}
+    assert inc == {t for t in allt if "m" < t <= "q"}
+
+    got = search_grouped(
+        spark, ix, "parse buffer", "lang", group_limit=1, k_groups=2,
+        with_ngroups=True,
+    ).collect()
+    truth = (
+        search_grouped(spark, ix, "parse buffer", "lang", group_limit=1,
+                       k_groups=None)
+        .select("group").distinct().count()
+    )
+    assert got and all(r["ngroups"] == truth for r in got)
+    assert len({r["group"] for r in got}) == 2  # the cut still applies
