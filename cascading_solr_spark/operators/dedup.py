@@ -75,7 +75,11 @@ def word_shingles(col, n: int = 3):
 
 
 def _shingled(docs: DataFrame, text_col: str, n: int) -> DataFrame:
-    return docs.select(
+    from cascading_solr_spark.operators.textstats import spread_partitions
+
+    # tokenize+shingle is the expensive map work — never leave it pinned to
+    # a low-partition source scan (r6, guide §2.5)
+    return spread_partitions(docs).select(
         "doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
     )
 
@@ -132,12 +136,14 @@ def shingle_ids(shingled: DataFrame, id_mode: str = "dense") -> DataFrame:
                 "shingle_id"
             ),
         )
-    from cascading_solr_spark.indexing.build import assign_doc_ids
+    from cascading_solr_spark.indexing.build import _rank_ids
 
+    # the vocabulary is already a distinct keys-only frame, so the sort-rank
+    # ids ARE the result — assign_doc_ids' join-back of ids onto the input
+    # would be a redundant full shuffle of the vocabulary (r6: dropped)
     vocab = shingled.select("shingle").distinct()
-    return assign_doc_ids(vocab, ("shingle",)).select(
-        "shingle", (F.col("doc_id") + 1).alias("shingle_id")
-    )
+    ids, _ = _rank_ids(vocab, ("shingle",), check_unique=False)
+    return ids.select("shingle", (F.col("doc_id") + 1).alias("shingle_id"))
 
 
 def minhash_signatures(
@@ -151,32 +157,39 @@ def minhash_signatures(
 
     h_j(x) = ((2j+1)*x + 13j + 7) mod (2^31-1) over shingle ids —
     explicit arithmetic, reproducible in any SQL engine (dense id_mode)."""
-    return _signatures_from_shingled(
+    mins = _minhash_min_cols(
         _shingled(docs, text_col, n), num_hashes, id_mode
     )
+    # unpivot the per-doc min columns into the (doc_id, h, minhash) long
+    # layout — num_hashes rows per doc over the ALREADY-aggregated frame
+    stack = ", ".join(f"{j}, _m{j}" for j in range(num_hashes))
+    return mins.selectExpr(
+        "doc_id", f"stack({num_hashes}, {stack}) AS (h, minhash)"
+    )
 
 
-def _signatures_from_shingled(
+def _minhash_min_cols(
     s: DataFrame, num_hashes: int = 16, id_mode: str = "dense"
 ) -> DataFrame:
-    ids = s.join(shingle_ids(s, id_mode), "shingle").select("doc_id", "shingle_id")
-    hashes = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda j: F.struct(
-                j.alias("h"),
-                (
-                    ((2 * j + 1) * F.col("shingle_id") + 13 * j + 7)
-                    % MINHASH_PRIME
-                ).alias("hv"),
-            ),
-        )
+    """(doc_id, _m0.._m{k-1}): per-doc minima of the k universal hashes.
+
+    One aggregation with map-side partial min over the (doc, shingle_id)
+    rows — the hash family is evaluated as k sum-free expressions per row
+    instead of exploding k rows per shingle into a wide shuffle (r6: the
+    explode shape shuffled num_hashes x |shingles| rows; this shuffles one
+    partially-aggregated row per doc).  Integer arithmetic is unchanged, so
+    minima are identical value-for-value."""
+    ids = s.join(shingle_ids(s, id_mode), "shingle").select(
+        "doc_id", "shingle_id"
     )
-    return (
-        ids.select("doc_id", hashes.alias("x"))
-        .select("doc_id", F.col("x.h").alias("h"), F.col("x.hv").alias("hv"))
-        .groupBy("doc_id", "h")
-        .agg(F.min("hv").alias("minhash"))
+    return ids.groupBy("doc_id").agg(
+        *[
+            F.min(
+                ((2 * j + 1) * F.col("shingle_id") + 13 * j + 7)
+                % MINHASH_PRIME
+            ).alias(f"_m{j}")
+            for j in range(num_hashes)
+        ]
     )
 
 
@@ -194,25 +207,43 @@ def minhash_lsh_pairs(
     pass id_mode='hash' to skip the dense-id vocabulary sort at scale."""
     # shingle once: signatures, candidate generation, and exact verification
     # all reuse the materialized shingle set (re-deriving it 4x dominated the
-    # runtime otherwise)
+    # runtime otherwise).  The per-doc min columns are persisted and
+    # materialized eagerly too (one row per doc, 16 longs): the band
+    # self-join references them on BOTH sides, and the eager count populates
+    # the shingle cache serially — lazy persists race their own population
+    # when AQE materializes the join's broadcast stages concurrently (r6).
     shingled = _shingled(docs, text_col, n).persist()
-    sigs = _signatures_from_shingled(shingled, num_hashes, id_mode)
-    bands = (
-        sigs.withColumn("band", F.floor(F.col("h") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ":",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("h", "minhash"))),
-                    lambda s: F.concat_ws(
-                        "=",
-                        s["h"].cast("string"),
-                        s["minhash"].cast("string"),
-                    ),
-                ),
-            ).alias("bucket_key")
+    mins = _minhash_min_cols(shingled, num_hashes, id_mode).persist()
+    mins.count()
+    # band bucket keys straight off the per-doc min columns: band j's key is
+    # "h=min:h=min:..." over its hashes in ascending h — exactly the string
+    # the old sort_array(collect_list(...)) aggregation produced, without a
+    # second shuffle (r6).  The tiny per-doc explode emits one row per band.
+    n_bands = -(-num_hashes // band_size)
+    band_structs = []
+    for band in range(n_bands):
+        hs = range(band * band_size, min((band + 1) * band_size, num_hashes))
+        key = F.concat_ws(
+            ":",
+            *[
+                F.concat_ws(
+                    "=", F.lit(str(h)), F.col(f"_m{h}").cast("string")
+                )
+                for h in hs
+            ],
         )
+        band_structs.append(
+            F.struct(
+                F.lit(band).cast("int").alias("band"),
+                key.alias("bucket_key"),
+            )
+        )
+    bands = mins.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("x")
+    ).select(
+        "doc_id",
+        F.col("x.band").alias("band"),
+        F.col("x.bucket_key").alias("bucket_key"),
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -278,7 +309,9 @@ def simhash(
       [1, 2^31-1), computed INLINE — no vocabulary job at all, the 100 TB
       path.  Identical docs get identical signatures under either mode
       (verified on the clone fixture in tests/test_dedup_similarity.py)."""
-    toks = docs.select(
+    from cascading_solr_spark.operators.textstats import spread_partitions
+
+    toks = spread_partitions(docs).select(
         "doc_id", F.explode(F.array_distinct(simple_tokens(text_col))).alias("term")
     )
     if id_mode == "hash":
@@ -289,35 +322,35 @@ def simhash(
             ),
         )
     else:
-        from cascading_solr_spark.indexing.build import assign_doc_ids
+        from cascading_solr_spark.indexing.build import _rank_ids
 
-        vocab = assign_doc_ids(toks.select("term").distinct(), ("term",)).select(
+        # keys-only distinct vocabulary: the sort-rank ids ARE the mapping —
+        # no assign_doc_ids join-back of ids onto the vocabulary (r6)
+        vocab_ids, _ = _rank_ids(
+            toks.select("term").distinct(), ("term",), check_unique=False
+        )
+        vocab = vocab_ids.select(
             "term", (F.col("doc_id") + 1).alias("term_id")
         )
         ids = toks.join(vocab, "term").select("doc_id", "term_id")
-    contribs = ids.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda j: F.struct(
-                    j.alias("bit"),
-                    ((F.col("term_id") * (2 * j + 17)) % 97 - 48).alias("w"),
-                ),
-            )
-        ).alias("x"),
-    ).select("doc_id", F.col("x.bit").alias("bit"), F.col("x.w").alias("w"))
-    bitvals = (
-        contribs.groupBy("doc_id", "bit")
-        .agg(F.sum("w").alias("s"))
-        .withColumn(
-            "bitval",
-            F.when(
-                F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")
-            ).otherwise(F.lit(0).cast("long")),
-        )
+    # one aggregation with ``bits`` per-bit weight sums instead of exploding
+    # ``bits`` rows per (doc, term) into a wide shuffle (r6: the explode
+    # shape shuffled bits x |doc-terms| rows; map-side partial aggregation
+    # now collapses to one row per doc before the exchange).  The weight
+    # arithmetic and the per-bit integer sums are unchanged, so signatures
+    # are identical bit-for-bit.
+    sums = ids.groupBy("doc_id").agg(
+        *[
+            F.sum((F.col("term_id") * (2 * j + 17)) % 97 - 48).alias(f"_s{j}")
+            for j in range(bits)
+        ]
     )
-    return bitvals.groupBy("doc_id").agg(F.sum("bitval").alias("simhash"))
+    sig: F.Column = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig + F.when(
+            F.col(f"_s{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -334,6 +367,23 @@ def simhash_near_pairs(
     results to the quadratic all-pairs formulation (the oracle).
     ``id_mode='hash'`` skips the signature stage's vocabulary sort (see
     :func:`simhash`)."""
+    # r6 execution shape — candidates and cross-band dedup at the DISTINCT-
+    # SIGNATURE level.  Near-duplicate corpora collapse many docs onto few
+    # signatures (the r5 sf1.0 profile: 50k docs -> 3.9-7.5k distinct sigs,
+    # and 150M+ result pairs), so the former doc-level band self-join paid
+    # Σ cnt² joined rows, a mega-skewed merge task (one band value held 239M
+    # candidate pairs — guide §2.5), and a 150M-row .distinct() shuffle.
+    # Here the band join, the hamming verify, and the multi-band dedup all
+    # run over signature GROUPS (one row per distinct signature, doc ids
+    # collected sorted), and doc pairs are expanded AFTER — round-robin
+    # spread, no final distinct needed:
+    #   * two docs with the SAME signature pair exactly once in `same`;
+    #   * two docs with different signatures pair exactly once via their
+    #     (sig_a < sig_b) class, deduplicated across bands on the tiny
+    #     sig-pair set.
+    # Pure integer arithmetic throughout — the pair set and hamming values
+    # are identical to the join formulation (quadratic-parity pytest + the
+    # DuckDB oracle pin this).
     s = simhash(docs, text_col, bits, id_mode=id_mode)
     n_bands = max_hamming + 1
     widths = [bits // n_bands + (1 if j < bits % n_bands else 0)
@@ -342,6 +392,16 @@ def simhash_near_pairs(
     for w_ in widths:
         shifts.append(acc)
         acc += w_
+    # persisted AND materialized eagerly: five consumers reference it (both
+    # band-join sides, two array re-attach joins, the same-sig expansion),
+    # and under AQE their query stages materialize CONCURRENTLY — a lazy
+    # persist races its own population and every stage recomputes the whole
+    # tokenize+signature chain (measured 4x the operator's real cost).  The
+    # frame is one row per distinct signature — KBs to low MBs.
+    groups = s.groupBy("simhash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("_ids")
+    ).persist()
+    groups.count()
     bands = F.explode(
         F.array(*[
             F.struct(
@@ -353,29 +413,82 @@ def simhash_near_pairs(
             for j in range(n_bands)
         ])
     )
-    banded = s.select("doc_id", "simhash", bands.alias("x")).select(
-        "doc_id", "simhash", F.col("x.band").alias("band"),
+    # band join + hamming verify + cross-band dedup on SLIM key rows (the
+    # doc-id arrays would otherwise ride the join, force dropDuplicates into
+    # a SortAggregate over array-carrying rows, and bloat the exchanges)
+    banded = groups.select("simhash", bands.alias("x")).select(
+        "simhash", F.col("x.band").alias("band"),
         F.col("x.band_bits").alias("band_bits"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).cast("long")
+        F.col("_sa").bitwiseXOR(F.col("_sb")).cast("long")
     )
-    return (
+    sig_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_bits") == F.col("b.band_bits"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
         )
+        .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        .dropDuplicates(["_sa", "_sb"])
     )
+    n_spread = docs.sparkSession.sparkContext.defaultParallelism
+    # doc-id arrays attach AFTER the spread repartition via broadcast joins
+    # (group rows are tiny), so the only exchange carrying them is never the
+    # bottleneck and the quadratic expansion is codegen explodes
+    cross = (
+        sig_pairs.repartition(n_spread)
+        .join(
+            F.broadcast(
+                groups.select(
+                    F.col("simhash").alias("_sa"), F.col("_ids").alias("_ia")
+                )
+            ),
+            "_sa",
+        )
+        .join(
+            F.broadcast(
+                groups.select(
+                    F.col("simhash").alias("_sb"), F.col("_ids").alias("_ib")
+                )
+            ),
+            "_sb",
+        )
+        .select(F.explode("_ia").alias("_da"), "_ib", "hamming")
+        .select("_da", F.explode("_ib").alias("_db"), "hamming")
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    same = (
+        groups.filter(F.size("_ids") >= 2)
+        .repartition(n_spread)
+        .select(F.explode("_ids").alias("_da"), "_ids")
+        .select("_da", F.explode("_ids").alias("_db"))
+        .filter(F.col("_da") < F.col("_db"))
+        .select(
+            F.col("_da").alias("doc_a"),
+            F.col("_db").alias("doc_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
+
+
+#: edge count below which connected_components solves driver-side: 2M edges
+#: is ~32 MB collected — bounded, unlike the per-round distributed loop's
+#: 2 jobs + localCheckpoint whose FIXED overhead (~1 s/round) dominates on
+#: small graphs.  Above the gate the distributed hash-min loop runs.
+CC_LOCAL_MAX_EDGES = 2_000_000
 
 
 def connected_components(
@@ -411,10 +524,48 @@ def connected_components(
     Convergence is detected with a count of changed labels (one cheap job
     per round on the already-checkpointed frames).
     """
-    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges_raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # size-gated local solve (r6): on a small pair list the distributed
+    # loop's per-round FIXED cost (join+agg job, localCheckpoint, changed
+    # count) dominates wall time by 10x.  The collect is BOUNDED by the
+    # gate (~32 MB at the cap); union-find with per-root minima returns the
+    # exact same (doc_id, min reachable doc_id) labels.  Past the gate the
+    # hash-min loop below runs unchanged — the 100 TB path.
+    n_edges = edges_raw.count()
+    if n_edges <= CC_LOCAL_MAX_EDGES:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges_raw.collect():
+            u, v = row["u"], row["v"]
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+        comp_min: dict = {}
+        for x in parent:
+            r = find(x)
+            m = comp_min.get(r)
+            if m is None or x < m:
+                comp_min[r] = x
+        id_type = pairs.schema[src].dataType.simpleString()
+        out = [(x, comp_min[find(x)]) for x in parent]
+        return pairs.sparkSession.createDataFrame(
+            out, f"doc_id {id_type}, component {id_type}"
+        )
     edges = (
-        edges.union(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        edges_raw.union(
+            edges_raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         .distinct()
         .persist()
@@ -444,6 +595,20 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # exhausted max_iter without a fixed point: labels are NOT final
+        # component ids and a keep-one-per-cluster pass over them would keep
+        # extra duplicates — surface it loudly instead of returning silently
+        # (r6, ADVICE item; a >max_iter-diameter chain graph is the trigger)
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "labels may split true components (raise max_iter, or switch to "
+            "the large-star/small-star formulation for high-diameter graphs)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     edges.unpersist()
     return labels.select(F.col("u").alias("doc_id"), "component")
 

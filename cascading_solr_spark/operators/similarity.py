@@ -11,6 +11,17 @@
 At 100 TB scale the brute-force path is a single narrow scan + top-k
 (no shuffle but the k-row merge); the LSH path prunes the scan by bucket
 partition pruning when the signatures are materialized as a partition column.
+
+Execution note (r6 optimization): the Catalyst higher-order functions
+(``zip_with``/``aggregate`` with lambdas) are CodegenFallback — every array
+element pays an interpreted lambda dispatch, which dominated the pair-verify
+stages at scale (guide §1.2 "per-task work").  When the vector dimension is
+known (one ``size()`` peek per operator call, or ``len(query_vec)``), the
+same arithmetic is emitted as a statically unrolled expression tree
+(``0.0 + v[0]*w0 + v[1]*w1 + ...``) that whole-stage codegen compiles.  The
+fold order — including the leading ``0.0 +`` of the aggregate's seed —
+matches the HOF form term for term, so results are bit-identical and the
+DuckDB oracle still reproduces them exactly.
 """
 
 from __future__ import annotations
@@ -21,7 +32,17 @@ from pyspark.sql import functions as F
 LSH_MOD = 97  # hyperplane weights in [-48, 48] via modular arithmetic
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential-fold dot product: 0.0 + a[0]*b[0] + a[1]*b[1] + ...
+
+    With ``dim`` the sum is a statically unrolled (codegen-compiled)
+    expression; without it the interpreted HOF fold.  Identical IEEE
+    addition order either way."""
+    if dim is not None:
+        acc: Column = F.lit(0.0)
+        for d in range(dim):
+            acc = acc + a[d] * b[d]
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -29,12 +50,39 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+
+
+def _vec_dim(embeddings: DataFrame, vec_col: str) -> int | None:
+    """Array length of the first row (None on an empty frame) — one tiny
+    LIMIT-1 job that unlocks the unrolled arithmetic for the whole operator."""
+    row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    return None if row is None or row["d"] is None else int(row["d"])
+
+
+def _py_norm(vec: list[float]) -> float:
+    """Driver-side norm with the SAME sequential fold as norm()/dot()."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _query_cosine(vec: Column, query_vec: list[float]) -> Column:
+    """cosine(vec, literal query) with the query's norm folded driver-side
+    (same sequential arithmetic) and the data-side sums unrolled."""
+    dim = len(query_vec)
+    acc: Column = F.lit(0.0)
+    for d in range(dim):
+        acc = acc + vec[d] * F.lit(float(query_vec[d]))
+    return acc / (norm(vec, dim) * F.lit(_py_norm(query_vec)))
 
 
 def cosine_topk(
@@ -45,11 +93,12 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact brute-force cosine top-k against a literal query vector."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         embeddings.select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"),
+            F.round(_query_cosine(F.col(vec_col), query_vec), 4).alias(
+                "cos_sim"
+            ),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
@@ -63,19 +112,26 @@ def cosine_topk_to_row(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k against the embedding of an existing row
-    (broadcast single-row cross join; float32 cast to float64 first so the
-    arithmetic is engine-portable)."""
+    """Exact cosine top-k against the embedding of an existing row (float32
+    cast to float64 first so the arithmetic is engine-portable).  The single
+    query row is fetched driver-side (bounded: one row) and inlined as a
+    literal, so the scan+top-k is ONE job with no broadcast exchange."""
     as_double = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
-    q = embeddings.filter(F.col(id_col) == query_id).select(
-        as_double(F.col(vec_col)).alias("qv")
+    q_row = (
+        embeddings.filter(F.col(id_col) == query_id)
+        .select(as_double(F.col(vec_col)).alias("qv"))
+        .first()
     )
     e = embeddings.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    if q_row is None or q_row["qv"] is None:
+        return e.select(
+            F.col(id_col), F.lit(0.0).alias("cos_sim")
+        ).limit(0)
+    qv = [float(x) for x in q_row["qv"]]
     return (
-        e.crossJoin(F.broadcast(q))
-        .select(
+        e.select(
             F.col(id_col),
-            F.round(cosine(F.col("v"), F.col("qv")), 4).alias("cos_sim"),
+            F.round(_query_cosine(F.col("v"), qv), 4).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
@@ -90,12 +146,32 @@ def hyperplane_weight(plane: Column | int, dim: Column) -> Column:
     return ((p * 131 + dim * 31 + 7) % LSH_MOD - 48).cast("double")
 
 
+def _py_hyperplane_weight(plane: int, dim: int) -> float:
+    return float(((plane * 131 + dim * 31 + 7) % LSH_MOD) - 48)
+
+
 def lsh_signature(
-    vec: Column, n_planes: int = 8, plane_offset: int = 0
+    vec: Column, n_planes: int = 8, plane_offset: int = 0,
+    dim: int | None = None,
 ) -> Column:
     """Bit i set iff dot(vec, hyperplane_{i+plane_offset}) > 0 -> integer
     bucket in [0, 2^n).  ``plane_offset`` selects an independent hyperplane
-    family — table t of a multi-table index uses offset t*n_planes."""
+    family — table t of a multi-table index uses offset t*n_planes.
+
+    With ``dim`` the projections unroll with the hyperplane weights computed
+    at plan-build time (same modular arithmetic, same fold order)."""
+    if dim is not None:
+        total: Column = F.lit(0).cast("long")
+        for i in range(n_planes):
+            proj: Column = F.lit(0.0)
+            for d in range(dim):
+                w = _py_hyperplane_weight(i + plane_offset, d)
+                proj = proj + vec[d] * F.lit(w)
+            total = total + F.when(
+                proj > 0, F.lit(float(2.0 ** i)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return total
+
     def plane_bit(i: Column) -> Column:
         proj = F.aggregate(
             F.zip_with(
@@ -120,8 +196,10 @@ def lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
+    dim = _vec_dim(embeddings, vec_col)
     return embeddings.select(
-        F.col(id_col), lsh_signature(F.col(vec_col), n_planes).alias("bucket")
+        F.col(id_col),
+        lsh_signature(F.col(vec_col), n_planes, dim=dim).alias("bucket"),
     )
 
 
@@ -137,28 +215,19 @@ def ann_lsh_topk(
 
     Approximate by construction (a bucket miss is a recall miss) — tested
     for plumbing + determinism, benchmarked for recall vs brute force."""
-    import math
-
-    # compute the query's bucket driver-side with the same arithmetic
-    bucket = 0
-    for i in range(n_planes):
-        proj = sum(
-            x * (((i * 131 + d * 31 + 7) % LSH_MOD) - 48)
-            for d, x in enumerate(query_vec)
-        )
-        if proj > 0:
-            bucket += 1 << i
-    del math
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    bucket = query_buckets(query_vec, n_planes, probes=1)[0]
+    dim = len(query_vec)
     with_buckets = embeddings.withColumn(
-        "bucket", lsh_signature(F.col(vec_col), n_planes)
+        "bucket", lsh_signature(F.col(vec_col), n_planes, dim=dim)
     )
     return (
         with_buckets.filter(F.col("bucket") == bucket)
         .select(
             F.col(id_col),
             F.lit(bucket).alias("bucket"),
-            F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"),
+            F.round(_query_cosine(F.col(vec_col), query_vec), 4).alias(
+                "cos_sim"
+            ),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
@@ -172,19 +241,28 @@ def embedding_near_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All-pairs embedding near-dups: cosine >= threshold (exact, quadratic —
-    small-scale oracle baseline; use embedding_near_pairs_lsh at scale)."""
+    small-scale oracle baseline; use embedding_near_pairs_lsh at scale).
+    Per-side norms are computed once per ROW before the pair join (same
+    multiply order norm_a*norm_b as the inline cosine), not once per pair."""
+    dim = _vec_dim(embeddings, vec_col)
     a = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        norm(F.col(vec_col), dim).alias("na"),
     )
     b = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col), dim).alias("nb"),
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb"), dim)
+                / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -211,8 +289,28 @@ def embedding_near_pairs_lsh(
     within-bucket pair generation is quadratic in it, so at scale RAISE
     ``n_planes`` (smaller buckets) and recover the recall the extra planes
     cost with ``n_tables`` independent hyperplane families — candidates are
-    the union over tables, deduplicated before the exact-cosine verify.
-    Benchmarked at 12 planes x 2 tables alongside the 8x1 oracle config."""
+    the union over tables, deduplicated BEFORE the threshold filter (a pair
+    colliding in several tables carries identical cosines, so one survivor
+    is kept).  Benchmarked at 12 planes x 2 tables alongside the 8x1 oracle
+    config.
+
+    Verify execution (r6): one shuffle of (id, vector) rows grouped by
+    (tbl, bucket), then a per-bucket Arrow kernel enumerates the i<j pairs
+    and evaluates the cosines VECTORIZED ACROSS PAIRS while accumulating
+    SEQUENTIALLY ACROSS DIMENSIONS — ``acc = (((0 + t0) + t1) + ...)`` per
+    pair, term-for-term the Catalyst ``aggregate`` fold, so every cosine is
+    bit-identical to the previous join formulation (and to the DuckDB
+    oracle).  The kernel emits a conservative raw-cosine superset
+    (threshold - 1e-3); the EXACT ``round(cos, 4) >= threshold`` decision
+    stays in Spark on the tiny survivor set.  This replaces the self-join
+    whose giant per-pair expression Catalyst merged into the join condition
+    (interpreted + evaluated twice per candidate — the r5 profile's wall)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    dim = _vec_dim(embeddings, vec_col)
     tables = []
     for t in range(n_tables):
         tables.append(
@@ -220,33 +318,89 @@ def embedding_near_pairs_lsh(
                 F.col(id_col), F.col(vec_col).alias("v"),
                 F.lit(t).alias("tbl"),
                 lsh_signature(
-                    F.col(vec_col), n_planes, plane_offset=t * n_planes
+                    F.col(vec_col), n_planes, plane_offset=t * n_planes,
+                    dim=dim,
                 ).alias("bucket"),
             )
         )
     with_b = tables[0]
     for more in tables[1:]:
         with_b = with_b.unionByName(more)
-    a = with_b.select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "tbl", "bucket"
+
+    id_type = embeddings.schema[id_col].dataType
+    elem_type = embeddings.schema[vec_col].dataType.elementType
+    elem_np = np.float32 if isinstance(elem_type, T.FloatType) else np.float64
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("_raw", T.DoubleType()),
+        ]
     )
-    b = with_b.select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "tbl", "bucket"
-    )
-    pairs = (
-        a.join(b, ["tbl", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+    # pairs below this raw cosine can NEVER satisfy round(cos,4) >= threshold
+    # (the rounding moves a value by < 5e-5); the margin keeps the kernel's
+    # pre-filter a strict superset of the exact Spark-side decision
+    lo = float(threshold) - 1e-3
+    pair_chunk = 4_000_000  # bound per-chunk temp arrays (~32 MB per array)
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(columns=["id_a", "id_b", "_raw"])
+        order = np.argsort(pdf["ids"].to_numpy(), kind="stable")
+        ids = pdf["ids"].to_numpy()[order]
+        # element products run in the INPUT element type (float32 inputs
+        # multiply in float32, exactly like Catalyst's Multiply(f32, f32));
+        # the accumulator is float64, exactly like the fold's 0.0 seed
+        mat = np.stack(pdf["v"].to_numpy()[order]).astype(elem_np, copy=False)
+        d = mat.shape[1]
+        # per-vector norms: same sequential fold as norm()
+        acc = np.zeros(m, dtype=np.float64)
+        for c in range(d):
+            acc = acc + mat[:, c] * mat[:, c]
+        nrm = np.sqrt(acc)
+        out_a, out_b, out_c = [], [], []
+        row = 0
+        while row < m - 1:
+            # rows [row, row_end) paired against all later rows, bounded so
+            # the temp arrays stay ~pair_chunk entries
+            rows_this = max(1, pair_chunk // max(1, m))
+            row_end = min(m - 1, row + rows_this)
+            ii, jj = [], []
+            for i in range(row, row_end):
+                jj.append(np.arange(i + 1, m))
+                ii.append(np.full(m - i - 1, i))
+            ii = np.concatenate(ii)
+            jj = np.concatenate(jj)
+            acc = np.zeros(len(ii), dtype=np.float64)
+            va = mat[ii]
+            vb = mat[jj]
+            for c in range(d):
+                acc = acc + va[:, c] * vb[:, c]
+            raw = acc / (nrm[ii] * nrm[jj])
+            keep = raw >= lo
+            out_a.append(ids[ii[keep]])
+            out_b.append(ids[jj[keep]])
+            out_c.append(raw[keep])
+            row = row_end
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "_raw": np.concatenate(out_c),
+            }
         )
+
+    grouped = (
+        with_b.select(F.col(id_col).alias("ids"), "v", "tbl", "bucket")
+        .groupBy("tbl", "bucket")
+        .applyInPandas(bucket_pairs, out_schema)
     )
     if n_tables > 1:
-        # a pair colliding in several tables appears once (dedup BEFORE the
-        # threshold filter keeps the plan a plain distinct on the pair key)
-        pairs = pairs.dropDuplicates(["id_a", "id_b"])
-    return pairs.filter(F.col("cos_sim") >= threshold)
+        grouped = grouped.dropDuplicates(["id_a", "id_b"])
+    return grouped.select(
+        "id_a", "id_b", F.round(F.col("_raw"), 4).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
 
 
 def build_ann_index(
@@ -265,6 +419,7 @@ def build_ann_index(
     ``n_tables`` independent hyperplane families (table t uses planes
     t*n_planes..) trade index size (each vector stored n_tables times) for
     recall — the standard LSH recall knob alongside multiprobe."""
+    dim = _vec_dim(embeddings, vec_col)
     tables = []
     for t in range(n_tables):
         tables.append(
@@ -272,7 +427,8 @@ def build_ann_index(
                 F.col(id_col), F.col(vec_col),
                 F.lit(t).alias("tbl"),
                 lsh_signature(
-                    F.col(vec_col), n_planes, plane_offset=t * n_planes
+                    F.col(vec_col), n_planes, plane_offset=t * n_planes,
+                    dim=dim,
                 ).alias("bucket"),
             )
         )
@@ -344,7 +500,6 @@ def ann_lsh_topk_indexed(
         )
         c = (F.col("tbl") == t) & F.col("bucket").isin(buckets)
         cond = c if cond is None else (cond | c)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = spark.read.parquet(ann_dir).filter(cond)
     if n_tables > 1:
         cand = cand.groupBy(id_col).agg(
@@ -357,7 +512,9 @@ def ann_lsh_topk_indexed(
         cand.select(
             F.col(id_col),
             F.col("bucket"),
-            F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"),
+            F.round(_query_cosine(F.col(vec_col), query_vec), 4).alias(
+                "cos_sim"
+            ),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
@@ -396,7 +553,7 @@ def build_ivf_index(
     import os
 
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     vecs = embeddings.select(
         F.col(id_col),
@@ -452,13 +609,14 @@ def ann_ivf_topk(
     with open(os.path.join(ivf_dir, "_centroids.json")) as fh:
         centroids = json.load(fh)
     probes = ivf_probe_lists(query_vec, centroids, nprobe)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         spark.read.parquet(ivf_dir)
         .filter(F.col("list").isin(probes))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"),
+            F.round(_query_cosine(F.col(vec_col), query_vec), 4).alias(
+                "cos_sim"
+            ),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)

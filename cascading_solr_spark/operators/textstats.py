@@ -27,6 +27,25 @@ EN_STOPWORDS = LANG_MARKERS["en"] + ("a", "an", "on", "at", "by", "it", "as")
 FINGERPRINT_MOD = 1_000_003
 
 
+def spread_partitions(df: DataFrame) -> DataFrame:
+    """Raise a low-parallelism source to the session's default parallelism
+    (r6, guide §2.5 input skew): a small parquet file scans as 1-2
+    partitions, which pins every tokenize-heavy MAP stage above it to 1-2
+    cores — the profiled dense-minhash rank job spent 30+ s in a 2-task
+    stage on a 32-core session.  The round-robin shuffle moves only the raw
+    doc rows (tiny next to the tokenized explosion above it) and is a no-op
+    whenever the source already has enough partitions, so a properly
+    partitioned 100 TB table never pays it."""
+    sc = df.sparkSession.sparkContext
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — planning-only probe; never fatal
+        return df
+    if n < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def simple_tokens(col: Column | str) -> Column:
     """array<string> of [a-z0-9]+ runs of lower(col) — SQL-portable tokenizer."""
     c = F.col(col) if isinstance(col, str) else col
@@ -108,7 +127,7 @@ def fingerprint(
       [1, 2^31-1), computed INLINE — no vocabulary job, the 100 TB path.
       Identical docs get identical fingerprints under either mode.
     """
-    toks = docs.select(
+    toks = spread_partitions(docs).select(
         "doc_id", F.posexplode(simple_tokens(text_col)).alias("pos0", "term")
     ).withColumn("pos", F.col("pos0") + 1)
     if id_mode == "hash":
@@ -117,9 +136,15 @@ def fingerprint(
             F.pmod(F.xxhash64("term"), F.lit(2_147_483_646)) + 1,
         )
     else:
-        from cascading_solr_spark.indexing.build import assign_doc_ids
+        from cascading_solr_spark.indexing.build import _rank_ids
 
-        vocab = assign_doc_ids(toks.select("term").distinct(), ("term",)).select(
+        # keys-only distinct vocabulary: the sort-rank frame already carries
+        # (term, rank) — assign_doc_ids' join-back would re-shuffle the
+        # vocabulary onto itself for nothing (r6)
+        vocab_ids, _ = _rank_ids(
+            toks.select("term").distinct(), ("term",), check_unique=False
+        )
+        vocab = vocab_ids.select(
             "term", (F.col("doc_id") + 1).alias("term_id")
         )
         joined = toks.join(vocab, "term")

@@ -25,7 +25,11 @@ def tokens_long(
     docs: DataFrame, content_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(doc_id, dl, term, tf) — analyzed term frequencies, all JVM-side."""
-    toks = docs.select(
+    from cascading_solr_spark.operators.textstats import spread_partitions
+
+    # the analyzer is the expensive map work — spread a low-partition
+    # source before it (r6, guide §2.5; no-op on well-partitioned input)
+    toks = spread_partitions(docs).select(
         F.col(id_col).alias("doc_id"), analyze_col(content_col).alias("toks")
     ).withColumn("dl", F.size("toks"))
     return (
@@ -71,8 +75,26 @@ def bm25_topk_df(
     float-sum ordering noise cannot flip the driver's value-hash.
     """
     terms = analyze_query(query)
-    tf = tokens_long(docs, content_col, id_col)
-    stats = corpus_stats(docs, content_col, id_col)
+    # ONE tokenize pass (r6): the tf table is persisted and MATERIALIZED by
+    # the stats aggregate below — its three consumers (df-lookup, scoring,
+    # stats) would otherwise each re-run the analyzer over the corpus, and
+    # a lazy persist would still race its own population when AQE
+    # materializes the broadcast stages concurrently.  The corpus stats
+    # derive from the tf table instead of a second analyze_col pass:
+    # n is the plain row count and avgdl = Σtf / n — numerically IDENTICAL
+    # to avg(dl) because every intermediate is an integer below 2^53 (exact
+    # in double), and zero-token/null docs contribute 0 to Σtf and 1 to n
+    # exactly as they contributed dl=0 to the avg (analyze_col coalesces
+    # null to "").
+    tf = tokens_long(docs, content_col, id_col).persist()
+    n_docs = docs.count()
+    tt = tf.agg(F.sum("tf")).collect()[0][0]
+    # n>0 with an empty tf table means every doc tokenized to [] — avg(dl)
+    # over those zeros was 0.0, not null; n=0 keeps the avg-of-empty null
+    avgdl = None if n_docs == 0 else float(tt or 0) / float(n_docs)
+    stats = docs.sparkSession.createDataFrame(
+        [(n_docs, avgdl)], "n long, avgdl double"
+    )
     matched = tf.filter(F.col("term").isin(terms)) if terms else tf.limit(0)
     dfreq = matched.groupBy("term").agg(F.count("*").alias("df"))
     scored = (

@@ -115,6 +115,17 @@ def _empty_ids(spark: SparkSession) -> DataFrame:
     ent = _EMPTY_IDS_CACHE.get(id(spark))
     if ent is not None and ent[0] is spark:
         return ent[1]
+    # evict dead sessions (r6, ADVICE item): a long-lived multi-session
+    # process would otherwise retain stopped SparkSessions (and DataFrames
+    # bound to dead contexts) forever, and a reused id() could serve a frame
+    # from a stopped context
+    for key, (sess, _) in list(_EMPTY_IDS_CACHE.items()):
+        try:
+            stopped = sess.sparkContext._jsc is None
+        except Exception:  # noqa: BLE001 — any probe failure means unusable
+            stopped = True
+        if stopped:
+            _EMPTY_IDS_CACHE.pop(key, None)
     df = spark.createDataFrame([], "doc_id long")
     _EMPTY_IDS_CACHE[id(spark)] = (spark, df)
     return df
@@ -1389,9 +1400,18 @@ def search(
         else:
             # PostFilter overfetch loop: rank 4·need candidates, validate
             # with a pruned point probe, escalate geometrically until k
-            # survivors or the candidate stream is exhausted — exact.
+            # survivors or the candidate stream is exhausted — exact.  The
+            # escalation is CAPPED at 64·need collected candidates: an
+            # ultra-selective filter would otherwise walk the loop until the
+            # ENTIRE match set crossed the driver (unbounded collect — the
+
+            # 100 TB driver-OOM shape).  Past the cap we fall through to the
+            # k=None plan: one distributed semi-join against the filter ids
+            # + bounded top-k — same exact result, no driver materialization.
             need = fetch_k
             fetch = max(4 * need, 64)
+            cap = max(64 * need, 1024)
+            top = None
             survivors: list = []
             while True:
                 cand = _ranked(fetch).limit(fetch).collect()
@@ -1403,10 +1423,24 @@ def search(
                 if len(survivors) >= need or len(cand) < fetch:
                     break
                 fetch *= 4
-            top = spark.createDataFrame(
-                [(int(r["doc_id"]), float(r["score"])) for r in survivors],
-                _RESULT_SCHEMA,
-            ).orderBy(F.desc("score"), F.asc("doc_id"))
+                if fetch > cap:
+                    top = (
+                        _ranked(None)
+                        .join(
+                            _doc_filter_ids(spark, index, doc_filter)
+                            .hint("shuffle_hash"),
+                            "doc_id",
+                            "semi",
+                        )
+                        .orderBy(F.desc("score"), F.asc("doc_id"))
+                        .limit(need)
+                    )
+                    break
+            if top is None:
+                top = spark.createDataFrame(
+                    [(int(r["doc_id"]), float(r["score"])) for r in survivors],
+                    _RESULT_SCHEMA,
+                ).orderBy(F.desc("score"), F.asc("doc_id"))
         if start:  # paging applies to k=None too (ordered exhaustive result)
             top = top.offset(start)
     if not with_stored:
@@ -3315,15 +3349,19 @@ def search_grouped(
         ranked = ranked.withColumn("_g", grank).filter(
             F.col("_g") <= int(k_groups)
         ).drop("_g")
-    out = ranked.orderBy(
-        F.desc("_hs"), F.asc("_hd"), F.asc("group_rank")
-    ).drop("_hs", "_hd")
     if with_ngroups:
+        # attach the 1-row count BEFORE the final orderBy so the sort is the
+        # top plan node — the documented output ordering is then contractual
+        # rather than an artifact of the join strategy (r6, ADVICE item;
+        # previously the crossJoin sat above the sort and only happened to
+        # preserve order under BroadcastNestedLoopJoin)
         ng = joined.agg(
             F.count_distinct(group_field).cast("long").alias("ngroups")
         )
-        out = out.crossJoin(F.broadcast(ng))
-    return out
+        ranked = ranked.crossJoin(F.broadcast(ng))
+    return ranked.orderBy(
+        F.desc("_hs"), F.asc("_hd"), F.asc("group_rank")
+    ).drop("_hs", "_hd")
 
 
 def search_grouped_queries(
