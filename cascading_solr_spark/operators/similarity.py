@@ -257,17 +257,20 @@ def embedding_near_pairs_lsh(
     is kept).  Benchmarked at 12 planes x 2 tables alongside the 8x1 oracle
     config.
 
-    Verify execution (r6): one shuffle of (id, vector) rows grouped by
-    (tbl, bucket), then a per-bucket Arrow kernel enumerates the i<j pairs
-    and evaluates the cosines VECTORIZED ACROSS PAIRS while accumulating
-    SEQUENTIALLY ACROSS DIMENSIONS — ``acc = (((0 + t0) + t1) + ...)`` per
-    pair, term-for-term the Catalyst ``aggregate`` fold, so every cosine is
-    bit-identical to the previous join formulation (and to the DuckDB
-    oracle).  The kernel emits a conservative raw-cosine superset
-    (threshold - 1e-3); the EXACT ``round(cos, 4) >= threshold`` decision
-    stays in Spark on the tiny survivor set.  This replaces the self-join
-    whose giant per-pair expression Catalyst merged into the join condition
-    (interpreted + evaluated twice per candidate — the r5 profile's wall)."""
+    Verify execution (r6): one shuffle of (id, vector) rows hash-keyed and
+    sorted by (tbl, bucket), then a PARTITION-streaming Arrow kernel
+    (mapInPandas with a tail-group carry, so thousands of tiny buckets pay
+    one pandas frame per Arrow batch, not one per bucket) enumerates each
+    bucket's i<j pairs and evaluates the cosines VECTORIZED ACROSS PAIRS
+    while accumulating SEQUENTIALLY ACROSS DIMENSIONS —
+    ``acc = (((0 + t0) + t1) + ...)`` per pair, term-for-term the Catalyst
+    ``aggregate`` fold, so every cosine is bit-identical to the previous
+    join formulation (and to the DuckDB oracle).  The kernel emits a
+    conservative raw-cosine superset (threshold - 1e-3); the EXACT
+    ``round(cos, 4) >= threshold`` decision stays in Spark on the tiny
+    survivor set.  This replaces the self-join whose giant per-pair
+    expression Catalyst merged into the join condition (interpreted +
+    evaluated twice per candidate — the r5 profile's wall)."""
     import numpy as np
     import pandas as pd
 
@@ -304,23 +307,22 @@ def embedding_near_pairs_lsh(
     lo = float(threshold) - 1e-3
     pair_chunk = 4_000_000  # bound per-chunk temp arrays (~32 MB per array)
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
+    def one_bucket(ids_raw, vecs_raw, out_a, out_b, out_c):
+        m = len(ids_raw)
         if m < 2:
-            return pd.DataFrame(columns=["id_a", "id_b", "_raw"])
-        order = np.argsort(pdf["ids"].to_numpy(), kind="stable")
-        ids = pdf["ids"].to_numpy()[order]
+            return
+        order = np.argsort(ids_raw, kind="stable")
+        ids = ids_raw[order]
         # element products run in the INPUT element type (float32 inputs
         # multiply in float32, exactly like Catalyst's Multiply(f32, f32));
         # the accumulator is float64, exactly like the fold's 0.0 seed
-        mat = np.stack(pdf["v"].to_numpy()[order]).astype(elem_np, copy=False)
+        mat = np.stack(vecs_raw[order]).astype(elem_np, copy=False)
         d = mat.shape[1]
         # per-vector norms: same sequential fold as norm()
         acc = np.zeros(m, dtype=np.float64)
         for c in range(d):
             acc = acc + mat[:, c] * mat[:, c]
         nrm = np.sqrt(acc)
-        out_a, out_b, out_c = [], [], []
         row = 0
         while row < m - 1:
             # rows [row, row_end) paired against all later rows, bounded so
@@ -344,6 +346,47 @@ def embedding_near_pairs_lsh(
             out_b.append(ids[jj[keep]])
             out_c.append(raw[keep])
             row = row_end
+
+    def partition_pairs(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            tb = pdf["tbl"].to_numpy()
+            bk = pdf["bucket"].to_numpy()
+            # hold back the final (possibly batch-spanning) bucket group
+            tail = (tb == tb[-1]) & (bk == bk[-1])
+            rev = tail[::-1]
+            tail_len = int(np.argmin(rev)) if not rev.all() else len(rev)
+            cut = len(pdf) - tail_len
+            carry = pdf.iloc[cut:]
+            head = pdf.iloc[:cut]
+            if not len(head):
+                continue
+            yield _emit_buckets(head)
+        if carry is not None and len(carry):
+            yield _emit_buckets(carry)
+
+    def _emit_buckets(pdf: pd.DataFrame) -> pd.DataFrame:
+        tb = pdf["tbl"].to_numpy()
+        bk = pdf["bucket"].to_numpy()
+        n = len(pdf)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (tb[1:] != tb[:-1]) | (bk[1:] != bk[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        ids_all = pdf["ids"].to_numpy()
+        vecs_all = pdf["v"].to_numpy()
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        for s, e in zip(starts, ends):
+            one_bucket(ids_all[s:e], vecs_all[s:e], out_a, out_b, out_c)
+        if not out_a:
+            return pd.DataFrame(columns=["id_a", "id_b", "_raw"])
         return pd.DataFrame(
             {
                 "id_a": np.concatenate(out_a),
@@ -354,8 +397,9 @@ def embedding_near_pairs_lsh(
 
     grouped = (
         with_b.select(F.col(id_col).alias("ids"), "v", "tbl", "bucket")
-        .groupBy("tbl", "bucket")
-        .applyInPandas(bucket_pairs, out_schema)
+        .repartition("tbl", "bucket")
+        .sortWithinPartitions("tbl", "bucket")
+        .mapInPandas(partition_pairs, out_schema)
     )
     if n_tables > 1:
         grouped = grouped.dropDuplicates(["id_a", "id_b"])
