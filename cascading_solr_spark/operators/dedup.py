@@ -182,6 +182,12 @@ def _minhash_min_cols(
     ids = s.join(shingle_ids(s, id_mode), "shingle").select(
         "doc_id", "shingle_id"
     )
+    return _minhash_min_cols_from_ids(ids, num_hashes)
+
+
+def _minhash_min_cols_from_ids(
+    ids: DataFrame, num_hashes: int = 16
+) -> DataFrame:
     return ids.groupBy("doc_id").agg(
         *[
             F.min(
@@ -213,7 +219,16 @@ def minhash_lsh_pairs(
     # the shingle cache serially — lazy persists race their own population
     # when AQE materializes the join's broadcast stages concurrently (r6).
     shingled = _shingled(docs, text_col, n).persist()
-    mins = _minhash_min_cols(shingled, num_hashes, id_mode).persist()
+    ids = shingled.join(shingle_ids(shingled, id_mode), "shingle").select(
+        "doc_id", "shingle_id"
+    )
+    if id_mode == "dense":
+        # the dense rank is a BIJECTION shingle <-> shingle_id, so the
+        # Jaccard verification below can run entirely on the long ids —
+        # identical intersection counts, and the candidate-pair shingle
+        # joins shuffle 8-byte keys instead of shingle strings (r6)
+        ids = ids.persist()
+    mins = _minhash_min_cols_from_ids(ids, num_hashes).persist()
     mins.count()
     # band bucket keys straight off the per-doc min columns: band j's key is
     # "h=min:h=min:..." over its hashes in ascending h — exactly the string
@@ -262,17 +277,23 @@ def minhash_lsh_pairs(
     # exact-Jaccard verification restricted to candidate pairs (the point of
     # LSH: never materialize the quadratic pair space).  No broadcast hint:
     # the candidate set is unbounded in the worst case (driver OOM risk at
-    # 100 TB); AQE picks broadcast when it actually fits.
-    sh = shingled
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
+    # 100 TB); AQE picks broadcast when it actually fits.  Dense mode
+    # verifies over the bijective shingle_id longs (cached above); hash
+    # mode keeps the shingle strings (its folded ids are not collision-free,
+    # so id-level intersection counts would not be exact there).
+    if id_mode == "dense":
+        vsrc, vkey = ids, "shingle_id"
+    else:
+        vsrc, vkey = shingled, "shingle"
+    sizes = vsrc.groupBy("doc_id").agg(F.count("*").alias("ns"))
     ca = candidates
-    sh_b = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle")
+    v_b = vsrc.select(
+        F.col("doc_id").alias("doc_b"), F.col(vkey).alias(vkey)
     )
     common = (
-        sh.join(ca, sh["doc_id"] == ca["doc_a"])
-        .select("doc_a", "doc_b", "shingle")
-        .join(sh_b, ["doc_b", "shingle"])  # equi-join on (doc, shingle)
+        vsrc.join(ca, vsrc["doc_id"] == ca["doc_a"])
+        .select("doc_a", "doc_b", vkey)
+        .join(v_b, ["doc_b", vkey])  # equi-join on (doc, key)
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
