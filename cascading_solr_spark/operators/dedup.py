@@ -75,12 +75,28 @@ def word_shingles(col, n: int = 3):
 
 
 def _shingled(docs: DataFrame, text_col: str, n: int) -> DataFrame:
-    from cascading_solr_spark.operators.textstats import spread_partitions
+    from cascading_solr_spark.operators.textstats import (
+        simple_tokens,
+        spread_partitions,
+    )
 
     # tokenize+shingle is the expensive map work — never leave it pinned to
-    # a low-partition source scan (r6, guide §2.5)
-    return spread_partitions(docs).select(
-        "doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    # a low-partition source scan (r6, guide §2.5).  The tokenizer output is
+    # PROJECTED to a column first: word_shingles over the raw text embeds the
+    # regexp tokenizer subtree at every reference inside the shingle
+    # transform's lambda, and interpreted HOF lambdas (CodegenFallback)
+    # re-evaluate their subtrees per element — the tokenizer ran once per
+    # SHINGLE instead of once per doc (r6b: measured 1.7x on the shingle
+    # pass).  Shingling the materialized array is expression-identical.
+    toks = F.col("_toks")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (
+        spread_partitions(docs)
+        .select("doc_id", simple_tokens(F.col(text_col)).alias("_toks"))
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
     )
 
 
@@ -275,33 +291,49 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact-Jaccard verification restricted to candidate pairs (the point of
-    # LSH: never materialize the quadratic pair space).  No broadcast hint:
-    # the candidate set is unbounded in the worst case (driver OOM risk at
-    # 100 TB); AQE picks broadcast when it actually fits.  Dense mode
-    # verifies over the bijective shingle_id longs (cached above); hash
-    # mode keeps the shingle strings (its folded ids are not collision-free,
-    # so id-level intersection counts would not be exact there).
+    # LSH: never materialize the quadratic pair space).  Execution shape
+    # (r6b): ONE aggregation folds each doc's distinct shingle keys into a
+    # sorted array (set semantics are already guaranteed — word_shingles is
+    # array_distinct, so (doc, key) rows are unique), then the candidate
+    # pairs join those per-doc SET rows and the intersection count is a
+    # native array_intersect per pair.  The former shape exploded every
+    # candidate pair back to ~|shingles| rows through a (doc, key) equi-join
+    # — at bench sf1.0 that was a 54M-row join + re-aggregation, ~20 s of
+    # the operator's wall; the set-array join moves one row per candidate
+    # (guide §2.3: aggregate before you shuffle).  |common| values are
+    # identical: |A ∩ B| via set-array intersect == the count(*) of the
+    # (doc, key) equi-join on unique rows.  No broadcast hint on the joins:
+    # the per-doc set frame is corpus-sized (one row per doc) — AQE
+    # broadcasts when it actually fits.  Dense mode verifies over the
+    # bijective shingle_id longs; hash mode keeps the shingle strings (its
+    # folded ids are not collision-free, so id-level intersection counts
+    # would not be exact there).
     if id_mode == "dense":
         vsrc, vkey = ids, "shingle_id"
     else:
         vsrc, vkey = shingled, "shingle"
-    sizes = vsrc.groupBy("doc_id").agg(F.count("*").alias("ns"))
-    ca = candidates
-    v_b = vsrc.select(
-        F.col("doc_id").alias("doc_b"), F.col(vkey).alias(vkey)
+    doc_sets = vsrc.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(vkey)).alias("_ks"),
+        F.count("*").alias("ns"),
     )
-    common = (
-        vsrc.join(ca, vsrc["doc_id"] == ca["doc_a"])
-        .select("doc_a", "doc_b", vkey)
-        .join(v_b, ["doc_b", vkey])  # equi-join on (doc, key)
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("nb"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        candidates.join(
+            doc_sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("_ks").alias("_ka"),
+                F.col("ns").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            doc_sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("_ks").alias("_kb"),
+                F.col("ns").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("common", F.size(F.array_intersect("_ka", "_kb")))
         .withColumn(
             "jaccard",
             F.round(
@@ -461,29 +493,67 @@ def simhash_near_pairs(
         .dropDuplicates(["_sa", "_sb"])
     )
     n_spread = docs.sparkSession.sparkContext.defaultParallelism
-    # doc-id arrays attach AFTER the spread repartition via broadcast joins
-    # (group rows are tiny), so the only exchange carrying them is never the
-    # bottleneck and the quadratic expansion is codegen explodes
+    # ---- skew-bounded pair expansion (r6b, guide §2.5).  The former shape
+    # exploded each sig pair's full doc-id arrays in place, so ONE monster
+    # signature group kept its entire cnt² fan-out on a single task (the
+    # bench corpus' top group is ~6.7k docs → 22M pairs from one row; the
+    # 150M-row expansion ran ~90% on two tasks).  Now each sorted id array
+    # is tiled into C-sized chunks and the EXPANSION UNIT is a chunk pair:
+    # slim (sig_a, sig_b, chunk_i, chunk_j) key rows spread round-robin
+    # first, the chunk arrays attach AFTER the shuffle via broadcast joins
+    # (the chunk table is one row per (sig, chunk): KBs), and no task row
+    # generates more than C² pairs.  The pair multiset is unchanged —
+    # chunks partition each array, so (chunk_i × chunk_j) tiles the cross
+    # pair space exactly once, and within a group the j ≥ i chunk pairs tile
+    # the i<j doc pair space (ids are sorted, so inter-chunk pairs are
+    # already ordered; the _da < _db filter only bites on diagonal chunks).
+    C = 1024
+
+    def _chunks(col):
+        n_ch = F.ceil(F.size(col) / C).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_ch - 1), lambda i: F.slice(col, i * C + 1, C)
+        )
+
+    chunked = groups.select(
+        "simhash", F.posexplode(_chunks(F.col("_ids"))).alias("_ci", "_chunk")
+    )
+    nch = groups.select(
+        "simhash", F.ceil(F.size("_ids") / C).cast("int").alias("_nch")
+    )
+    chunk_a = F.broadcast(
+        chunked.select(
+            F.col("simhash").alias("_sa"), F.col("_ci").alias("_cia"),
+            F.col("_chunk").alias("_la"),
+        )
+    )
+    chunk_b = F.broadcast(
+        chunked.select(
+            F.col("simhash").alias("_sb"), F.col("_ci").alias("_cib"),
+            F.col("_chunk").alias("_lb"),
+        )
+    )
     cross = (
-        sig_pairs.repartition(n_spread)
-        .join(
-            F.broadcast(
-                groups.select(
-                    F.col("simhash").alias("_sa"), F.col("_ids").alias("_ia")
-                )
-            ),
-            "_sa",
+        sig_pairs.join(
+            F.broadcast(nch.select(F.col("simhash").alias("_sa"), F.col("_nch").alias("_na"))), "_sa"
         )
         .join(
-            F.broadcast(
-                groups.select(
-                    F.col("simhash").alias("_sb"), F.col("_ids").alias("_ib")
-                )
-            ),
-            "_sb",
+            F.broadcast(nch.select(F.col("simhash").alias("_sb"), F.col("_nch").alias("_nb"))), "_sb"
         )
-        .select(F.explode("_ia").alias("_da"), "_ib", "hamming")
-        .select("_da", F.explode("_ib").alias("_db"), "hamming")
+        .select(
+            "_sa", "_sb", "hamming",
+            F.explode(F.sequence(F.lit(0), F.col("_na") - 1)).alias("_cia"),
+            "_nb",
+        )
+        .select(
+            "_sa", "_sb", "hamming", "_cia",
+            F.explode(F.sequence(F.lit(0), F.col("_nb") - 1)).alias("_cib"),
+        )
+        .repartition(n_spread)
+        .join(chunk_a, ["_sa", "_cia"])
+        .join(chunk_b, ["_sb", "_cib"])
+        .select(F.explode("_la").alias("_da"), "_lb", "hamming")
+        .select("_da", F.explode("_lb").alias("_db"), "hamming")
         .select(
             F.least("_da", "_db").alias("doc_a"),
             F.greatest("_da", "_db").alias("doc_b"),
@@ -492,9 +562,29 @@ def simhash_near_pairs(
     )
     same = (
         groups.filter(F.size("_ids") >= 2)
+        .select("simhash", F.ceil(F.size("_ids") / C).cast("int").alias("_nch"))
+        .select(
+            F.col("simhash").alias("_sa"),
+            F.explode(F.sequence(F.lit(0), F.col("_nch") - 1)).alias("_cia"),
+            "_nch",
+        )
+        .select(
+            "_sa", "_cia",
+            F.explode(F.sequence(F.col("_cia"), F.col("_nch") - 1)).alias("_cib"),
+        )
         .repartition(n_spread)
-        .select(F.explode("_ids").alias("_da"), "_ids")
-        .select("_da", F.explode("_ids").alias("_db"))
+        .join(chunk_a, ["_sa", "_cia"])
+        .join(
+            F.broadcast(
+                chunked.select(
+                    F.col("simhash").alias("_sa"), F.col("_ci").alias("_cib"),
+                    F.col("_chunk").alias("_lb"),
+                )
+            ),
+            ["_sa", "_cib"],
+        )
+        .select(F.explode("_la").alias("_da"), "_lb")
+        .select("_da", F.explode("_lb").alias("_db"))
         .filter(F.col("_da") < F.col("_db"))
         .select(
             F.col("_da").alias("doc_a"),
