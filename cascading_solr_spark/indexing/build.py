@@ -1160,7 +1160,14 @@ def build_index(
         # sank scaling efficiency.  The resulting set persists in meta.json
         # so resumes/appends/compactions salt identically even if the head
         # is not representative. ----
-        if missing and not have_meta:
+        if missing and not have_meta and spec.hot_term_df_ratio >= 1.0:
+            # provably-empty hot set: df never exceeds n_sample, so a
+            # threshold of ratio*n_sample >= n_sample cannot be crossed —
+            # the whole sample tokenize pass would only confirm [] (r6b;
+            # ratio >= 1 is the documented "salting off" configuration,
+            # e.g. the bench's single-shard trace index)
+            prof.mark("hot_detect")
+        elif missing and not have_meta:
             frac = min(1.0, spec.hot_sample_docs / max(1, n_docs))
             sampled = source
             n_sample = n_docs

@@ -30,6 +30,8 @@ it remains for dimension-heavy map stages over large row counts.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -159,6 +161,38 @@ def lsh_signature(
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
+def lsh_signature_batched(n_planes: int = 8, plane_offset: int = 0):
+    """Arrow-vectorized twin of :func:`lsh_signature` (r6b, guide §4.2).
+
+    Same hyperplane weights (integer arithmetic), same per-plane projection
+    fold — the accumulator adds one ``x_d * w_d`` term at a time across
+    dimensions, term-for-term the Catalyst ``aggregate`` fold, with float32
+    inputs cast to double before the multiply exactly like the HOF's
+    implicit promotion — so buckets are bit-identical to the interpreted
+    form (parity-pinned in tests).  The HOF form is CodegenFallback: every
+    array element pays an interpreted lambda dispatch, which made the
+    signature stage the dominant cost of the ANN index builds.  Expects
+    fixed-dimension, non-null vectors (the embedding-table contract)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def sig(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype="int64")
+        mat = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
+        m, d = mat.shape
+        out = np.zeros(m, dtype=np.int64)
+        for i in range(n_planes):
+            acc = np.zeros(m, dtype=np.float64)
+            for c in range(d):
+                w = float((((i + plane_offset) * 131 + c * 31 + 7) % LSH_MOD) - 48)
+                acc = acc + mat[:, c] * w
+            out += np.where(acc > 0, np.int64(1) << i, np.int64(0))
+        return pd.Series(out)
+
+    return sig
+
+
 def lsh_buckets(
     embeddings: DataFrame,
     n_planes: int = 8,
@@ -166,7 +200,8 @@ def lsh_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     return embeddings.select(
-        F.col(id_col), lsh_signature(F.col(vec_col), n_planes).alias("bucket")
+        F.col(id_col),
+        lsh_signature_batched(n_planes)(F.col(vec_col)).alias("bucket"),
     )
 
 
@@ -282,8 +317,8 @@ def embedding_near_pairs_lsh(
             embeddings.select(
                 F.col(id_col), F.col(vec_col).alias("v"),
                 F.lit(t).alias("tbl"),
-                lsh_signature(
-                    F.col(vec_col), n_planes, plane_offset=t * n_planes
+                lsh_signature_batched(n_planes, plane_offset=t * n_planes)(
+                    F.col(vec_col)
                 ).alias("bucket"),
             )
         )
@@ -430,8 +465,8 @@ def build_ann_index(
             embeddings.select(
                 F.col(id_col), F.col(vec_col),
                 F.lit(t).alias("tbl"),
-                lsh_signature(
-                    F.col(vec_col), n_planes, plane_offset=t * n_planes
+                lsh_signature_batched(n_planes, plane_offset=t * n_planes)(
+                    F.col(vec_col)
                 ).alias("bucket"),
             )
         )

@@ -70,6 +70,31 @@ def test_unrolled_signature_matches_hof(spark, emb):
         assert all(r["u"] == r["h"] for r in rows)
 
 
+def test_batched_signature_matches_hof(spark, emb):
+    # the Arrow-vectorized signature kernel must be bit-identical to the
+    # interpreted HOF fold for BOTH double and float32 element types (the
+    # kernel casts to double before the multiply, like Catalyst's promotion)
+    from cascading_solr_spark.operators.similarity import (
+        lsh_signature,
+        lsh_signature_batched,
+    )
+
+    emb_f = emb.withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    for frame in (emb, emb_f):
+        for planes, off in ((8, 0), (12, 24)):
+            rows = frame.select(
+                lsh_signature_batched(planes, plane_offset=off)(
+                    F.col("embedding")
+                ).alias("b"),
+                lsh_signature(
+                    F.col("embedding"), planes, plane_offset=off
+                ).alias("h"),
+            ).collect()
+            assert rows and all(r["b"] == r["h"] for r in rows)
+
+
 def test_cosine_topk_to_row_missing_id_empty(spark, emb):
     from cascading_solr_spark.operators.similarity import cosine_topk_to_row
 
