@@ -920,6 +920,18 @@ def _shard_salt_exprs(
     return shard, salt
 
 
+
+def _dict_write_parts(spark: SparkSession, spec: IndexSpec) -> int:
+    """Partition count for the dict / ngram segment writes: one file per ~4
+    shards at scale (bounds file counts), FLOORED at the session parallelism
+    (capped at 8) so a low-shard-count index never funnels its vocabulary
+    sort+write through one task (r6b: the single-shard bench index spent
+    ~2 s in 1-task dict/ngram writes; gram/term row-group pruning works
+    per file, so a handful of files costs queries nothing)."""
+    floor = min(8, spark.sparkContext.defaultParallelism)
+    return max(1, spec.num_shards // 4, floor)
+
+
 def _write_postings(
     postings: DataFrame,
     postings_path: str,
@@ -1284,15 +1296,43 @@ def build_index(
             # shuffled rows stay three narrow fields.
             shard_e, salt_e = _shard_salt_exprs(hot_terms, spec)
             salt_keys = [salt_e] if salt_e is not None else []
-            arranged = tf_long.repartition(
-                n_parts, shard_e, F.col("term"), *salt_keys
-            ).sortWithinPartitions(
-                shard_e, F.xxhash64("term"), *salt_keys, F.col("packed")
-            )
-            postings = arranged.mapInPandas(
-                _assembler(spec, hot_terms), schema=postings_schema(spec)
-            )
-            _write_postings(postings, postings_path, spec, mode="append")
+            if spec.num_shards >= n_parts:
+                # shard count >= sort width: keying the ONE exchange by shard
+                # alone already gives every output partition exactly one
+                # shard with full (term, salt) clustering, so the segment-
+                # merge re-shuffle of the compressed rows is provably
+                # redundant — write straight through (the append path's
+                # single-exchange shape; guide §2.4).  Salting still spreads
+                # hot terms WITHIN the sort, and at scale num_shards >>
+                # cores keeps this the common case.
+                arranged = tf_long.repartition(
+                    spec.num_shards, shard_e
+                ).sortWithinPartitions(
+                    shard_e, F.xxhash64("term"), *salt_keys, F.col("packed")
+                )
+                postings = arranged.mapInPandas(
+                    _assembler(spec, hot_terms), schema=postings_schema(spec)
+                )
+                (
+                    postings.sortWithinPartitions("shard", "term", "salt")
+                    .write.mode("append")
+                    .partitionBy("shard")
+                    .parquet(postings_path)
+                )
+            else:
+                # fewer shards than the session's sort width: sort wide on
+                # (shard, term, salt) for parallelism, then let the segment
+                # merge gather each shard's compressed rows into one
+                # term-sorted file (the round-2 scaling shape)
+                arranged = tf_long.repartition(
+                    n_parts, shard_e, F.col("term"), *salt_keys
+                ).sortWithinPartitions(
+                    shard_e, F.xxhash64("term"), *salt_keys, F.col("packed")
+                )
+                postings = arranged.mapInPandas(
+                    _assembler(spec, hot_terms), schema=postings_schema(spec)
+                )
+                _write_postings(postings, postings_path, spec, mode="append")
             prof.mark("postings_write")
 
             # ---- read-back over the COMPRESSED rows (tiny, column-pruned):
@@ -1308,9 +1348,30 @@ def build_index(
                 .agg(F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("ttf"))
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
+            # corpus token stats ride the dict write as an Observation
+            # (accumulator-side aggregate over the written rows — the
+            # append path's shape): no separate total_tokens / field_tokens
+            # jobs over the cached stats (r6b)
+            from pyspark.sql import Observation
+
+            obs = Observation("build_tokens")
+            observed = term_stats.observe(
+                obs,
+                F.sum(
+                    F.when(~F.col("term").contains(KW_SEP), F.col("ttf"))
+                ).alias("content_tokens"),
+                *[
+                    F.sum(
+                        F.when(
+                            F.col("term").startswith(f + KW_SEP), F.col("ttf")
+                        )
+                    ).alias(f"ftok_{i}")
+                    for i, f in enumerate(spec.text_fields)
+                ],
+            )
             (
-                term_stats.select("term", "df")
-                .repartition(max(1, spec.num_shards // 4), "term")
+                observed.select("term", "df")
+                .repartition(_dict_write_parts(spark, spec), "term")
                 .sortWithinPartitions("term")
                 .write.mode("overwrite")
                 .parquet(os.path.join(out_dir, "dict"))
@@ -1320,35 +1381,24 @@ def build_index(
             # query-side gram IN (...) filter row-group-prunes
             ngram_future = pool.submit(
                 lambda: term_ngram_rows(term_stats.select("term"))
-                .repartition(max(1, spec.num_shards // 4), "gram")
+                .repartition(_dict_write_parts(spark, spec), "gram")
                 .sortWithinPartitions("gram")
                 .write.mode("overwrite")
                 .parquet(os.path.join(out_dir, "dict_ngrams"))
             )
-            # total CONTENT tokens (keyword rows are namespaced with ':')
-            total_tokens = int(
-                term_stats.filter(~F.col("term").contains(KW_SEP))
-                .agg(F.sum("ttf"))
-                .collect()[0][0]
-                or 0
-            )
-            avgdl = total_tokens / n_docs if n_docs else 0.0
+            # total CONTENT tokens (keyword rows are namespaced with ':') and
             # per-extra-text-field token totals (per-field avgdl = total /
             # n_docs: absent fields count as length 0, exact for dense
             # fields — documented deviation from Lucene's docCount(field)
-            # denominator for sparse ones).  One tiny agg on the cached
-            # vocab-sized stats.
-            field_tokens = {f: 0 for f in spec.text_fields}
-            if spec.text_fields:
-                for r in (
-                    term_stats.filter(F.col("term").contains(KW_SEP))
-                    .withColumn("f", F.substring_index("term", KW_SEP, 1))
-                    .filter(F.col("f").isin(list(spec.text_fields)))
-                    .groupBy("f")
-                    .agg(F.sum("ttf").alias("tt"))
-                    .collect()
-                ):
-                    field_tokens[r["f"]] = int(r["tt"])
+            # denominator for sparse ones) — both read from the dict write's
+            # Observation, zero extra jobs
+            metrics = obs.get
+            total_tokens = int(metrics["content_tokens"] or 0)
+            avgdl = total_tokens / n_docs if n_docs else 0.0
+            field_tokens = {
+                f: int(metrics[f"ftok_{i}"] or 0)
+                for i, f in enumerate(spec.text_fields)
+            }
             lineage_future.result()
             ngram_future.result()
             # meta v2: final corpus stats (also self-heals a resumed build
