@@ -41,7 +41,6 @@ from cascading_solr_spark.indexing.build import (
     Index,
     _assembler,
     _shard_salt_exprs,
-    _write_postings,
     postings_schema,
     write_meta,
 )
@@ -102,7 +101,17 @@ def delete_documents(
         shard_e, F.xxhash64("term"), *salt_keys, F.col("packed")
     )
     postings = arranged.mapInPandas(_assembler(spec, hot), postings_schema(spec))
-    _write_postings(postings, index.postings_path, spec, mode="append")
+    # single-exchange write (the append path's shape, r6b): the tombstone
+    # rows are already partitioned by the shard expression, so the segment
+    # merge's second exchange would only re-move this tiny batch — a local
+    # term sort satisfies the writer's required ordering and the partitionBy
+    # still lands each shard's rows in its own dir, one file per batch.
+    (
+        postings.sortWithinPartitions("shard", "term", "salt")
+        .write.mode("append")
+        .partitionBy("shard")
+        .parquet(index.postings_path)
+    )
 
     # no dict segment (DELETED_TERM must never surface in spellcheck /
     # terms / luke), no doc rows, no token stats: stats stay stale by design

@@ -481,6 +481,38 @@ def build_ann_index(
     )
 
 
+_INDEX_DF_CACHE: dict[str, tuple] = {}
+
+
+def _read_indexed(spark, path: str) -> DataFrame:
+    """Session-cached ``spark.read.parquet`` of a materialized ANN/IVF index
+    dir (r6b).  A bucket-partitioned index holds hundreds of partition dirs,
+    and every probe re-listed all of them (~a third of warm query latency).
+    The cache key carries the ``_SUCCESS`` mtime, so a rebuild into the same
+    dir (overwrite rewrites the marker) invalidates; the value pins the
+    owning session (identity compare), and entries of stopped sessions are
+    evicted like search._EMPTY_IDS_CACHE."""
+    import os
+
+    try:
+        stamp = os.stat(os.path.join(path, "_SUCCESS")).st_mtime_ns
+    except OSError:
+        return spark.read.parquet(path)
+    ent = _INDEX_DF_CACHE.get(path)
+    if ent is not None and ent[0] is spark and ent[1] == stamp:
+        return ent[2]
+    for key, (sess, _s, _d) in list(_INDEX_DF_CACHE.items()):
+        try:
+            stopped = sess.sparkContext._jsc is None
+        except Exception:  # noqa: BLE001 — any probe failure means unusable
+            stopped = True
+        if stopped:
+            _INDEX_DF_CACHE.pop(key, None)
+    df = spark.read.parquet(path)
+    _INDEX_DF_CACHE[path] = (spark, stamp, df)
+    return df
+
+
 def query_buckets(
     query_vec: list[float],
     n_planes: int = 8,
@@ -539,7 +571,7 @@ def ann_lsh_topk_indexed(
         c = (F.col("tbl") == t) & F.col("bucket").isin(buckets)
         cond = c if cond is None else (cond | c)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cand = spark.read.parquet(ann_dir).filter(cond)
+    cand = _read_indexed(spark, ann_dir).filter(cond)
     if n_tables > 1:
         cand = cand.groupBy(id_col).agg(
             F.min(F.struct("tbl", "bucket")).alias("_tb"),
@@ -648,7 +680,7 @@ def ann_ivf_topk(
     probes = ivf_probe_lists(query_vec, centroids, nprobe)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        spark.read.parquet(ivf_dir)
+        _read_indexed(spark, ivf_dir)
         .filter(F.col("list").isin(probes))
         .select(
             F.col(id_col),
