@@ -1071,10 +1071,19 @@ def build_index(
     have_docs = have_meta and os.path.exists(os.path.join(docs_path, "_SUCCESS"))
 
     # ---- doc ids: dense deterministic rank (or a caller-provided id) ----
+    from cascading_solr_spark.operators.textstats import spread_partitions
+
     ids_handle: DataFrame | None = None
     n_docs: int | None = None
     if spec.doc_id_field:
-        based = source.withColumn("doc_id", F.col(spec.doc_id_field).cast("long"))
+        # guide §2.5 input skew (r6b): a small single-file source scans as
+        # 1-2 partitions, pinning the WHOLE build — SPIMI tokenize, sha256,
+        # keyword/text-field legs — to 1-2 cores (the key_fields path gets
+        # its spread for free from the rank join's exchange).  No-op on a
+        # properly partitioned source.
+        based = spread_partitions(source).withColumn(
+            "doc_id", F.col(spec.doc_id_field).cast("long")
+        )
         check_doc_id_range(based.select("doc_id"))
     else:
         ids_handle, n_docs = _rank_ids(source, spec.key_fields)
@@ -1208,6 +1217,25 @@ def build_index(
                             sampled = head
                 except Exception:
                     sampled = None
+                if sampled is None and spec.doc_id_field:
+                    # deterministic parallel sample on the caller's doc id
+                    # (r6b): every k-th id — a scan-parallel pushed-down
+                    # filter, where the GlobalLimit fallback below funnels
+                    # the head through ONE task (the round-2 serial-funnel
+                    # cost, re-measured on the single-file documents source).
+                    # The hot set is an ESTIMATE by contract, so a different
+                    # (better-spread) sample is as valid as the head.
+                    k_mod = max(2, int(round(1.0 / frac)))
+                    cand = source.filter(
+                        F.pmod(
+                            F.col(spec.doc_id_field).cast("long"),
+                            F.lit(k_mod),
+                        )
+                        == 0
+                    )
+                    n_sample = cand.select(spec.doc_id_field).count()
+                    if n_sample:
+                        sampled = cand
                 if sampled is None:
                     # non-file source: GlobalLimit funnels rows through ONE
                     # task — respread so the tokenize runs parallel
@@ -1215,7 +1243,10 @@ def build_index(
                     sampled = source.limit(spec.hot_sample_docs).repartition(
                         spark.sparkContext.defaultParallelism
                     )
-            sampled = sampled.select(
+            # the sample tokenize pass needs the same input spread as the
+            # main pass (a full-corpus or head-files sample inherits the
+            # source's 1-2 scan partitions otherwise)
+            sampled = spread_partitions(sampled).select(
                 F.monotonically_increasing_id().alias("doc_id"),
                 F.col(spec.content_field),
                 *[F.col(f) for f in spec.keyword_fields],
