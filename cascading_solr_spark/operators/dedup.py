@@ -28,6 +28,34 @@ from cascading_solr_spark.operators.textstats import simple_tokens
 
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1, Mersenne
 
+#: frames persisted by the previous invocation of each operator, per
+#: session.  A persisted DataFrame lives in the SQL CacheManager until
+#: unpersisted — repeated operator calls (every bench/pipeline loop)
+#: otherwise pile up cached plans whose storage blocks churn the unified
+#: memory pool (r6b: the dedup keys ran ~2x their isolated minima inside
+#: the full suite).  Swapping releases the PRIOR call's cache when a new
+#: call begins; an old result DataFrame a caller kept simply recomputes.
+_PERSIST_REGISTRY: dict = {}
+
+
+def _swap_persisted(tag: str, spark, frames: list) -> None:
+    for key, (sess, old) in list(_PERSIST_REGISTRY.items()):
+        try:
+            stopped = sess.sparkContext._jsc is None
+        except Exception:  # noqa: BLE001 — any probe failure means unusable
+            stopped = True
+        if stopped:
+            _PERSIST_REGISTRY.pop(key, None)
+    key = (tag, id(spark))
+    ent = _PERSIST_REGISTRY.get(key)
+    if ent is not None and ent[0] is spark:
+        for f in ent[1]:
+            try:
+                f.unpersist()
+            except Exception:  # noqa: BLE001 — cache release is best-effort
+                pass
+    _PERSIST_REGISTRY[key] = (spark, frames)
+
 
 def exact_duplicates(
     docs: DataFrame, text_col: str = "text", max_ids: int = 100
@@ -234,6 +262,8 @@ def minhash_lsh_pairs(
     # self-join references them on BOTH sides, and the eager count populates
     # the shingle cache serially — lazy persists race their own population
     # when AQE materializes the join's broadcast stages concurrently (r6).
+    spark = docs.sparkSession
+    _swap_persisted("minhash_lsh_pairs", spark, [])
     shingled = _shingled(docs, text_col, n).persist()
     ids = shingled.join(shingle_ids(shingled, id_mode), "shingle").select(
         "doc_id", "shingle_id"
@@ -246,6 +276,10 @@ def minhash_lsh_pairs(
         ids = ids.persist()
     mins = _minhash_min_cols_from_ids(ids, num_hashes).persist()
     mins.count()
+    _swap_persisted(
+        "minhash_lsh_pairs", spark,
+        [shingled, mins] + ([ids] if id_mode == "dense" else []),
+    )
     # band bucket keys straight off the per-doc min columns: band j's key is
     # "h=min:h=min:..." over its hashes in ascending h — exactly the string
     # the old sort_array(collect_list(...)) aggregation produced, without a
@@ -451,10 +485,13 @@ def simhash_near_pairs(
     # persist races its own population and every stage recomputes the whole
     # tokenize+signature chain (measured 4x the operator's real cost).  The
     # frame is one row per distinct signature — KBs to low MBs.
+    spark = docs.sparkSession
+    _swap_persisted("simhash_near_pairs", spark, [])
     groups = s.groupBy("simhash").agg(
         F.sort_array(F.collect_list("doc_id")).alias("_ids")
     ).persist()
     groups.count()
+    _swap_persisted("simhash_near_pairs", spark, [groups])
     bands = F.explode(
         F.array(*[
             F.struct(
