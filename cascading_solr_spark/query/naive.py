@@ -24,19 +24,56 @@ from cascading_solr_spark.analyzer import analyze_col, analyze_query
 def tokens_long(
     docs: DataFrame, content_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, dl, term, tf) — analyzed term frequencies, all JVM-side."""
+    """(doc_id, dl, term, tf) — analyzed term frequencies.
+
+    Tokenization runs in the SPIMI kernels' memoized Python tokenizer
+    (Arrow-batched, one worker pass, guide §4.2) rather than the
+    ``analyze_col`` Catalyst tree: the two are behavior-identical by the
+    analyzer parity tests (and the DuckDB oracle re-pins the output of this
+    exact function), and the expression tree's interpreted HOF segments
+    made the honest per-call cost ~5x the kernel's (r6b).  The per-doc
+    Counter emits distinct (doc, term) rows directly — no explode +
+    re-aggregation shuffle of the raw token stream."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    from cascading_solr_spark.analyzer import make_cached_tokenizer
     from cascading_solr_spark.operators.textstats import spread_partitions
 
-    # the analyzer is the expensive map work — spread a low-partition
-    # source before it (r6, guide §2.5; no-op on well-partitioned input)
-    toks = spread_partitions(docs).select(
-        F.col(id_col).alias("doc_id"), analyze_col(content_col).alias("toks")
-    ).withColumn("dl", F.size("toks"))
-    return (
-        toks.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count("*").alias("tf"))
-    )
+    def kernel(batches):
+        tokenize_fast = make_cached_tokenizer()
+        for pdf in batches:
+            ids: list[int] = []
+            dls: list[int] = []
+            terms: list[str] = []
+            tfs: list[int] = []
+            for doc_id, content in zip(
+                pdf["doc_id"].to_numpy(), pdf["_content"]
+            ):
+                toks = tokenize_fast(content) if content is not None else []
+                counts = Counter(toks)
+                k = len(counts)
+                ids.extend([doc_id] * k)
+                dls.extend([len(toks)] * k)
+                terms.extend(counts.keys())
+                tfs.extend(counts.values())
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "dl": np.asarray(dls, dtype=np.int32),
+                    "term": terms,
+                    "tf": np.asarray(tfs, dtype=np.int64),
+                }
+            )
+
+    # spread a low-partition source before the tokenize map work
+    # (r6, guide §2.5; no-op on well-partitioned input)
+    return spread_partitions(docs).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(content_col).alias("_content"),
+    ).mapInPandas(kernel, "doc_id long, dl int, term string, tf long")
 
 
 def corpus_stats(
@@ -86,9 +123,18 @@ def bm25_topk_df(
     # in double), and zero-token/null docs contribute 0 to Σtf and 1 to n
     # exactly as they contributed dl=0 to the avg (analyze_col coalesces
     # null to "").
+    from cascading_solr_spark.operators.dedup import _swap_persisted
+
+    # release the PREVIOUS call's tf cache BEFORE persisting the new one
+    # (never unpersisted otherwise — repeated calls pile cached plans into
+    # the CacheManager, r6b).  Order matters: an identical plan persisted
+    # now would ALIAS the old cache entry, and evicting after the fact
+    # would strip this call's own cache.
+    _swap_persisted("bm25_topk_df", docs.sparkSession, [])
     tf = tokens_long(docs, content_col, id_col).persist()
     n_docs = docs.count()
     tt = tf.agg(F.sum("tf")).collect()[0][0]
+    _swap_persisted("bm25_topk_df", docs.sparkSession, [tf])
     # n>0 with an empty tf table means every doc tokenized to [] — avg(dl)
     # over those zeros was 0.0, not null; n=0 keeps the avg-of-empty null
     avgdl = None if n_docs == 0 else float(tt or 0) / float(n_docs)
