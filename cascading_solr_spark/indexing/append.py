@@ -58,6 +58,7 @@ from cascading_solr_spark.spec import IndexSpecError
 
 from cascading_solr_spark.indexing.build import (
     KW_SEP,
+    _balanced_shard_key,
     MAX_DOC_ID,
     Index,
     _assembler,
@@ -332,7 +333,9 @@ def append_documents(
         # keyed by shard alone gives the assembler its required clustering —
         # each output partition is one shard, so the partitionBy write below
         # fans out one file per shard per batch with NO further shuffle.
-        arranged = tf_long.repartition(spec.num_shards, shard_e).sortWithinPartitions(
+        arranged = tf_long.repartition(
+            spec.num_shards, _balanced_shard_key(shard_e, spec.num_shards)
+        ).sortWithinPartitions(
             shard_e, F.xxhash64("term"), *salt_keys, F.col("packed")
         )
         # the compressed batch rows are persisted ONCE and feed three

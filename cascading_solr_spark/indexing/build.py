@@ -921,6 +921,60 @@ def _shard_salt_exprs(
 
 
 
+def _murmur3_int(value: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashInt for a 4-byte int, signed result —
+    the hash HashPartitioning applies to an int repartition key (seed 42).
+    Pinned against F.hash by tests/test_r06_optimizations.py."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    k1 = (value & 0xFFFFFFFF) * c1 & 0xFFFFFFFF
+    k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+    k1 = k1 * c2 & 0xFFFFFFFF
+    h1 = seed ^ k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+    h1 = (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h1 ^= 4  # total bytes hashed
+    h1 ^= h1 >> 16
+    h1 = h1 * 0x85EBCA6B & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = h1 * 0xC2B2AE35 & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+_SHARD_PREIMAGES: dict[int, list[int]] = {}
+
+#: above this shard count the preimage array literal would bloat the plan;
+#: fall back to the plain shard key (per-partition loads are small there).
+_BALANCED_KEY_MAX_SHARDS = 4096
+
+
+def _balanced_shard_key(shard_e: F.Column, num_shards: int) -> F.Column:
+    """Partition-key expression that lands each shard on its OWN partition
+    of a ``num_shards``-way HashPartitioning.
+
+    ``repartition(n, shard)`` hashes the shard VALUE — with only n distinct
+    values the hash collides badly (guide §2.5 "too few distinct keys":
+    measured 18 of 32 partitions non-empty, one task owning 3 shards, a
+    straggler tail that cost ~20% of the 4N-level build).  Mapping shard s
+    to a precomputed murmur3 PREIMAGE of partition s makes the assignment a
+    bijection; the mapping is pure integer arithmetic, deterministic, and
+    cached per shard count."""
+    if num_shards <= 1 or num_shards > _BALANCED_KEY_MAX_SHARDS:
+        return shard_e
+    pre = _SHARD_PREIMAGES.get(num_shards)
+    if pre is None:
+        need: dict[int, int] = {}
+        x = 0
+        while len(need) < num_shards:
+            need.setdefault(_murmur3_int(x) % num_shards, x)
+            x += 1
+        pre = [need[i] for i in range(num_shards)]
+        _SHARD_PREIMAGES[num_shards] = pre
+    return F.element_at(
+        F.array(*[F.lit(int(v)) for v in pre]), shard_e.cast("int") + 1
+    )
+
+
 def _dict_write_parts(spark: SparkSession, spec: IndexSpec) -> int:
     """Partition count for the dict / ngram segment writes: one file per ~4
     shards at scale (bounds file counts), FLOORED at the session parallelism
@@ -949,7 +1003,9 @@ def _write_postings(
     leading "shard" sort key satisfies FileFormatWriter's required ordering
     (else it inserts its own non-stable sort by the partition column,
     destroying the term ordering)."""
-    postings = postings.repartition(spec.num_shards, "shard")
+    postings = postings.repartition(
+        spec.num_shards, _balanced_shard_key(F.col("shard"), spec.num_shards)
+    )
     (
         postings.sortWithinPartitions("shard", "term", "salt")
         .write.mode(mode)
@@ -1337,7 +1393,7 @@ def build_index(
                 # hot terms WITHIN the sort, and at scale num_shards >>
                 # cores keeps this the common case.
                 arranged = tf_long.repartition(
-                    spec.num_shards, shard_e
+                    spec.num_shards, _balanced_shard_key(shard_e, spec.num_shards)
                 ).sortWithinPartitions(
                     shard_e, F.xxhash64("term"), *salt_keys, F.col("packed")
                 )

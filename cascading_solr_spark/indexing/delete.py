@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from cascading_solr_spark.codec import DELETED_TERM
 from cascading_solr_spark.indexing.build import (
     DL_BITS,
+    _balanced_shard_key,
     MAX_DOC_ID,
     Index,
     _assembler,
@@ -97,7 +98,9 @@ def delete_documents(
     hot = list(index.hot_terms)
     shard_e, salt_e = _shard_salt_exprs(hot, spec)
     salt_keys = [salt_e] if salt_e is not None else []
-    arranged = tf_long.repartition(spec.num_shards, shard_e).sortWithinPartitions(
+    arranged = tf_long.repartition(
+        spec.num_shards, _balanced_shard_key(shard_e, spec.num_shards)
+    ).sortWithinPartitions(
         shard_e, F.xxhash64("term"), *salt_keys, F.col("packed")
     )
     postings = arranged.mapInPandas(_assembler(spec, hot), postings_schema(spec))

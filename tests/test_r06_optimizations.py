@@ -395,3 +395,35 @@ def test_stale_index_handle_warns(spark, tmp_path):
         warnings.simplefilter("always")
         fresh.postings(spark)
     assert not any("stale" in str(w.message) for w in caught)
+
+
+def test_murmur3_int_matches_spark_hash(spark):
+    from pyspark.sql import functions as F
+
+    from cascading_solr_spark.indexing.build import _murmur3_int
+
+    rows = (
+        spark.range(-50, 5000, 137)
+        .select(F.col("id").cast("int").alias("x"))
+        .withColumn("h", F.hash("x"))
+        .collect()
+    )
+    assert rows and all(_murmur3_int(r["x"]) == r["h"] for r in rows)
+
+
+def test_balanced_shard_key_is_bijective(spark):
+    from pyspark.sql import functions as F
+
+    from cascading_solr_spark.indexing.build import _balanced_shard_key
+
+    for n in (8, 32):
+        df = spark.range(n).select(F.col("id").cast("int").alias("shard"))
+        per = (
+            df.repartition(n, _balanced_shard_key(F.col("shard"), n))
+            .select(F.spark_partition_id().alias("p"))
+            .groupBy("p")
+            .count()
+            .collect()
+        )
+        # one shard per partition: every partition non-empty, max load 1
+        assert len(per) == n and max(r["count"] for r in per) == 1
